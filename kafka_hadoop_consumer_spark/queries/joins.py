@@ -1,0 +1,201 @@
+"""Join operators (SURVEY.md §2B "Joins").
+
+Strategy notes for 100 TB (SURVEY.md §4.2): small dims are broadcast
+explicitly (region/nation/supplier never exceed broadcast size); big-big
+equi-joins shuffle on their keys and AQE handles skew; the theta join is a
+broadcast nested-loop with the SMALL side broadcast and an aggregate on top
+so the blow-up never leaves the executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.catalog import load_table
+from kafka_hadoop_consumer_spark.queries.registry import query
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join orders ⋈ customer (shuffle join on the key at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_brand, l.l_quantity
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#1'
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join: fact ⋈ broadcast(small dim), explicit hint.
+
+    At 100 TB the fact side never shuffles — the dim ships to every
+    executor. tests/test_plans.py asserts BroadcastHashJoin in the plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_partkey", "p_brand", "l_quantity"
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join, TPC-H Q5 shape: region⋈nation⋈customer⋈orders⋈lineitem.
+
+    Dims joined smallest-first and broadcast; only the orders⋈lineitem edge
+    shuffles at scale. AQE + CBO may reorder further — that's fine, the
+    plan is declarative.
+    """
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dim, o.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 100000.0
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate; unmatched rows null-extend."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 100000.0)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9000.0) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 100000.0) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: both sides contribute unmatched, null-extended rows."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000.0)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with ≥1 large order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS
+      (SELECT 1 FROM orders o
+       WHERE o.o_custkey = customer.c_custkey AND o.o_totalprice > 200000.0)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no order above 200k."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT s.s_suppkey,
+           count(*) AS n_parts,
+           round(sum(p.p_retailprice), 2) AS sum_price
+    FROM supplier s JOIN part p
+      ON p.p_retailprice BETWEEN s.s_acctbal / 10.0 AND s.s_acctbal / 5.0
+    GROUP BY s.s_suppkey
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi theta join → broadcast nested loop, aggregated on top.
+
+    The small side (supplier) is broadcast so the quadratic pairing stays
+    executor-local; the aggregate keeps the blow-up from materializing.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    cond = p.p_retailprice.between(s.s_acctbal / 10.0, s.s_acctbal / 5.0)
+    return (
+        p.join(F.broadcast(s), cond)
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        )
+    )

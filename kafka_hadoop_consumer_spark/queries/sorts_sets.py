@@ -1,0 +1,126 @@
+"""Sort / limit / top-k and set operations (SURVEY.md §2B).
+
+The driver's value hash is order-insensitive, so sort semantics are made
+verifiable by pairing every ORDER BY with a LIMIT: the *selected set* then
+proves the ordering (including null placement), with a unique key as final
+tie-break (SURVEY.md §7 R5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.catalog import load_table
+from kafka_hadoop_consumer_spark.queries.registry import query
+
+
+@query(
+    "q_sort_multi",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_n, o_totalprice
+    FROM orders
+    ORDER BY status_n ASC NULLS FIRST, o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort, mixed asc/desc with NULLS FIRST, unique tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_n"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.col("status_n").asc_nulls_first(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT k → TakeOrderedAndProject: per-partition top-k then
+    merge at the driver; no global sort ever materializes (scale-safe)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_set_union_all",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0
+    """,
+)
+def q_set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics — overlapping rows appear twice)."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_acctbal")
+    b = c.where(F.col("c_acctbal") > 5000.0).select("c_custkey", "c_acctbal")
+    return a.unionByName(b)
+
+
+@query(
+    "q_set_union_distinct",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0
+    """,
+)
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics: union-all then distinct)."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_acctbal")
+    b = c.where(F.col("c_acctbal") > 5000.0).select("c_custkey", "c_acctbal")
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "q_set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set): customers with both a finished and an open order."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "q_set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference preserves multiplicity)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.exceptAll(b)

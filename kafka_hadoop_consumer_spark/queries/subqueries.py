@@ -1,0 +1,63 @@
+"""Subquery operators (SURVEY.md §2B "Subqueries") — SQL entry point E2.
+
+Catalyst rewrites these declaratively: uncorrelated scalars become
+single-row broadcast joins, IN becomes left-semi, and correlated scalars
+are decorrelated into aggregated joins (RewriteCorrelatedScalarSubquery) —
+so each runs as ordinary distributed joins at 100 TB, never per-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_hadoop_consumer_spark.catalog import load_table
+from kafka_hadoop_consumer_spark.queries.registry import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], text: str) -> DataFrame:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(text)
+
+
+_SCALAR = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+"""
+
+
+@query("q_subq_scalar", oracle=_SCALAR)
+def q_subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders 50% above the global average."""
+    return _sql(spark, sf_dir, ("orders",), _SCALAR)
+
+
+_IN = """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+@query("q_subq_in", oracle=_IN)
+def q_subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) → rewritten to a left-semi join."""
+    return _sql(spark, sf_dir, ("customer", "orders"), _IN)
+
+
+_CORR = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice >
+      (SELECT avg(o2.o_totalprice) * 2.0 FROM orders o2
+       WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@query("q_subq_correlated", oracle=_CORR)
+def q_subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-customer average) — Catalyst
+    decorrelates into a grouped join, one pass over orders."""
+    return _sql(spark, sf_dir, ("orders",), _CORR)
