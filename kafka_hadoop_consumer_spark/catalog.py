@@ -10,6 +10,7 @@ vectorized reader, predicate pushdown, and column pruning apply (SURVEY.md
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -31,9 +32,26 @@ BROADCAST_DIMS = ("region", "nation", "supplier")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table as a DataFrame (lazy parquet scan)."""
+    """Read one fixture table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    (Spark timestamps are µs). We read it as raw nanos
+    (``legacy.parquet.nanosAsLong``) and truncate to a ``timestamp_ntz``
+    with exact integer division — ``ts div 1000``, NOT double division,
+    which rounds up for ns%1000 ≥ ~875 and would disagree with the
+    oracle's ``CAST(ts AS TIMESTAMP)`` floor-truncation.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -13,6 +13,8 @@ from kafka_hadoop_consumer_spark.queries import (  # noqa: E402,F401
     aggregates,
     sorts_sets,
     subqueries,
+    windows,
+    functions,
 )
 
 __all__ = ["QUERIES", "ORACLES", "METAS", "query"]

@@ -1,0 +1,269 @@
+"""Scalar function families (SURVEY.md §2B "Scalar function families").
+
+One representative query per family, each exercising the whole family in a
+single projection. All functions are JVM built-ins (whole-stage codegen;
+no Python in the row path). Cross-engine gotchas handled here:
+
+- double→int casts TRUNCATE in Spark but ROUND in DuckDB → use explicit
+  floor() on both sides;
+- libm-dependent functions (pow/ln/log10) can differ in the last ulp →
+  rounded to 6dp on both sides;
+- DuckDB's split/element syntax differs (string_split + [i]) but the
+  semantics align with Spark's split + getItem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.catalog import load_table
+from kafka_hadoop_consumer_spark.queries.registry import query
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT c_custkey,
+           concat(upper(c_mktsegment), ':', lower(c_name)) AS tag,
+           substring(c_name, 1, 8) AS head8,
+           length(c_name) AS name_len,
+           trim(lpad(c_mktsegment, 12, ' ')) AS padded_trimmed,
+           string_split(c_name, '#')[2] AS cust_num,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS digits,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           (c_mktsegment LIKE 'B%') AS is_b_segment
+    FROM customer
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: concat/substring/upper/lower/trim/lpad/split/regexp/like/length."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.upper("c_mktsegment"), F.lit(":"), F.lower("c_name")).alias("tag"),
+        F.substring("c_name", 1, 8).alias("head8"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.trim(F.lpad("c_mktsegment", 12, " ")).alias("padded_trimmed"),
+        F.split("c_name", "#").getItem(1).alias("cust_num"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+        F.col("c_mktsegment").like("B%").alias("is_b_segment"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mth,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_to_2002,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           strftime(make_date(CAST(year(o_orderdate) AS INT), 1, 1), '%Y-%m-%d') AS year_start
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract, trunc, add, diff, epoch, make_date.
+
+    Dates are emitted as formatted strings so both engines hash identical
+    canonical values (fixtures are timestamp_ntz; session tz pinned UTC).
+    DuckDB dayofweek: Sunday=0 vs Spark Sunday=1 → aligned with +1 shift...
+    actually emitted via ISO day-of-week on both sides.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("yr"),
+        F.month(d).cast("int").alias("mth"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).cast("int").alias("days_to_2002"),
+        F.unix_timestamp(d).cast("long").alias("epoch_s"),
+        F.date_format(F.make_date(F.year(d), F.lit(1), F.lit(1)), "yyyy-MM-dd").alias("year_start"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_extendedprice) AS price_ceil,
+           abs(l_discount - 0.05) AS disc_dev,
+           round(pow(l_quantity, 2.0), 6) AS qty_sq,
+           sqrt(l_extendedprice) AS price_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(log10(l_extendedprice), 6) AS price_log10,
+           CAST((l_orderkey % 7 + 7) % 7 AS BIGINT) AS key_mod7,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           greatest(l_quantity, l_discount * 100.0) AS g,
+           least(l_quantity, l_discount * 100.0) AS l
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/floor/ceil/abs/pow/sqrt/ln/log10/pmod/sign/greatest/least.
+
+    pow/ln/log10 are libm-dependent (JVM vs C++ last-ulp drift) → rounded
+    to 6dp both sides; sqrt is IEEE-correctly-rounded → exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price, 1).alias("price_r1"),
+        F.floor(price).cast("double").alias("price_floor"),
+        F.ceil(price).cast("double").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2.0)), 6).alias("qty_sq"),
+        F.sqrt(price).alias("price_sqrt"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.round(F.log10(price), 6).alias("price_log10"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100.0).alias("g"),
+        F.least(F.col("l_quantity"), F.col("l_discount") * 100.0).alias("l"),
+    )
+
+
+@query(
+    "q_fn_cond_cast",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_or_default,
+           (NULLIF(o_orderstatus, 'O') IS NULL) AS is_open,
+           CASE WHEN o_totalprice >= 100000 THEN 'high'
+                WHEN o_totalprice >= 10000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(o_totalprice > 50000 AS INT) AS is_big_int,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date_str
+    FROM orders
+    """,
+)
+def q_fn_cond_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional + cast family: coalesce/nullif/isnull/CASE and casts
+    across int/double/string/timestamp.
+
+    double→int cast intentionally goes through floor(): Spark truncates,
+    DuckDB rounds — floor pins one semantics on both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias("status_or_default"),
+        F.isnull(F.nullif(F.col("o_orderstatus"), F.lit("O"))).alias("is_open"),
+        F.when(F.col("o_totalprice") >= 100000, "high")
+        .when(F.col("o_totalprice") >= 10000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        (F.col("o_totalprice") > 50000).cast("int").alias("is_big_int"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           embedding[1] AS first_val,
+           list_max(embedding) AS max_val,
+           list_min(embedding) AS min_val,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 4) AS dot_self,
+           round(list_sum(list_slice(embedding::DOUBLE[], 1, 8)), 4) AS head8_sum
+    FROM embeddings
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order functions: size/element_at/min/max,
+    filter, transform, slice, aggregate — on the 64-dim embedding column.
+
+    The self-dot-product is the building block of q_sim_cosine_topk;
+    accumulation is in double on both sides (float32 inputs upcast first).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    embd = F.transform(emb, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("int").alias("n_dims"),
+        F.element_at(emb, 1).alias("first_val"),
+        F.array_max(emb).alias("max_val"),
+        F.array_min(emb).alias("min_val"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.round(
+            F.aggregate(embd, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("dot_self"),
+        F.round(
+            F.aggregate(F.slice(embd, 1, 8), F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("head8_sum"),
+    )
+
+
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_val,
+           array_to_string(json_keys(props), ',') AS keys_csv,
+           CAST(len(json_keys(props)) AS INT) AS n_keys
+    FROM events
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: from_json→map, element_at, map_keys, size — over the
+    JSON `events.props` column."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract(props, '$.k') IS NOT NULL AS VARCHAR) AS has_k,
+           concat('{"k2":', CAST(CAST(json_extract(props, '$.k') AS INT) * 2 AS VARCHAR), '}') AS rebuilt
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object / from_json / to_json on events.props.
+
+    The rebuilt column exercises to_json(struct): Spark emits compact
+    {"k2":N}; the oracle constructs the same canonical text.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k_int = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_int.alias("k_int"),
+        F.get_json_object("props", "$.k").isNotNull().cast("string").alias("has_k"),
+        F.to_json(F.struct((k_int * 2).alias("k2"))).alias("rebuilt"),
+    )

@@ -1,0 +1,180 @@
+"""Window function operators (SURVEY.md §2B "Window functions").
+
+Every ordered window carries a unique tie-break key so results are
+deterministic under the driver's value hash (SURVEY.md §7 R5). Windowed
+SUM over doubles is rounded: DuckDB evaluates frames via segment trees,
+Spark incrementally — different association order (§7 R2).
+
+Scale note: all windows here are partitioned (by nation / customer / user),
+so state is distributed; the one global window (q_win_ntile) is inherently
+a single-partition sort and is documented as such.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.catalog import load_table
+from kafka_hadoop_consumer_spark.queries.registry import query
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank: per-nation ranking by balance."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@query(
+    "q_win_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (top-3 orders per customer) — the scale-safe
+    alternative to a global sort: one shuffle on the group key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)       OVER w AS prev_value,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: previous value / next event type per user."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "q_win_running",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER w, 2) AS running_value,
+           CAST(count(*) OVER w AS BIGINT) AS running_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per user (ROWS UNBOUNDED PRECEDING → CURRENT ROW)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.count(F.lit(1)).over(w).cast("long").alias("running_n"),
+    )
+
+
+@query(
+    "q_win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_band,
+           round(sum(o_totalprice) OVER w, 2) AS sum_in_band
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering key: all orders within 1000 below
+    the current price (value-based frame, includes peers)."""
+    o = load_table(spark, sf_dir, "orders")
+    # Fractional RANGE bounds aren't supported by the PySpark Window API
+    # (rangeBetween takes ints) — the SQL frame syntax is.
+    over = (
+        "OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice "
+        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.expr(f"CAST(count(*) {over} AS BIGINT)").alias("n_in_band"),
+        F.expr(f"round(sum(o_totalprice) {over}, 2)").alias("sum_in_band"),
+    )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a global order.
+
+    A global window is a single-partition sort by construction; at 100 TB
+    use q_win_topk_group-style partitioned windows or approx percentiles
+    instead (documented limitation, not a default pattern).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
