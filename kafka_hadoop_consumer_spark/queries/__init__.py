@@ -15,6 +15,12 @@ from kafka_hadoop_consumer_spark.queries import (  # noqa: E402,F401
     subqueries,
     windows,
     functions,
+    timeseries,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    udfs,
 )
 
 __all__ = ["QUERIES", "ORACLES", "METAS", "query"]

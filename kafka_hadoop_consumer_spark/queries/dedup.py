@@ -1,0 +1,225 @@
+"""Near-duplicate detection operators (SURVEY.md §2B; build plan M4) —
+the LLM-corpus dedup cascade: exact hash → MinHash+LSH banding →
+SimHash fingerprints → exact n-gram Jaccard verification.
+
+Scale design (the point of these operators at 100 TB):
+
+- q_dedup_ngram_jaccard is the EXACT ground truth — its only join is an
+  equi-join on shingle, so cost is Σ|posting-list|², fine when shingles are
+  rare but quadratic on hot shingles. It exists to verify the approximate
+  paths at test scale.
+- q_dedup_minhash is the ~O(n) scale path: constant-size signatures
+  (K=32 hashes) per doc, LSH banding (8 bands × 4 rows) so only
+  same-bucket docs are paired, then exact-Jaccard verification of the
+  candidates only. Recall for J≥0.8 pairs is ≥ 99.8%
+  (1-(1-J^4)^8); precision is 1.0 by construction (candidates verified).
+- q_dedup_simhash emits 64-bit fingerprints + 4×16-bit bands; duplicate
+  candidates are same-band collisions (Hamming ≤ 3 guarantee over 4 bands).
+
+MinHash/SimHash values depend on Spark's xxhash64 — no DuckDB oracle
+(SURVEY.md §7 R4); tests/test_dedup.py asserts recall against the exact
+operator instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.catalog import load_table
+from kafka_hadoop_consumer_spark.queries.registry import query
+
+N_SHINGLE = 4           # w-shingle width (FIXTURES.md planted pairs use 4)
+N_MINHASH = 32          # signature length K
+N_BANDS = 8             # LSH bands (K = bands × rows)
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+JACCARD_THRESHOLD = 0.6
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (id, shingle) pairs: 4-token shingles of the token stream."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {N_SHINGLE - 1}, 0)),"
+                    f" i -> array_join(slice(split({text_col}, ' '), i, {N_SHINGLE}), ' '))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-set Jaccard for doc pairs.
+
+    With ``candidates`` (doc1, doc2) given, only those pairs are scored
+    (the cheap verification step after LSH); otherwise all pairs sharing
+    ≥1 shingle are scored via a shingle equi-join.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc1"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc2"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .where(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc1", "doc2"], "left_semi")
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM tok,
+           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) > {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (J > 0.6 on 4-shingles) — the
+    ground truth the MinHash path is measured against. Finds the planted
+    near-dup pairs (FIXTURES.md: 28 pairs at sf0.001)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    return exact_jaccard_pairs(sh).where(F.col("jaccard") > JACCARD_THRESHOLD)
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """K min-hashes per doc: min over shingles of xxhash64(shingle, k)."""
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(k))).alias(f"m{k}")
+            for k in range(N_MINHASH)
+        ]
+    )
+
+
+@query("q_dedup_minhash")  # no oracle: xxhash64-dependent (SURVEY.md §7 R4)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup via MinHash + LSH banding + exact verification.
+
+    Pipeline: shingle → K=32 minhashes/doc → 8 bands of 4 hashes →
+    same-(band, band-hash) candidate pairs → exact Jaccard on candidates
+    only → J > 0.6. ~O(n) at scale: signature size is constant and only
+    colliding docs are compared.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    sig = minhash_signatures(sh)
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            F.lit(b),
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_idx", "bk.band_hash")
+    left = banded.select(
+        F.col("doc_id").alias("doc1"), "band_idx", "band_hash"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc2"), "band_idx", "band_hash"
+    )
+    candidates = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    return (
+        exact_jaccard_pairs(sh, candidates=candidates)
+        .where(F.col("jaccard") > JACCARD_THRESHOLD)
+        .select("doc1", "doc2", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+@query("q_dedup_simhash")  # no oracle: xxhash64-dependent (SURVEY.md §7 R4)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: 64-bit weighted-majority hash of the token
+    multiset, emitted as 4×16-bit bands (same-band collision ⇒ candidate
+    pair with Hamming ≤ 3 guaranteed found).
+
+    Per-doc output (fingerprint table); pairing is a groupBy on any band
+    at scale. Token weights = term frequency (explode without distinct).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # bit-majority sums: Σ over tokens of ±1 per bit position
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(64)
+        ]
+    )
+    # assemble 16-bit band integers from sign bits
+    def band(c: int):
+        return sum(
+            [
+                F.when(F.col(f"s{16 * c + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(16)
+            ],
+            start=F.lit(0),
+        ).cast("int").alias(f"band{c}")
+
+    out = sums.select(
+        "doc_id", band(0), band(1), band(2), band(3)
+    )
+    return out.select(
+        "doc_id",
+        F.concat(
+            *[F.lpad(F.hex(F.col(f"band{c}")), 4, "0") for c in (3, 2, 1, 0)]
+        ).alias("simhash_hex"),
+        "band0",
+        "band1",
+        "band2",
+        "band3",
+    )

@@ -1,0 +1,183 @@
+"""Embedding similarity search (SURVEY.md §2B; build plan M4): brute-force
+cosine top-k (the correctness baseline), sign-bit LSH ANN (the scale
+path), and embedding-cosine near-dup pairs.
+
+Numeric determinism: embeddings are float32; both engines upcast to
+double FIRST and accumulate sequentially, so dot products agree bitwise
+(verified empirically at 4dp against two independent DuckDB
+formulations). All similarity outputs are rounded to 4dp; thresshold
+comparisons happen on the ROUNDED value so boundary pairs can't flip.
+
+Scale notes: the brute-force path broadcasts the (small) query side, so
+the corpus never shuffles — O(|corpus|·k) memory. The LSH path buckets
+the corpus once (16 buckets here; O(√n)–O(n/buckets) candidates per
+probe with Hamming-1 multiprobe) — sublinear per-query work at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.catalog import load_table
+from kafka_hadoop_consumer_spark.queries.registry import query
+
+TOP_K = 10
+N_QUERY = 5          # vec_id < 5 are the query vectors
+N_PLANES = 4         # sign-bit LSH hyperplanes → 16 buckets
+DEDUP_COS_THRESHOLD = 0.4
+EMB_DIM = 64
+
+
+def _vec_double(col: str = "embedding"):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+# Shared oracle CTE: embeddings upcast to double with precomputed norms.
+_ORACLE_E = """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+               FROM embeddings)
+"""
+
+
+@query(
+    "q_sim_cosine_topk",
+    oracle=_ORACLE_E
+    + f"""
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                   / (a.nrm * b.nrm), 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                        / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+      FROM e a JOIN e b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: exact ANN baseline.
+
+    The query side ({N_QUERY} vectors) is broadcast; the corpus side
+    streams through executors once — no shuffle of the big side. Ranking
+    uses the raw cosine (ties broken by vec_id); output is rounded.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", _vec_double().alias("v"))
+    q = ed.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=_ORACLE_E
+    + f"""
+    SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+           round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                 / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                / (a.nrm * b.nrm), 4) > {DEDUP_COS_THRESHOLD}
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos > {DEDUP_COS_THRESHOLD}).
+
+    All-pairs at test scale (the exact ground truth); at 100 TB the LSH
+    bucketing of q_sim_lsh_topk prefilters candidates first. The
+    threshold is applied to the ROUNDED cosine on both sides.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", _vec_double().alias("v"))
+    a = ed.select(F.col("vec_id").alias("vec1"), F.col("v").alias("v1"))
+    b = ed.select(F.col("vec_id").alias("vec2"), F.col("v").alias("v2"))
+    cos = F.round(
+        _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 4
+    )
+    return (
+        a.join(b, F.col("vec1") < F.col("vec2"))
+        .select("vec1", "vec2", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") > DEDUP_COS_THRESHOLD)
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic random hyperplanes (seed 42), shipped as literals."""
+    rng = np.random.RandomState(42)
+    return rng.randn(N_PLANES, EMB_DIM).tolist()
+
+
+def _bucket_of(vcol):
+    """Sign-bit LSH bucket id: bit j = (v · h_j) > 0."""
+    planes = _hyperplanes()
+    bits = [
+        F.when(
+            _dot(vcol, F.array(*[F.lit(float(x)) for x in planes[j]])) > 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j in range(N_PLANES)
+    ]
+    return sum(bits[1:], start=bits[0]).cast("int")
+
+
+@query("q_sim_lsh_topk")  # no oracle: approximate by design (SURVEY.md §7 R4)
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k ANN via random-hyperplane (sign-bit) LSH with
+    Hamming-1 multiprobe.
+
+    The corpus is bucketed once by {N_PLANES} sign bits; each query probes
+    its own bucket plus the {N_PLANES} buckets one bit-flip away, then
+    brute-forces cosine within the ~(n·(1+{N_PLANES})/2^{N_PLANES})
+    candidates. Sublinear candidate sets at scale; recall vs the exact
+    operator is asserted in tests/test_similarity.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", _vec_double().alias("v")).withColumn(
+        "bucket", _bucket_of(F.col("v"))
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("int")
+            for j in range(N_PLANES)
+        ],
+    )
+    q = (
+        ed.where(F.col("vec_id") < N_QUERY)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        ed.join(F.broadcast(q), ["bucket"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,219 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2B
+"Dedup + LLM-data-pipeline operators"; build plan M4).
+
+All hot-path logic is JVM built-ins (split / explode / higher-order
+lambdas / regexp) — no Python UDFs — so these run inside whole-stage
+codegen and scale linearly: tokenize+aggregate is one shuffle on the
+group key; n-gram frequency is explode + hash-agg with map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.catalog import load_table
+from kafka_hadoop_consumer_spark.queries.registry import query
+
+# Tokens are space-separated in the fixture corpus (FIXTURES.md: word-salad
+# from a small vocabulary). Lazy because Column construction needs an
+# active SparkContext.
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+# Tiny fixed stopword lexicon for ratio features (deterministic, mirrored
+# verbatim in the oracle SQL).
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(max(len(string_split(text, ' '))) AS INT) AS max_tokens,
+           CAST(min(n_chars) AS BIGINT) AS min_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus stats: doc counts, token/char lengths."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max(n_tokens).cast("int").alias("max_tokens"),
+        F.min("n_chars").alias("min_chars"),
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS bpe_ish_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS distinct_tokens
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens vs a BPE-ish regex segmentation
+    (letters / digits / single symbols) vs distinct-token vocabulary size."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)))
+        .cast("int")
+        .alias("bpe_ish_tokens"),
+        F.size(F.array_distinct(_tokens())).cast("int").alias("distinct_tokens"),
+    )
+
+
+@query(
+    "q_text_ngram",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT s AS ngram
+      FROM tok,
+           UNNEST(list_transform(range(1, greatest(len(t) - 3, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + 3), ' '))) AS u(s)
+    )
+    SELECT ngram, count(*) AS freq
+    FROM grams
+    GROUP BY ngram
+    ORDER BY freq DESC, ngram
+    LIMIT 100
+    """,
+)
+def q_text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-gram extraction + corpus-wide frequency, top-100.
+
+    Shingling is a higher-order transform over the token array (no
+    explode-then-window): sequence(1, n-3) indexes each 4-token slice.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 3, 0)),"
+                " i -> array_join(slice(split(text, ' '), i, 4), ' '))"
+            )
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("ngram"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle="""
+    SELECT doc_id, lang,
+           round(CAST(length(regexp_replace(replace(text, ' ', ''), '[^aeiou]', '', 'g')) AS DOUBLE)
+                 / length(replace(text, ' ', '')), 6) AS vowel_ratio,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_word_len,
+           CASE WHEN CAST(length(regexp_replace(replace(text, ' ', ''), '[^aeiou]', '', 'g')) AS DOUBLE)
+                     / length(replace(text, ' ', '')) >= 0.38 THEN 'vowel-heavy'
+                WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 5.0 THEN 'long-words'
+                ELSE 'default' END AS lang_guess
+    FROM documents
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: character-class features (vowel ratio, mean
+    word length) + threshold classifier.
+
+    The fixture corpus is synthetic word-salad, so this exercises the
+    *plumbing* of n-gram/char-class language ID (deterministic features →
+    CASE classifier), not a real model. Ratios are int/int divisions —
+    IEEE-deterministic — rounded only for display stability.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nospace = F.regexp_replace("text", " ", "")
+    vowels = F.length(F.regexp_replace(nospace, "[^aeiou]", ""))
+    chars = F.length(nospace)
+    vowel_ratio = vowels.cast("double") / chars
+    awl = chars.cast("double") / F.size(_tokens())
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(vowel_ratio, 6).alias("vowel_ratio"),
+        F.round(awl, 6).alias("avg_word_len"),
+        F.when(vowel_ratio >= 0.38, "vowel-heavy")
+        .when(awl >= 5.0, "long-words")
+        .otherwise("default")
+        .alias("lang_guess"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS INT) AS n_stopwords,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                                      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 6) AS chars_per_token,
+           (len(string_split(text, ' ')) BETWEEN 20 AND 500
+            AND CAST(len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                / len(string_split(text, ' ')) < 0.5) AS passes_quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band, stopword ratio, chars-per-token, and a
+    boolean keep/drop gate — the standard pre-training corpus filter shape."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens())
+    n_stop = F.size(F.filter(_tokens(), lambda t: t.isin(*_STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        n_stop.cast("int").alias("n_stopwords"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 6).alias("chars_per_token"),
+        (n_tokens.between(20, 500) & (stop_ratio < 0.5)).alias("passes_quality"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+             AS fingerprint,
+           md5(text) AS exact_hash
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact-content hash + an order-insensitive
+    bag-of-words fingerprint (sorted distinct tokens → md5), the cheap
+    first pass before MinHash in a dedup cascade."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " "
+    )
+    return d.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.md5("text").alias("exact_hash"),
+    )

@@ -1,0 +1,180 @@
+"""Time-series + keyed-dedup operators (SURVEY.md §2B, build plan M3):
+range join, as-of join, tumbling time buckets, exact/keyed dedup.
+
+Oracle note: ``events.ts`` is nanosecond parquet; the engine reads it
+truncated to microseconds (catalog.py), so every oracle reference to it is
+``CAST(ts AS TIMESTAMP)`` — DuckDB truncates identically.
+
+Scale notes: both temporal joins are equi-joins on ``user_id`` with a time
+residual — they shuffle once on the user key (AQE handles user skew); the
+as-of picks winners with a per-left-row window, never a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.catalog import load_table
+from kafka_hadoop_consumer_spark.queries.registry import query
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on text with a canonical survivor (min doc_id).
+
+    Deterministic alternative to dropDuplicates(["text"]) (which keeps an
+    arbitrary row); at 100 TB this is one hash shuffle on the text —
+    or on xxhash64(text) first, to keep shuffle keys small.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("doc_id", "text", "n_copies")
+
+
+@query(
+    "q_dedup_keyed",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (SELECT user_id, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup (CDC compaction): latest event per user."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@query(
+    "q_win_tumbling_batch",
+    oracle="""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_win_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (batch analogue of s_stream_tumbling;
+    F.window is the same operator Structured Streaming uses)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           CAST(datediff('second', CAST(v.ts AS TIMESTAMP), CAST(p.ts AS TIMESTAMP)) AS BIGINT)
+             AS secs_between
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >  CAST(v.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: purchase within 1h after a view, same user.
+
+    Physically an equi-join on user_id with the time band as a residual
+    filter — one shuffle, no cross product.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        v.join(
+            p,
+            (v.user_id == p.p_user_id)
+            & (p.p_ts > v.v_ts)
+            & (p.p_ts <= v.v_ts + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("secs_between"),
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT purchase_id, view_id, user_id
+    FROM (SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+                 row_number() OVER (PARTITION BY p.event_id
+                                    ORDER BY CAST(v.ts AS TIMESTAMP) DESC, v.event_id DESC) AS rn
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ON v.user_id = p.user_id AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP))
+    WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native Spark op): for each purchase, the most recent
+    view at-or-before it, per user. Composite: equi-join on user +
+    backward inequality + row_number()=1 winner per left row.
+
+    The oracle uses the equivalent window SQL rather than DuckDB's ASOF
+    JOIN, whose tie-breaking among equal timestamps is unspecified.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("v_ts").desc(), F.col("view_id").desc()
+    )
+    return (
+        p.join(v, (p.user_id == v.v_user_id) & (v.v_ts <= p.p_ts))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("purchase_id", "view_id", "user_id")
+    )

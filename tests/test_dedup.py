@@ -1,0 +1,61 @@
+"""Quality gates for the approximate dedup ops (SURVEY.md §5.2.4-5):
+the rows-only operators must be *good*, not just runnable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _pairs(df, c1="doc1", c2="doc2"):
+    return {(int(r[c1]), int(r[c2])) for r in df.collect()}
+
+
+def test_minhash_recall_and_precision(spark):
+    """MinHash+LSH must recover (almost) all exact-Jaccard pairs; its
+    exact-verification step makes precision 1.0 by construction."""
+    truth = _pairs(QUERIES["q_dedup_ngram_jaccard"](spark, SF_DIR))
+    found = _pairs(QUERIES["q_dedup_minhash"](spark, SF_DIR))
+    assert truth, "fixture should contain planted near-dup pairs"
+    assert found <= truth, f"false positives: {found - truth}"
+    recall = len(found & truth) / len(truth)
+    # 8 bands × 4 rows: P(detect J=0.8) ≈ 0.998, J=0.65 ≈ 0.78 — planted
+    # pairs are mostly J≈0.95+ (FIXTURES.md), so high recall expected.
+    assert recall >= 0.85, f"recall {recall:.2f} over {len(truth)} truth pairs"
+
+
+def test_minhash_idempotent_on_dedup_result(spark):
+    """Dedup invariant: removing one doc of every near-dup pair leaves a
+    corpus where the detector finds strictly fewer pairs."""
+    truth = _pairs(QUERIES["q_dedup_ngram_jaccard"](spark, SF_DIR))
+    drop = {b for _, b in truth}
+    d = QUERIES["q_dedup_minhash"](spark, SF_DIR)
+    survivors = d.where(~F.col("doc1").isin(drop) & ~F.col("doc2").isin(drop))
+    assert survivors.count() == 0
+
+
+def test_simhash_shape(spark):
+    df = QUERIES["q_dedup_simhash"](spark, SF_DIR).toPandas()
+    assert len(df) == df.doc_id.nunique()
+    assert df.simhash_hex.str.len().eq(16).all()
+    assert df.band0.between(0, 65535).all()
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from kafka_hadoop_consumer_spark.catalog import load_table
+
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in QUERIES["q_agg_approx_distinct"](spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05, f"{k}: {approx[k]} vs exact {n}"

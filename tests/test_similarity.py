@@ -1,0 +1,41 @@
+"""Quality gates for approximate similarity search: LSH recall measured
+against the exact brute-force operator."""
+
+from __future__ import annotations
+
+from kafka_hadoop_consumer_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _topk(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(int(r["q_id"]), set()).add(int(r["vec_id"]))
+    return out
+
+
+def test_lsh_recall_beats_random(spark):
+    exact = _topk(QUERIES["q_sim_cosine_topk"](spark, SF_DIR))
+    approx = _topk(QUERIES["q_sim_lsh_topk"](spark, SF_DIR))
+    assert set(exact) == set(approx), "every query vector must get results"
+    recalls = [
+        len(exact[q] & approx[q]) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # 4 planes + Hamming-1 multiprobe scans ~5/16 of the corpus; random
+    # subsetting would give recall ≈ 0.31 — require clearly better, since
+    # hyperplane buckets correlate with cosine direction.
+    assert mean_recall >= 0.4, f"mean recall {mean_recall:.2f} ({recalls})"
+
+
+def test_lsh_results_are_true_cosines(spark):
+    """Approximate ≠ wrong: every (q, v, cos) LSH emits must equal the
+    exact operator's cosine for that pair (it only *misses* pairs)."""
+    exact = {
+        (int(r["q_id"]), int(r["vec_id"])): r["cos_sim"]
+        for r in QUERIES["q_sim_cosine_topk"](spark, SF_DIR).collect()
+    }
+    for r in QUERIES["q_sim_lsh_topk"](spark, SF_DIR).collect():
+        key = (int(r["q_id"]), int(r["vec_id"]))
+        if key in exact:
+            assert abs(exact[key] - r["cos_sim"]) < 1e-9
