@@ -1,0 +1,160 @@
+"""Ingestion pipeline: the reference's end-to-end job (SURVEY.md §2A
+A1–A8) as Structured Streaming.
+
+Reference semantics → Spark mapping (SURVEY.md §1.2):
+
+- one map task per Kafka partition  → source partitions (narrow, no shuffle)
+- ZK offset commit after job success → checkpoint offsets WAL + commit log
+  (upgraded: at-least-once → exactly-once with file sinks)
+- cron-driven "consume to latest, then exit" → trigger(availableNow=True)
+- CLI `limit` flag → maxOffsetsPerTrigger / maxFilesPerTrigger
+- start-offset flag (earliest/last) → startingOffsets / checkpoint resume
+
+The literal Kafka source cannot run here (no spark-sql-kafka jar, no
+network — SURVEY.md §7 R1): ``kafka`` specs build the exact reader plan
+(unit-tested as an options contract); ``file`` specs exercise the entire
+downstream pipeline end-to-end with identical checkpoint/commit logic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamReader
+
+
+@dataclass(frozen=True)
+class SourceSpec:
+    """Declarative source config — the analogue of the reference CLI args
+    (`-t topic -z zk -o offset -l limit`)."""
+
+    kind: str                       # "kafka" | "file" | "rate"
+    # kafka
+    topic: str | None = None
+    brokers: str | None = None
+    starting_offsets: str = "earliest"   # earliest | latest | per-partition JSON
+    max_per_trigger: int | None = None   # reference `limit` flag
+    # file
+    path: str | None = None
+    format: str = "json"
+    schema: str | None = None            # DDL string; file sources require one
+    max_files_per_trigger: int | None = None
+    # rate
+    rows_per_second: int = 100
+    extra_options: dict[str, str] = field(default_factory=dict)
+
+
+def kafka_source_options(spec: SourceSpec) -> dict[str, str]:
+    """The exact option set for spark.readStream.format('kafka').
+
+    Testable contract for the un-runnable-offline source (R1); mirrors the
+    reference's ZK/broker/topic/offset/limit argument handling.
+    """
+    if spec.kind != "kafka":
+        raise ValueError(f"not a kafka spec: {spec.kind}")
+    if not spec.topic or not spec.brokers:
+        raise ValueError("kafka spec requires topic and brokers")
+    opts = {
+        "kafka.bootstrap.servers": spec.brokers,
+        "subscribe": spec.topic,
+        "startingOffsets": spec.starting_offsets,
+        # at-least-once → exactly-once is handled by the checkpoint, not
+        # the consumer group; don't fail a whole run on retention expiry
+        "failOnDataLoss": "false",
+    }
+    if spec.max_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(spec.max_per_trigger)
+    opts.update(spec.extra_options)
+    return opts
+
+
+def build_reader(spark: SparkSession, spec: SourceSpec) -> DataStreamReader:
+    """Configured streaming reader for any source kind (not yet loaded)."""
+    if spec.kind == "kafka":
+        reader = spark.readStream.format("kafka")
+        for k, v in kafka_source_options(spec).items():
+            reader = reader.option(k, v)
+        return reader
+    if spec.kind == "file":
+        if spec.schema is None:
+            raise ValueError("file streams require an explicit schema (no inference)")
+        reader = spark.readStream.format(spec.format).schema(spec.schema)
+        if spec.max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(spec.max_files_per_trigger))
+        for k, v in spec.extra_options.items():
+            reader = reader.option(k, v)
+        return reader
+    if spec.kind == "rate":
+        reader = spark.readStream.format("rate").option(
+            "rowsPerSecond", str(spec.rows_per_second)
+        )
+        for k, v in spec.extra_options.items():
+            reader = reader.option(k, v)
+        return reader
+    raise ValueError(f"unknown source kind: {spec.kind}")
+
+
+def load_stream(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+    reader = build_reader(spark, spec)
+    if spec.kind == "file":
+        return reader.load(spec.path)
+    return reader.load()
+
+
+def decode_payload(df: DataFrame, json_schema: str | None = None) -> DataFrame:
+    """§2A A5: drop the Kafka envelope, decode bytes → text (or parse JSON
+    payloads into typed columns when a schema is given)."""
+    # A Kafka envelope is identified by its full signature, not just a
+    # "value" column — payload schemas may legitimately have one (the
+    # fixture events table does).
+    kafka_envelope = {"value", "topic", "partition", "offset"}
+    if kafka_envelope <= set(df.columns):
+        decoded = df.select(
+            F.col("value").cast("string").alias("payload"),
+            "topic",
+            "partition",
+            "offset",
+            *(["timestamp"] if "timestamp" in df.columns else []),
+        )
+    else:
+        decoded = df
+    if json_schema is not None:
+        payload_col = "payload" if "payload" in decoded.columns else decoded.columns[0]
+        decoded = decoded.withColumn(
+            "parsed", F.from_json(F.col(payload_col), json_schema)
+        ).select("parsed.*")
+    return decoded
+
+
+def run_ingest(
+    spark: SparkSession,
+    spec: SourceSpec,
+    out_path: str,
+    checkpoint: str,
+    json_schema: str | None = None,
+    available_now: bool = True,
+    partition_by: list[str] | None = None,
+) -> None:
+    """The whole reference job A1→A7: source → decode → checkpointed
+    parquet sink, bounded by availableNow (the cron pattern: drain what's
+    available, commit offsets transactionally, exit).
+
+    Rerunning with the same checkpoint consumes ONLY new input — the
+    reference's ZK-committed-offset resume, but exactly-once instead of
+    at-least-once (offsets WAL + sink commit log are atomic per batch).
+    """
+    df = decode_payload(load_stream(spark, spec), json_schema=json_schema)
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()

@@ -1,0 +1,154 @@
+"""Streaming operator surface (SURVEY.md §2B "Streaming-only operators"):
+windowed aggregations, watermarks, dedup, joins, arbitrary state.
+
+Each builder takes an (unbounded) events-shaped DataFrame —
+``event_id long, ts timestamp, user_id long, event_type string,
+value double`` — and returns the transformed streaming DataFrame; the
+same builders work on batch DataFrames (one engine, two modes, SURVEY.md
+§1.3). Verified in tests/test_streaming.py by replaying fixture data
+through file sources into memory sinks and comparing against the batch
+analogue.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark import cloudpickle
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+def tumbling_counts(df: DataFrame, window: str = "1 hour",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """s_stream_tumbling: per-(window, event_type) counts/sums with a
+    watermark so state for closed windows is dropped (bounded state at
+    100 TB/day stream rates)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def sliding_counts(df: DataFrame, window: str = "1 hour", slide: str = "30 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """s_stream_sliding: overlapping windows — each event lands in
+    window/slide buckets."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("bucket"), "n_events")
+    )
+
+
+def session_counts(df: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """s_stream_session: gap-based session windows per user (dynamic-width
+    state, merged as events arrive)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(df: DataFrame, keys: list[str] | None = None,
+                           watermark: str = "1 hour") -> DataFrame:
+    """s_stream_dedup: drop duplicate event_ids arriving within the
+    watermark horizon — state is bounded by the watermark, unlike a plain
+    dropDuplicates on a stream which grows forever."""
+    keys = keys or ["event_id"]
+    out = df.withWatermark("ts", watermark)
+    if hasattr(out, "dropDuplicatesWithinWatermark"):
+        return out.dropDuplicatesWithinWatermark(keys)
+    # Spark <3.5 fallback (R6): plain streaming dropDuplicates keyed with
+    # the event-time column so the watermark still bounds state.
+    return out.dropDuplicates(keys + ["ts"])
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """s_stream_join (stream-static): per-microbatch broadcast-able join
+    against a static dimension — no streaming state at all."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def stream_stream_funnel(views: DataFrame, purchases: DataFrame,
+                         horizon: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """s_stream_join (stream-stream): purchase within `horizon` after a
+    view, same user — both sides watermarked so join state expires."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("view_id", "purchase_id", "user_id")
+
+
+_COUNTER_SCHEMA = "user_id long, n_events long, total_value double"
+_STATE_SCHEMA = "n long, total double"
+
+
+def _counter_fn(key: tuple, batches: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState body: running per-user counters across
+    micro-batches (the arbitrary-stateful pattern: sessionization,
+    counters, custom CDC)."""
+    n, total = state.get if state.exists else (0, 0.0)  # .get is a property
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def stateful_user_counters(df: DataFrame) -> DataFrame:
+    """s_stream_stateful: arbitrary per-key state via applyInPandasWithState.
+
+    Emits the updated (user_id, n_events, total_value) each micro-batch;
+    state lives in the checkpointed state store (the analogue of the
+    reference's ZK offsets — but holding operator state, SURVEY.md §3.2).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        df.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _counter_fn,
+            outputStructType=_COUNTER_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

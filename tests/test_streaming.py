@@ -1,0 +1,306 @@
+"""Streaming layer tests (SURVEY.md §5.2.3): file sources replayed into
+memory/parquet sinks with availableNow triggers — deterministic, no
+wall-clock dependence. The centerpiece is the reference-parity ingest
+e2e: checkpointed incremental reruns must be exactly-once."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.catalog import load_table
+from kafka_hadoop_consumer_spark.streaming import (
+    SourceSpec,
+    build_reader,
+    kafka_source_options,
+    run_ingest,
+)
+from kafka_hadoop_consumer_spark.streaming import ops
+from tests.conftest import SF_SMALL
+
+# Watermarks require TIMESTAMP (not NTZ); the session is pinned to UTC so
+# the cast from the fixture's timestamp_ntz is value-preserving.
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_batch(spark):
+    return load_table(spark, SF_SMALL, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Fixture events re-materialized as a 4-file parquet directory so the
+    file source has several input files to discover incrementally."""
+    path = str(tmp_path / "events_in")
+    _events_batch(spark).repartition(4).write.parquet(path)
+    return path
+
+
+def _stream_events(spark, events_dir):
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(events_dir)
+        .drop("props")
+    )
+
+
+def _run_to_memory(df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------- ingest e2e
+
+
+def test_ingest_e2e_exactly_once(spark, tmp_path):
+    """s_ingest_e2e — the reference's whole pipeline A1→A7: bounded run,
+    offset commit, rerun consumes only new data, no dupes, no loss."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = _events_batch(spark).limit(200).toPandas()
+    first, second = events.iloc[:120], events.iloc[120:]
+    first.to_json(src / "batch1.json", orient="records", lines=True,
+                  date_format="iso", date_unit="us")
+
+    spec = SourceSpec(kind="file", format="json", path=str(src),
+                      schema=EVENTS_DDL)
+    run_ingest(spark, spec, out, ckpt)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 120
+
+    # "cron" rerun with no new data: consumes nothing (committed offsets)
+    run_ingest(spark, spec, out, ckpt)
+    assert spark.read.parquet(out).count() == 120
+
+    # new file arrives → rerun picks up ONLY the delta
+    second.to_json(src / "batch2.json", orient="records", lines=True,
+                   date_format="iso", date_unit="us")
+    run_ingest(spark, spec, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200  # no dupes
+
+
+def test_ingest_partitioned_sink(spark, tmp_path):
+    """§2A A6: per-key output layout (the reference wrote per topic/
+    partition files; we partition by a payload column)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _events_batch(spark).limit(100).toPandas().to_json(
+        src / "b.json", orient="records", lines=True, date_format="iso",
+        date_unit="us")
+    out = str(tmp_path / "out")
+    spec = SourceSpec(kind="file", format="json", path=str(src), schema=EVENTS_DDL)
+    run_ingest(spark, spec, out, str(tmp_path / "ck"), partition_by=["event_type"])
+    parts = {os.path.basename(p) for p in glob.glob(f"{out}/event_type=*")}
+    assert parts == {f"event_type={t}" for t in
+                     ("click", "error", "purchase", "signup", "view")}
+
+
+def test_kafka_reader_plan_contract(spark):
+    """R1: the Kafka source can't run offline — its reader CONFIG is the
+    testable contract (the reference's topic/zk/offset/limit args)."""
+    spec = SourceSpec(kind="kafka", topic="events", brokers="broker1:9092",
+                      starting_offsets="latest", max_per_trigger=5000)
+    opts = kafka_source_options(spec)
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092",
+        "subscribe": "events",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "5000",
+    }
+    build_reader(spark, spec)  # constructs without error (no .load offline)
+    with pytest.raises(ValueError):
+        kafka_source_options(SourceSpec(kind="kafka", topic=None, brokers="b:9092"))
+
+
+# ------------------------------------------------------------- windowed aggs
+
+
+def test_stream_tumbling_matches_batch(spark, events_dir):
+    stream = ops.tumbling_counts(_stream_events(spark, events_dir))
+    _run_to_memory(stream, "t_tumbling", mode="complete")
+    got = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    batch = ops.tumbling_counts.__wrapped__ if hasattr(ops.tumbling_counts, "__wrapped__") else None
+    expected_df = (
+        _events_batch(spark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "s")
+    )
+    expected = {
+        (r["bucket"], r["event_type"]): (r["n"], r["s"])
+        for r in expected_df.collect()
+    }
+    assert got == expected
+
+
+def test_stream_sliding_windows_overlap(spark, events_dir):
+    stream = ops.sliding_counts(_stream_events(spark, events_dir))
+    _run_to_memory(stream, "t_sliding", mode="complete")
+    rows = spark.sql("SELECT * FROM t_sliding").collect()
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    # 1h window sliding 30min → every event is in exactly 2 windows
+    assert sum(r["n_events"] for r in rows) == 2 * n_events
+
+
+def test_stream_session_windows(spark, events_dir):
+    stream = ops.session_counts(_stream_events(spark, events_dir))
+    _run_to_memory(stream, "t_session", mode="complete")
+    rows = spark.sql("SELECT * FROM t_session").collect()
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events  # partition of events
+    for r in rows:  # session bounds are [start, end) with gap padding
+        assert r["session_end"] >= r["session_start"]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """s_stream_watermark: an event older than (max_ts - watermark) arriving
+    in a LATER micro-batch is excluded from the aggregate."""
+    src = tmp_path / "wm"
+    src.mkdir()
+    import pandas as pd
+
+    def mk(eid, ts_str):
+        return pd.DataFrame({
+            "event_id": [eid], "ts": pd.to_datetime([ts_str]),
+            "user_id": [1], "event_type": ["click"], "value": [1.0],
+            "props": ["{}"],
+        })
+
+    # two on-time files so the watermark ADVANCES between micro-batches
+    mk(1, "2024-01-01 10:00:00").to_json(src / "a1.json", orient="records",
+                                         lines=True, date_format="iso", date_unit="us")
+    mk(2, "2024-01-01 12:00:00").to_json(src / "a2.json", orient="records",
+                                         lines=True, date_format="iso", date_unit="us")
+    stream = (
+        spark.readStream.schema(EVENTS_DDL).option("maxFilesPerTrigger", "1")
+        .json(str(src)).drop("props")
+    )
+    agg = ops.tumbling_counts(stream, window="1 hour", watermark="10 minutes")
+    ckpt = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        q = (
+            agg.writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run()
+    # late event (10:30 < watermark 11:50) arrives in a later run → dropped
+    mk(3, "2024-01-01 10:30:00").to_json(src / "a3.json", orient="records",
+                                         lines=True, date_format="iso", date_unit="us")
+    run()
+    rows = {(str(r["bucket"]), r["n_events"])
+            for r in spark.read.parquet(out_dir).collect()}
+    # The 10:00 window closed when the watermark passed 11:50; the late
+    # event must NOT re-open it — its count stays 1.
+    assert ("2024-01-01 10:00:00", 1) in rows, rows
+    assert ("2024-01-01 10:00:00", 2) not in rows, rows
+
+
+# ------------------------------------------------------------ dedup / joins
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "dup"
+    src.mkdir()
+    events = _events_batch(spark).limit(50).toPandas()
+    dup = events.iloc[:20]  # re-deliver 20 of the 50
+    events.to_json(src / "a.json", orient="records", lines=True,
+                   date_format="iso", date_unit="us")
+    dup.to_json(src / "b.json", orient="records", lines=True,
+                date_format="iso", date_unit="us")
+    stream = (
+        spark.readStream.schema(EVENTS_DDL).option("maxFilesPerTrigger", "1")
+        .json(str(src)).drop("props")
+    )
+    deduped = ops.dedup_within_watermark(stream)
+    _run_to_memory(deduped, "t_dedup")
+    assert spark.sql("SELECT count(DISTINCT event_id) c FROM t_dedup").collect()[0]["c"] == 50
+    assert spark.sql("SELECT count(*) c FROM t_dedup").collect()[0]["c"] == 50
+
+
+def test_stream_static_enrich(spark, events_dir):
+    dim = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id").distinct()
+        .withColumn("segment", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    stream = ops.enrich_with_dim(_stream_events(spark, events_dir), dim)
+    _run_to_memory(stream, "t_enrich")
+    got = spark.sql("SELECT count(*) c, count(segment) s FROM t_enrich").collect()[0]
+    n = load_table(spark, SF_SMALL, "events").count()
+    assert got["c"] == n and got["s"] == n  # every row enriched
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    ev = _stream_events(spark, events_dir)
+    joined = ops.stream_stream_funnel(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    _run_to_memory(joined, "t_ssjoin")
+    got = {
+        (r["view_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM t_ssjoin").collect()
+    }
+    e = _events_batch(spark)
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("p_ts"))
+    expected = {
+        (r["view_id"], r["purchase_id"])
+        for r in v.join(
+            p, (F.col("user_id") == F.col("pu")) & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_stateful_user_counters(spark, events_dir):
+    stream = ops.stateful_user_counters(_stream_events(spark, events_dir))
+    _run_to_memory(stream, "t_state", mode="update")
+    import pandas as pd
+
+    got = spark.sql("SELECT * FROM t_state").toPandas()
+    # multiple micro-batches emit successive updates; the final (max) count
+    # per user must equal the batch ground truth
+    final = got.groupby("user_id")["n_events"].max()
+    expected = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .toPandas().set_index("user_id")["n"]
+    )
+    pd.testing.assert_series_equal(
+        final.sort_index(), expected.sort_index(),
+        check_names=False, check_dtype=False,
+    )
