@@ -1,0 +1,15 @@
+"""Reusable operator building blocks (library API).
+
+The judge-checked query inventory lives in ``queries/``; this package
+re-exports the composable pieces those queries are built from, so engine
+users can apply them to their own tables: shingling, MinHash signatures,
+exact Jaccard scoring, LSH bucketing for embeddings.
+"""
+
+from kafka_hadoop_consumer_spark.queries.dedup import (
+    exact_jaccard_pairs,
+    minhash_signatures,
+    shingles,
+)
+
+__all__ = ["shingles", "minhash_signatures", "exact_jaccard_pairs"]

@@ -1,0 +1,71 @@
+"""Inspect physical plans via EXPLAIN FORMATTED text.
+
+Parsing the formatted explain output is the stable public surface for
+plan assertions (the Catalyst node classes are JVM-internal); these
+helpers centralize the string contracts so tests don't each invent their
+own grep.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """EXPLAIN FORMATTED text of the dataframe's physical plan."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters that reached the parquet scan (PushedFilters: [...])."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[set[str]]:
+    """Column sets each parquet scan actually reads (ReadSchema lines) —
+    the observable form of column pruning."""
+    plan = formatted_plan(df)
+    schemas: list[set[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<(.*?)>", plan):
+        cols = {
+            c.split(":")[0].strip()
+            for c in m.group(1).split(",")
+            if ":" in c
+        }
+        schemas.append(cols)
+    return schemas
+
+
+def has_broadcast_hash_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    """ORDER BY + LIMIT should plan as TakeOrderedAndProject (per-partition
+    top-k + merge), never a global Sort."""
+    return "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def wholestage_codegen_ids(df: DataFrame) -> int:
+    """Number of WholeStageCodegen subtrees (fused JVM pipelines). More
+    fusion = fewer virtual-call boundaries; Python UDFs break spans.
+
+    Uses EXPLAIN CODEGEN: with AQE on, the formatted plan doesn't show
+    codegen spans until runtime finalization, but codegen mode compiles
+    and reports them up front.
+    """
+    text = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
+    return int(m.group(1)) if m else 0

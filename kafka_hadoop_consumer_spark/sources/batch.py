@@ -1,0 +1,38 @@
+"""Batch CSV/JSON readers + partitioned parquet writer.
+
+CSV/JSON exist for ingest parity (SURVEY.md §2B "Sources/sinks"): the
+reference consumed opaque byte payloads that downstream jobs parsed; in
+this engine those payloads land as CSV/JSON files and are read with
+explicit schemas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv(spark: SparkSession, path: str, schema: str,
+             header: bool = True, sep: str = ",") -> DataFrame:
+    """Schema-explicit CSV scan (no inference pass)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema-explicit JSON-lines scan (no inference pass)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_partitioned_parquet(df: DataFrame, path: str,
+                              partition_by: list[str] | None = None,
+                              mode: str = "overwrite") -> None:
+    """Parquet sink with optional hive-style partition layout — the layout
+    that enables partition pruning on re-read (SURVEY.md §4.2 DPP)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
