@@ -41,10 +41,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     which rounds up for ns%1000 ≥ ~875 and would disagree with the
     oracle's ``CAST(ts AS TIMESTAMP)`` floor-truncation.
     """
+    from kafka_hadoop_consumer_spark.session import ensure_session_defaults
+
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Every query path goes through here — pin determinism-critical configs
+    # even when the session was built by an external driver.
+    ensure_session_defaults(spark)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(

@@ -21,6 +21,7 @@ from kafka_hadoop_consumer_spark.queries import (  # noqa: E402,F401
     similarity,
     multimodal,
     udfs,
+    sampling,
 )
 
 __all__ = ["QUERIES", "ORACLES", "METAS", "query"]

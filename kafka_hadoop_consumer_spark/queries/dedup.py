@@ -58,6 +58,11 @@ def exact_jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> D
     With ``candidates`` (doc1, doc2) given, only those pairs are scored
     (the cheap verification step after LSH); otherwise all pairs sharing
     ≥1 shingle are scored via a shingle equi-join.
+
+    The shingle set feeds three plan branches (both join sides + sizes);
+    callers that haven't already cached it should — re-shingling the
+    corpus per branch is the dominant cost otherwise. The per-doc sizes
+    table is rows=|docs| → broadcast on both probe sides.
     """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc1"), "sh")
@@ -73,8 +78,8 @@ def exact_jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> D
     s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
     return (
-        inter.join(s1, "doc1")
-        .join(s2, "doc2")
+        inter.join(F.broadcast(s1), "doc1")
+        .join(F.broadcast(s2), "doc2")
         .select(
             "doc1",
             "doc2",
@@ -115,7 +120,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth the MinHash path is measured against. Finds the planted
     near-dup pairs (FIXTURES.md: 28 pairs at sf0.001)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d)
+    # cache: the shingle set feeds 3 plan branches (see exact_jaccard_pairs)
+    sh = shingles(d).persist()
     return exact_jaccard_pairs(sh).where(F.col("jaccard") > JACCARD_THRESHOLD)
 
 
@@ -139,7 +145,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     colliding docs are compared.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d)
+    # cache: shingles feed signatures + verification (4 plan branches)
+    sh = shingles(d).persist()
     sig = minhash_signatures(sh)
     band_cols = [
         F.xxhash64(
@@ -170,7 +177,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2")
         .distinct()
-    )
+    ).persist()  # candidate set is tiny (near-dup pairs); reused as semi-join probe
     return (
         exact_jaccard_pairs(sh, candidates=candidates)
         .where(F.col("jaccard") > JACCARD_THRESHOLD)

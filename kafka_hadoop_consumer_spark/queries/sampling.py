@@ -1,0 +1,83 @@
+"""Sampling + pivot operators — training-pipeline staples beyond the core
+§2B table (corpus subsampling, wide summary matrices).
+
+Hash-based sampling is the scale-correct pattern: deterministic,
+engine-portable (md5 on both sides), stable under re-partitioning and
+re-runs — unlike rng-based TABLESAMPLE whose result depends on partition
+layout. At 100 TB it also gives consistent train/holdout splits across
+pipeline stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.catalog import load_table
+from kafka_hadoop_consumer_spark.queries.registry import query
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~16% sample: first md5 byte of the key below 0x29.
+
+    Same rows selected on any engine, any partitioning, any run — the
+    reproducible-split primitive for train/eval carving.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "29"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query("q_sample_rng")  # no oracle: rng sampling is engine-specific (R4)
+def q_sample_rng(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli TABLESAMPLE (deterministic within Spark, not
+    across engines). pytest asserts the fraction lands near 10%."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "q_agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+           CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_F,
+           CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation): linestatus values become columns.
+
+    Explicit value list → one pass, no distinct-values pre-query; the
+    oracle expresses the same thing as portable CASE aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_n").alias("n_F"),
+        F.col("O_n").alias("n_O"),
+    )

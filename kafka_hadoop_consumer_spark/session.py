@@ -19,6 +19,21 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Pin the runtime-settable configs the engine's determinism contract
+    depends on, on an externally-created session (the driver passes its
+    own SparkSession to queries()):
+
+    - UTC session timezone: fixtures are timestamp_ntz and oracle
+      comparisons assume UTC epoch math (SURVEY.md §7 R3);
+    - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS) (catalog.py);
+    - Arrow: pandas-UDF interchange.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def get_spark(app_name: str = "kafka_hadoop_consumer_spark",
               master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:

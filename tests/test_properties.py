@@ -1,0 +1,135 @@
+"""Property-based cross-engine tests (SURVEY.md §5.2.4): hypothesis
+generates adversarial small frames; Spark and DuckDB must agree on the
+scalar-function families and dedup invariants hold.
+
+These catch semantics drift the fixture-based oracle tests can't reach
+(weird floats, empty strings, boundary ints).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# printable ASCII without backslashes/quotes (SQL-literal-safe isn't needed
+# — data goes through DataFrames — but keep regexes simple)
+_texts = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=40,
+)
+_ints = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+_floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+def _both(spark, pdf: pd.DataFrame, spark_cols, duck_sql: str) -> tuple[pd.DataFrame, pd.DataFrame]:
+    sdf = spark.createDataFrame(pdf).select(*spark_cols).toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    odf = con.execute(duck_sql).df()
+    con.close()
+    s = sdf.sort_values("i").reset_index(drop=True)
+    o = odf.sort_values("i").reset_index(drop=True)
+    return s, o
+
+
+@SLOW
+@given(st.lists(_texts, min_size=1, max_size=8))
+def test_string_functions_agree(spark, texts):
+    pdf = pd.DataFrame({"i": range(len(texts)), "s": texts})
+    s, o = _both(
+        spark,
+        pdf,
+        [
+            "i",
+            F.upper("s").alias("u"),
+            F.length("s").cast("long").alias("n"),
+            F.trim("s").alias("t"),
+            F.substring("s", 2, 3).alias("sub"),
+            F.reverse("s").alias("rev"),
+        ],
+        "SELECT i, upper(s) u, length(s) n, trim(s) t, substring(s, 2, 3) sub, reverse(s) rev FROM t",
+    )
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+
+@SLOW
+@given(st.lists(_ints, min_size=1, max_size=8))
+def test_int_math_agrees(spark, xs):
+    pdf = pd.DataFrame({"i": range(len(xs)), "x": pd.array(xs, dtype="int64")})
+    s, o = _both(
+        spark,
+        pdf,
+        [
+            "i",
+            F.abs("x").alias("a"),
+            F.pmod("x", F.lit(7)).cast("long").alias("m"),
+            (F.col("x") + 1).alias("inc"),
+            F.greatest("x", F.lit(0)).alias("g"),
+        ],
+        "SELECT i, abs(x) a, CAST((x % 7 + 7) % 7 AS BIGINT) m, x + 1 inc, greatest(x, 0) g FROM t",
+    )
+    pd.testing.assert_frame_equal(s, o, check_dtype=False)
+
+
+@SLOW
+@given(st.lists(_floats, min_size=1, max_size=8))
+def test_float_scalar_exprs_bitwise_identical(spark, xs):
+    """Scalar IEEE expressions must agree BIT-FOR-BIT across engines (the
+    no-rounding rule for pass-through expressions rests on this)."""
+    pdf = pd.DataFrame({"i": range(len(xs)), "x": pd.array(xs, dtype="float64")})
+    s, o = _both(
+        spark,
+        pdf,
+        [
+            "i",
+            (F.col("x") * 0.7 + 1.3).alias("lin"),
+            F.abs("x").alias("a"),
+            F.floor("x").cast("double").alias("fl"),
+            F.sqrt(F.abs("x")).alias("sq"),
+        ],
+        "SELECT i, x * 0.7 + 1.3 lin, abs(x) a, floor(x) fl, sqrt(abs(x)) sq FROM t",
+    )
+    for c in ("lin", "a", "fl", "sq"):
+        assert (s[c].to_numpy() == o[c].to_numpy()).all(), c
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), _texts), min_size=1, max_size=10
+    )
+)
+def test_keyed_dedup_idempotent(spark, rows):
+    """dedup(dedup(x)) == dedup(x), and one survivor per key."""
+    pdf = pd.DataFrame(
+        {
+            "i": range(len(rows)),
+            "k": [k for k, _ in rows],
+            "v": [v for _, v in rows],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("i").desc())
+    dedup = lambda d: (
+        d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    )
+    once = dedup(df).toPandas().sort_values("k").reset_index(drop=True)
+    twice = dedup(dedup(df)).toPandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(once, twice)
+    assert once["k"].is_unique
