@@ -1,0 +1,38 @@
+"""Skew mitigation: salted equi-join (SURVEY.md §4.2 "Skew handling").
+
+AQE's skew-join splitting handles most skew automatically, but it only
+splits SORT-MERGE join partitions; pathological single-key skew (one user
+= 30% of a 100 TB fact table) is better handled structurally: salt the
+skewed (large) side into S sub-keys and replicate the other side S×, so
+the hot key spreads over S tasks. Cost: S× duplication of the small side
+— use only for keys identified as hot (or combine: salted join for the
+hot keys, plain join for the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `large ⋈ small` on column `on`, salting the large side.
+
+    The large side gets a deterministic pseudo-random salt derived from a
+    whole-row hash (uniform, reproducible — no rand(), which would break
+    retry determinism); the small side is exploded n_salts× so every
+    (key, salt) pair finds its match. Join keys become (on, salt) —
+    spreading each hot key across n_salts shuffle partitions.
+    """
+    salt_src = F.xxhash64(*[F.col(c) for c in large.columns])
+    salted_large = large.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)).cast("int"))
+    replicated_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return salted_large.join(replicated_small, [on, "_salt"], how).drop("_salt")

@@ -141,6 +141,78 @@ def _bucket_of(vcol):
     return sum(bits[1:], start=bits[0]).cast("int")
 
 
+@query("q_sim_ivf_topk")  # no oracle: approximate by design (SURVEY.md §7 R4)
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k ANN via IVF (inverted-file) coarse quantization.
+
+    Real IVF mechanics on DataFrame ops: (1) centroid table — element-wise
+    mean embedding per coarse cell (the fixture's ``label`` stands in for
+    a k-means trainer; the centroid VECTORS are computed, not assumed);
+    (2) every vector assigned to its nearest centroid → inverted lists;
+    (3) queries probe the nprobe=3 nearest lists and brute-force only
+    those candidates. At 100 TB: centroid table is tiny (broadcast), each
+    query touches nprobe/n_cells of the corpus, and the inverted lists
+    are a partitioning of the data — this is the standard
+    billion-vector layout.
+    """
+    nprobe = 3
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", "label", _vec_double().alias("v"))
+
+    # (1) element-wise centroid per cell: posexplode → mean per (cell, pos)
+    #     → re-assemble ordered arrays
+    cent = (
+        ed.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s.cx,
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cell"), "cv")
+    )
+
+    # (2) assign every vector to its nearest centroid (broadcast centroids)
+    sim_to_cent = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+    assigned = (
+        ed.join(F.broadcast(cent))
+        .select("vec_id", "v", "cell", sim_to_cent.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+
+    # (3) queries probe their nprobe nearest cells
+    w_probe = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+    probes = (
+        assigned.where(F.col("vec_id") < N_QUERY)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+        .join(F.broadcast(cent))
+        .select(
+            "q_id", "qv", "cell",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= nprobe)
+        .select("q_id", "qv", "cell")
+    )
+
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    w_top = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        assigned.join(F.broadcast(probes), ["cell"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
 @query("q_sim_lsh_topk")  # no oracle: approximate by design (SURVEY.md §7 R4)
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k ANN via random-hyperplane (sign-bit) LSH with

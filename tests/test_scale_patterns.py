@@ -1,0 +1,81 @@
+"""Scale-pattern tests: the structural techniques that keep plans alive at
+100 TB — salted joins under pathological skew, bucketed co-located joins
+that eliminate the shuffle entirely."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.operators.salting import salted_join
+from kafka_hadoop_consumer_spark.plans.audit import formatted_plan
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """1M-row fact where ONE key owns ~50% of all rows + a 100-row dim."""
+    fact = spark.range(0, 1_000_000).select(
+        F.when(F.col("id") % 2 == 0, 7).otherwise(F.pmod("id", 100)).alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim"), "id").alias("name")
+    )
+    return fact, dim
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    fact, dim = skewed
+    plain = fact.join(dim, "k").groupBy("name").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("s")
+    )
+    salted = salted_join(fact, dim, "k").groupBy("name").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("s")
+    )
+    a = {(r["name"], r["n"], r["s"]) for r in plain.collect()}
+    b = {(r["name"], r["n"], r["s"]) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_join_spreads_hot_key(spark, skewed):
+    fact, _ = skewed
+    salt_src = F.xxhash64(*[F.col(c) for c in fact.columns])
+    salted = fact.where(F.col("k") == 7).withColumn(
+        "_salt", F.pmod(salt_src, F.lit(16)).cast("int")
+    )
+    dist = salted.groupBy("_salt").count().collect()
+    assert len(dist) == 16  # hot key now spans all 16 sub-keys
+    counts = [r["count"] for r in dist]
+    assert max(counts) < 2 * min(counts)  # roughly uniform spread
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Bucketing both sides on the join key pre-shuffles data AT WRITE TIME:
+    the join then runs shuffle-free (no Exchange above either scan) — the
+    pattern for repeated big-big joins on a stable key at 100 TB."""
+    n_bkts = 8
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    from kafka_hadoop_consumer_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    load_table(spark, SF_DIR, "orders").write.bucketBy(
+        n_bkts, "o_custkey"
+    ).sortBy("o_custkey").mode("overwrite").saveAsTable("b_orders")
+    load_table(spark, SF_DIR, "customer").withColumn(
+        "c_custkey2", F.col("c_custkey")
+    ).write.bucketBy(n_bkts, "c_custkey").mode("overwrite").saveAsTable("b_customer")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan[:1500]
+        assert joined.count() == load_table(spark, SF_DIR, "orders").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

@@ -28,6 +28,17 @@ def test_lsh_recall_beats_random(spark):
     assert mean_recall >= 0.4, f"mean recall {mean_recall:.2f} ({recalls})"
 
 
+def test_ivf_recall_beats_random(spark):
+    exact = _topk(QUERIES["q_sim_cosine_topk"](spark, SF_DIR))
+    approx = _topk(QUERIES["q_sim_ivf_topk"](spark, SF_DIR))
+    assert set(exact) == set(approx)
+    recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    # nprobe=3 of 10 cells scans ~30% of the corpus; nearest-cell probing
+    # must beat random subsetting (0.30) clearly.
+    assert mean_recall >= 0.45, f"mean recall {mean_recall:.2f} ({recalls})"
+
+
 def test_lsh_results_are_true_cosines(spark):
     """Approximate ≠ wrong: every (q, v, cos) LSH emits must equal the
     exact operator's cosine for that pair (it only *misses* pairs)."""
