@@ -132,6 +132,22 @@ def _counter_fn(key: tuple, batches: Iterator[pd.DataFrame], state: Any) -> Iter
     )
 
 
+def transform_with_state_available() -> bool:
+    """Feature-detect Spark 4's transformWithStateInPandas (SURVEY.md §7 R6).
+
+    The API exists in PySpark 4.1 but its streaming runner imports
+    google.protobuf, which is not usable in this container — probed at
+    runtime so the engine degrades to applyInPandasWithState (identical
+    semantics for the patterns used here) instead of crashing mid-query.
+    """
+    try:
+        from pyspark.sql.streaming import StatefulProcessor  # noqa: F401
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
 def stateful_user_counters(df: DataFrame) -> DataFrame:
     """s_stream_stateful: arbitrary per-key state via applyInPandasWithState.
 

@@ -286,6 +286,32 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     assert got == expected
 
 
+def test_rate_source_smoke(spark):
+    """The rate source (SourceSpec kind='rate') produces rows while running
+    — the wall-clock synthetic-load source for soak tests."""
+    import time
+
+    from kafka_hadoop_consumer_spark.streaming.ingest import load_stream
+
+    df = load_stream(spark, SourceSpec(kind="rate", rows_per_second=500))
+    q = df.writeStream.format("memory").queryName("t_rate").start()
+    try:
+        time.sleep(2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.sql("SELECT count(*) c FROM t_rate").collect()[0]["c"] > 0
+
+
+def test_transform_with_state_detection(spark):
+    """R6 feature probe: transformWithStateInPandas needs google.protobuf,
+    broken in this container — the probe must say so (and if it ever turns
+    available, this test flags that the fast path can be enabled)."""
+    from kafka_hadoop_consumer_spark.streaming.ops import transform_with_state_available
+
+    assert transform_with_state_available() is False
+
+
 def test_stateful_user_counters(spark, events_dir):
     stream = ops.stateful_user_counters(_stream_events(spark, events_dir))
     _run_to_memory(stream, "t_state", mode="update")
