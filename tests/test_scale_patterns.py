@@ -49,6 +49,27 @@ def test_salted_join_spreads_hot_key(spark, skewed):
     assert max(counts) < 2 * min(counts)  # roughly uniform spread
 
 
+def test_dynamic_partition_pruning(spark, tmp_path_factory):
+    """DPP (SURVEY.md §4.2): joining a partitioned fact with a filtered dim
+    prunes fact partitions at RUNTIME using the dim's join keys — at
+    100 TB this is the difference between scanning one partition and all
+    of them."""
+    from kafka_hadoop_consumer_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path_factory.mktemp("dpp") / "orders_part")
+    load_table(spark, SF_DIR, "orders").write.partitionBy("o_orderstatus").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "finished")], "st string, tag string"
+    ).where(F.col("tag") == "finished")
+    joined = fact.join(dim, fact.o_orderstatus == dim.st)
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    n_f = load_table(spark, SF_DIR, "orders").where(F.col("o_orderstatus") == "F").count()
+    assert joined.count() == n_f
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
     """Bucketing both sides on the join key pre-shuffles data AT WRITE TIME:
     the join then runs shuffle-free (no Exchange above either scan) — the
