@@ -22,6 +22,7 @@ from kafka_hadoop_consumer_spark.queries import (  # noqa: E402,F401
     multimodal,
     udfs,
     sampling,
+    e2e,
 )
 
 __all__ = ["QUERIES", "ORACLES", "METAS", "query"]

@@ -114,6 +114,54 @@ def stream_stream_funnel(views: DataFrame, purchases: DataFrame,
     ).select("view_id", "purchase_id", "user_id")
 
 
+def run_foreach_batch_upsert(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    key: str,
+    order_col: str,
+) -> None:
+    """Streaming upsert via foreachBatch: each micro-batch is merged into a
+    keep-latest-per-key snapshot at ``out_path``.
+
+    The foreachBatch escape hatch is how Structured Streaming reaches
+    sinks without native streaming support (JDBC merges, dedup snapshots,
+    multi-table fanout): the batch is an ordinary DataFrame, and the
+    checkpoint still provides exactly-once batch ids. The merge itself is
+    the q_dedup_keyed pattern (row_number over key by recency).
+    """
+    from pyspark.sql import Window
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            current = spark.read.parquet(out_path)
+            merged = current.unionByName(batch)
+        except Exception:  # first batch: no snapshot yet
+            merged = batch
+        w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # rewrite the snapshot atomically-enough for a demo sink: stage
+        # then swap would be the production move; overwrite is fine here
+        # because foreachBatch re-runs are idempotent (same batch id →
+        # same resulting snapshot)
+        latest.cache().count()
+        latest.write.mode("overwrite").parquet(out_path)
+        latest.unpersist()
+
+    q = (
+        df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 _COUNTER_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, total double"
 

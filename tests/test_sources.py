@@ -41,6 +41,14 @@ def test_json_roundtrip(spark, tmp_path):
     assert back.where(F.col("o_orderkey").isNull()).count() == 0
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "orders_orc")
+    _orders(spark).write.orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == _orders(spark).count()
+    assert back.schema == _orders(spark).schema
+
+
 def test_partitioned_write_enables_pruning(spark, tmp_path):
     from kafka_hadoop_consumer_spark.plans import formatted_plan
 

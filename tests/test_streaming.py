@@ -286,6 +286,35 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     assert got == expected
 
 
+def test_foreach_batch_upsert_keeps_latest(spark, tmp_path):
+    """foreachBatch merge sink: the output is always the latest-per-user
+    snapshot, across multiple micro-batches."""
+    src = tmp_path / "in"
+    src.mkdir()
+    events = _events_batch(spark).limit(300).toPandas().sort_values("ts")
+    events.iloc[:150].to_json(src / "a.json", orient="records", lines=True,
+                              date_format="iso", date_unit="us")
+    events.iloc[150:].to_json(src / "b.json", orient="records", lines=True,
+                              date_format="iso", date_unit="us")
+    stream = (
+        spark.readStream.schema(EVENTS_DDL).option("maxFilesPerTrigger", "1")
+        .json(str(src)).drop("props")
+    )
+    out = str(tmp_path / "snapshot")
+    ops.run_foreach_batch_upsert(
+        stream, out, str(tmp_path / "ck"), key="user_id", order_col="ts"
+    )
+    import pandas as pd
+
+    got = spark.read.parquet(out).toPandas().set_index("user_id")["event_id"]
+    expected = (
+        events.sort_values(["ts", "event_id"]).groupby("user_id").last()["event_id"]
+    )
+    pd.testing.assert_series_equal(
+        got.sort_index(), expected.sort_index(), check_names=False, check_dtype=False
+    )
+
+
 def test_rate_source_smoke(spark):
     """The rate source (SourceSpec kind='rate') produces rows while running
     — the wall-clock synthetic-load source for soak tests."""
