@@ -23,6 +23,7 @@ from kafka_hadoop_consumer_spark.queries import (  # noqa: E402,F401
     udfs,
     sampling,
     e2e,
+    pipeline,
 )
 
 __all__ = ["QUERIES", "ORACLES", "METAS", "query"]

@@ -1,0 +1,300 @@
+"""Training-data pipeline operators beyond the core §2B table — the
+document-prep stages between raw corpus and model input: chunking,
+scrubbing, repetition filtering, embedding post-processing, stratified
+split carving, and sequence packing.
+
+All hot-path logic is JVM built-ins (higher-order array lambdas, regexp,
+window functions) — no Python UDFs — so every operator runs inside
+whole-stage codegen. Scale notes per operator in docstrings; the common
+theme: per-document work is narrow (no shuffle), corpus-level work
+shuffles once on its natural key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.catalog import load_table
+from kafka_hadoop_consumer_spark.queries.registry import query
+
+CHUNK_TOKENS = 32       # chunk width (tokens)
+CHUNK_STRIDE = 24       # stride => 8-token overlap between adjacent chunks
+PACK_BUDGET = 256       # tokens per packed shard
+_SCRUB = ("the", "a", "of", "and", "to")  # stand-in PII/denylist lexicon
+
+
+@query(
+    "q_text_chunk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    SELECT doc_id,
+           CAST((s - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           array_to_string(list_slice(t, s, s + {CHUNK_TOKENS - 1}), ' ') AS chunk,
+           CAST(len(list_slice(t, s, s + {CHUNK_TOKENS - 1})) AS INT) AS n_chunk_tokens
+    FROM tok, UNNEST(range(1, len(t) + 1, {CHUNK_STRIDE})) AS u(s)
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 32-token chunks every 24 tokens
+    (8-token overlap), the context-window prep stage for embedding or
+    training pipelines.
+
+    Narrow op — tokenize once into a column, slice per start offset via a
+    higher-order transform, explode. No shuffle; scales linearly with
+    corpus bytes and parallelizes per input split.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks), {CHUNK_STRIDE}),"
+                    f" s -> struct(CAST((s - 1) DIV {CHUNK_STRIDE} AS INT) AS chunk_idx,"
+                    f"             array_join(slice(toks, s, {CHUNK_TOKENS}), ' ') AS chunk,"
+                    f"             CAST(size(slice(toks, s, {CHUNK_TOKENS})) AS INT) AS n_chunk_tokens))"
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", "c.chunk_idx", "c.chunk", "c.n_chunk_tokens")
+    )
+
+
+@query(
+    "q_text_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+                regexp_replace(text, '\b(the|a|of|and|to)\b', '<MASK>', 'g'),
+                ' +', ' ', 'g')) AS scrubbed,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS INT)
+             AS n_redacted
+    FROM documents
+    """,
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based scrubbing: replace denylisted tokens with <MASK>,
+    normalize whitespace, and count redactions per document — the
+    PII-redaction / boilerplate-strip stage (the fixture corpus has no
+    real PII, so a fixed lexicon stands in; swap the pattern for
+    email/phone/SSN regexes on a real corpus).
+
+    Pure regexp built-ins — narrow, codegen'd, no shuffle. Both engines
+    use the same RE2-compatible pattern; Spark's regexp_replace is
+    global by default, DuckDB takes the 'g' flag.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pattern = r"\b(" + "|".join(_SCRUB) + r")\b"
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.regexp_replace("text", pattern, "<MASK>"), " +", " ")
+        ).alias("scrubbed"),
+        F.size(F.filter(toks, lambda t: t.isin(*_SCRUB))).cast("int").alias("n_redacted"),
+    )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+    stats AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS max_tf
+      FROM tf GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bigr AS (
+      SELECT doc_id,
+             len(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS n_bigrams,
+             len(list_distinct(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                i -> array_to_string(list_slice(t, i, i + 1), ' ')))) AS n_distinct_bigrams
+      FROM bg
+    )
+    SELECT s.doc_id, n_tokens, n_distinct, max_tf,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_ratio,
+           round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6) AS dup_bigram_ratio
+    FROM stats s JOIN bigr b ON s.doc_id = b.doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition features: duplicated-token ratio,
+    duplicated-bigram ratio, and peak term frequency — the repetition
+    filter that catches degenerate/boilerplate docs before training.
+
+    Token stats go through explode → two map-side-combinable hash aggs
+    keyed by doc_id (the scalable form — per-doc O(n), never O(n²) HOF
+    scans). Bigram distinctness stays a narrow higher-order expression.
+    The doc_id join is co-partitioned by the first agg's shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_tf"),
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 0)),"
+        " i -> array_join(slice(toks, i, 2), ' '))"
+    )
+    bigr = (
+        d.withColumn("toks", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.size(bigrams).alias("n_bigrams"),
+            F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        stats.join(bigr, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "max_tf",
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_token_ratio"),
+            F.round(
+                1.0
+                - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"),
+                6,
+            ).alias("dup_bigram_ratio"),
+        )
+    )
+
+
+@query(
+    "q_embed_normquant",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      embedding::DOUBLE[] AS v,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+               FROM embeddings)
+    SELECT vec_id,
+           CAST(i AS INT) AS dim,
+           round(v[i] / nrm, 6) AS nx,
+           CAST(floor(v[i] / nrm * 127 + 0.5) AS INT) AS q_int8
+    FROM e, UNNEST(range(1, len(v) + 1)) AS u(i)
+    """,
+)
+def q_embed_normquant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding post-processing: L2-normalize, then symmetric int8
+    quantization (x/||x|| × 127, round-half-up via floor(x+0.5) — exact
+    on both engines, unlike engine-specific round/cast behavior).
+
+    Norms accumulate in double, sequentially (same bit pattern both
+    engines — the similarity.py determinism contract). Narrow explode;
+    at scale the quantized form is what you'd sink to the vector store.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        e.select("vec_id", v.alias("v"), nrm.alias("nrm"))
+        .select("vec_id", F.posexplode("v").alias("pos", "x"), "nrm")
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.round(F.col("x") / F.col("nrm"), 6).alias("nx"),
+            F.floor(F.col("x") / F.col("nrm") * 127 + 0.5).cast("int").alias("q_int8"),
+        )
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang WHEN 'en' THEN '20' WHEN 'zh' THEN '80' ELSE '40' END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum hash thresholds
+    (downsample dominant 'en' to ~12.5%, upsample-keep 'zh' at ~50%,
+    25% elsewhere) — the language-rebalancing step of corpus curation.
+
+    Same md5-prefix trick as q_sample_hash, so the selected set is
+    engine-portable, partitioning-independent, and stable across reruns;
+    the per-stratum threshold is just a CASE over the strat key. Narrow
+    (no shuffle, no per-stratum pass — one predicate does all strata).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    threshold = (
+        F.when(F.col("lang") == "en", "20")
+        .when(F.col("lang") == "zh", "80")
+        .otherwise("40")
+    )
+    return d.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < threshold
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM tok
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset,
+           CAST(floor((cum_tokens - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+    FROM packed
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: stream each language's docs in key order and
+    assign each to the ~256-token shard its cumulative offset lands in —
+    the packing step that turns ragged documents into fixed-budget
+    training shards (docs may straddle shard boundaries; the trainer
+    splits at token level).
+
+    One window (= one shuffle on lang) computes the running offset;
+    bin assignment is arithmetic. Deterministic because doc_id is a
+    unique total order within each partition key. At 100 TB the
+    partition key would be (lang, shard-range) to bound window state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    cum = tok.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / float(PACK_BUDGET)).cast("long").alias("bin_id"),
+    )
