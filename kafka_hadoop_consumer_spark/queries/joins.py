@@ -73,9 +73,16 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way star join, TPC-H Q5 shape: region⋈nation⋈customer⋈orders⋈lineitem.
 
-    Dims joined smallest-first and broadcast; only the orders⋈lineitem edge
-    shuffles at scale. AQE + CBO may reorder further — that's fine, the
-    plan is declarative.
+    nation/region broadcast unconditionally (constant-size dims). The
+    customer-side dim is also hinted broadcast: it prunes to 3 columns
+    (~25k rows/SF), well inside executor memory at bench scale, and the
+    hint removes the only non-fact shuffle (measured 0.92→0.66 s at
+    sf0.1 — without it Catalyst's post-join size estimate overshoots the
+    10 MB threshold and plans a sort-merge join). At a scale factor
+    where customers no longer fit an executor, drop this one hint and
+    the identical declarative plan degrades gracefully to SMJ on
+    custkey; the lineitem⋈orders edge shuffles either way — that's the
+    unavoidable fact-fact edge.
     """
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
@@ -91,7 +98,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(dim, o.o_custkey == dim.c_custkey)
+        .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
