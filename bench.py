@@ -15,14 +15,20 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kafka_hadoop_consumer_spark import get_spark  # noqa: E402
 from kafka_hadoop_consumer_spark.queries import QUERIES  # noqa: E402
+from kafka_hadoop_consumer_spark.streaming.ingest import (  # noqa: E402
+    SourceSpec,
+    run_ingest,
+)
 
 HEADLINE = [
     "q_agg_groupby",       # flagship: TPC-H Q1 shape
@@ -43,6 +49,44 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# events.ts is parquet TIMESTAMP(NANOS); the session reads it as long
+# (nanosAsLong) — fine for an ingest-throughput measure (bytes in,
+# checkpointed parquet out), the reference's entire job.
+_EVENTS_DDL = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def time_ingest(spark, sf_dir: str) -> tuple[float, int]:
+    """Wall-clock for the reference-parity ingest pipeline (s_ingest_e2e):
+    stream the events table from a file source into a checkpointed parquet
+    sink, availableNow. Fresh checkpoint per run = a cold bounded run, the
+    reference's cron invocation. Returns (median seconds, rows ingested)."""
+    stage = tempfile.mkdtemp(prefix="bench_ingest_src_")
+    runs, n_rows = [], 0
+    try:
+        # file stream sources take a directory: stage the table via symlink
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(stage, "events.parquet"),
+        )
+        spec = SourceSpec(kind="file", format="parquet", path=stage, schema=_EVENTS_DDL)
+        for _ in range(N_RUNS):
+            work = tempfile.mkdtemp(prefix="bench_ingest_")
+            try:
+                out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+                t0 = time.perf_counter()
+                run_ingest(spark, spec, out, ckpt)
+                runs.append(time.perf_counter() - t0)
+                n_rows = spark.read.parquet(out).count()
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return statistics.median(runs), n_rows
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -59,6 +103,9 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
 
+    ingest_sec, ingest_rows = time_ingest(spark, sf_dir)
+    timings["s_ingest_e2e"] = round(ingest_sec, 3)
+
     print(
         json.dumps(
             {
@@ -66,6 +113,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "ingest_rows_per_sec": round(ingest_rows / ingest_sec),
                 "sf": float(sf),
             }
         )
