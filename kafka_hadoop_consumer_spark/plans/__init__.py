@@ -9,6 +9,7 @@ from kafka_hadoop_consumer_spark.plans.audit import (
     formatted_plan,
     has_broadcast_hash_join,
     has_take_ordered,
+    n_shuffle_exchanges,
     pushed_filters,
     read_schema_columns,
     wholestage_codegen_ids,
@@ -20,5 +21,6 @@ __all__ = [
     "read_schema_columns",
     "has_broadcast_hash_join",
     "has_take_ordered",
+    "n_shuffle_exchanges",
     "wholestage_codegen_ids",
 ]

@@ -50,6 +50,18 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+def n_shuffle_exchanges(df: DataFrame) -> int:
+    """Shuffle Exchange nodes in the plan tree (BroadcastExchange
+    excluded) — the number of data-movement barriers a 1000-executor run
+    would pay. Counts the tree section only (node details repeat names)."""
+    tree = formatted_plan(df).split("\n\n")[0]
+    return sum(
+        1
+        for line in tree.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+
+
 def has_take_ordered(df: DataFrame) -> bool:
     """ORDER BY + LIMIT should plan as TakeOrderedAndProject (per-partition
     top-k + merge), never a global Sort."""

@@ -65,3 +65,29 @@ def test_semi_anti_plan_as_joins_not_subqueries(spark):
     assert "LeftSemi" in formatted_plan(QUERIES["q_subq_in"](spark, SF_DIR))
     anti = formatted_plan(QUERIES["q_join_anti"](spark, SF_DIR))
     assert "LeftAnti" in anti
+
+
+def test_narrow_pipeline_ops_never_shuffle(spark):
+    """Chunking, scrubbing, stratified sampling, and embedding quantize
+    are per-row/per-doc transforms: zero shuffle exchanges, or they won't
+    scale as a single map-stage over 100 TB of input splits."""
+    from kafka_hadoop_consumer_spark.plans import n_shuffle_exchanges
+
+    for name in ("q_text_chunk", "q_text_scrub", "q_sample_stratified",
+                 "q_embed_normquant"):
+        assert n_shuffle_exchanges(QUERIES[name](spark, SF_DIR)) == 0, name
+
+
+def test_pack_sequences_shuffles_once(spark):
+    """Sequence packing needs exactly one shuffle (the per-lang window);
+    anything more means the running-offset computation re-partitions."""
+    from kafka_hadoop_consumer_spark.plans import n_shuffle_exchanges
+
+    assert n_shuffle_exchanges(QUERIES["q_pack_sequences"](spark, SF_DIR)) == 1
+
+
+def test_stratified_sample_prunes_columns(spark):
+    """The sample predicate needs only doc_id; the scan must read just
+    the three output columns, not text (the wide column)."""
+    (schema,) = read_schema_columns(QUERIES["q_sample_stratified"](spark, SF_DIR))
+    assert schema == {"doc_id", "lang", "n_chars"}, schema
