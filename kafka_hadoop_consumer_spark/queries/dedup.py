@@ -293,3 +293,66 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band2",
         "band3",
     )
+
+
+@query("q_dedup_clusters")  # no oracle: iterative fixpoint (SURVEY.md §7 R4)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster formation: connected components over the exact
+    near-dup pair graph (J > 0.6), labeling each duplicate doc with its
+    cluster representative (min doc_id in the component) — the final
+    step of a dedup cascade: keep `doc_id == cluster_id`, drop the rest.
+
+    Algorithm: iterative min-label propagation (the Pregel pattern as
+    plain DataFrame joins). Each round every node takes the min of its
+    own label and its neighbors'; rounds needed = graph diameter, which
+    for near-dup clusters is tiny (pairs/chains of a few docs). Each
+    round is one join + one agg — fully distributed; the driver loop
+    only checks a 1-row convergence aggregate (sum of labels strictly
+    decreases until fixpoint, so equality means converged).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d).persist()
+    pairs = (
+        exact_jaccard_pairs(sh)
+        .where(F.col("jaccard") > JACCARD_THRESHOLD)
+        .select("doc1", "doc2")
+    )
+    # undirected: propagate both ways
+    edges = pairs.union(
+        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc1").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(16):  # diameter cap; near-dup components are shallow
+        nbr = (
+            edges.join(labels, edges.doc2 == labels.doc_id)
+            .groupBy("doc1")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.doc1, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_representative"),
+    )

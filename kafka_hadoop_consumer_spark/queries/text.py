@@ -9,7 +9,7 @@ group key; n-gram frequency is explode + hash-agg with map-side partials.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
@@ -222,4 +222,71 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(canon).alias("fingerprint"),
         F.md5("text").alias("exact_hash"),
+    )
+
+
+TFIDF_TOP_K = 5
+
+
+@query(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+    dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             CAST(tf.c AS BIGINT) AS tf,
+             CAST(dfc.df AS BIGINT) AS df,
+             round(tf.c * ln((n.n + 1.0) / (dfc.df + 1.0)), 6) AS tfidf
+      FROM tf CROSS JOIN n JOIN dfc ON tf.tok = dfc.tok
+    )
+    SELECT doc_id, tok, tf, df, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn <= {TFIDF_TOP_K}
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 terms per document by
+    tf × ln((N+1)/(df+1)) — the salience features feeding corpus search
+    / topic labeling.
+
+    Scale shape: term frequencies are one hash-agg on (doc, token);
+    document frequencies reduce that (map-side combinable) to the vocab,
+    which is broadcast back (vocabulary ≪ corpus — Zipf); the corpus
+    count N is a broadcast scalar. The per-doc top-k window rides the
+    existing doc_id partitioning. Scores are rounded to 6dp BEFORE the
+    window ordering (libm ln drifts in the last ulp between engines —
+    ordering on the rounded value keeps ranks identical), ties broken by
+    token.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.crossJoin(F.broadcast(n))
+        .join(F.broadcast(dfc), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            F.col("c").alias("tf"),
+            "df",
+            F.round(
+                F.col("c") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "tok", "tf", "df", "tfidf")
     )

@@ -178,3 +178,68 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("purchase_id", "view_id", "user_id")
     )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "q_win_sessionize",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events),
+    lagd AS (
+      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM e
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM lagd
+    ),
+    sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+           round(sum(value), 2) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream at >30-minute
+    inactivity gaps (lag + cumulative-sum of gap flags — the classic
+    composite; s_stream_session is the same semantics via the native
+    streaming session_window).
+
+    One shuffle on user_id serves both windows AND the final session
+    aggregate (same partitioning, no re-shuffle). Gap comparison is in
+    integer microseconds — exact on both engines, no truncation drift.
+    (unix_micros requires TIMESTAMP, not NTZ — the cast is
+    value-preserving because the session timezone is pinned UTC.)
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = us(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull() | (us(F.col("ts")) - prev_us > SESSION_GAP_US), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("session_id", F.sum(is_new).over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            us(F.min("ts")).alias("start_us"),
+            (us(F.max("ts")) - us(F.min("ts"))).alias("duration_us"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

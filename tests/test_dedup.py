@@ -59,3 +59,36 @@ def test_approx_distinct_within_tolerance(spark):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) / n < 0.05, f"{k}: {approx[k]} vs exact {n}"
+
+
+def test_dedup_clusters_match_transitive_closure(spark):
+    """q_dedup_clusters == union-find over the exact near-dup pairs."""
+    from kafka_hadoop_consumer_spark.queries import QUERIES
+
+    pairs = QUERIES["q_dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r.doc1), find(r.doc2)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    expected = {x: find(x) for x in parent}
+
+    got = {
+        r.doc_id: r.cluster_id
+        for r in QUERIES["q_dedup_clusters"](spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # representatives are exactly the cluster ids
+    reps = {
+        r.doc_id
+        for r in QUERIES["q_dedup_clusters"](spark, SF_DIR).collect()
+        if r.is_representative
+    }
+    assert reps == set(expected.values())
