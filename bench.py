@@ -40,6 +40,8 @@ HEADLINE = [
     "q_sim_cosine_topk",   # brute-force ANN baseline
     "q_text_ngram",        # shingle + frequency
     "q_udf_scalar",        # Arrow pandas-UDF path
+    "q_win_sessionize",    # lag + cumsum gap sessionization
+    "q_text_tfidf",        # tf-idf with broadcast vocabulary
 ]
 
 N_RUNS = 3
