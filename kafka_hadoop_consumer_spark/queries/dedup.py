@@ -295,12 +295,47 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_clusters")  # no oracle: iterative fixpoint (SURVEY.md §7 R4)
+@query(
+    "q_dedup_clusters",
+    # oracle: transitive closure as a recursive CTE — min reachable id
+    # per node == min-label-propagation fixpoint
+    oracle=f"""
+    WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM tok,
+           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc1, doc2
+      FROM inter JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+      WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) > {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT doc1, doc2 FROM pairs UNION ALL SELECT doc2, doc1 FROM pairs),
+    walk(doc_id, label) AS (
+      SELECT doc1, doc1 FROM edges
+      UNION
+      SELECT e.doc1, w.label FROM walk w JOIN edges e ON e.doc2 = w.doc_id
+    )
+    SELECT doc_id, CAST(min(label) AS BIGINT) AS cluster_id,
+           (doc_id = min(label)) AS is_representative
+    FROM walk GROUP BY doc_id
+    """,
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cluster formation: connected components over the exact
     near-dup pair graph (J > 0.6), labeling each duplicate doc with its
     cluster representative (min doc_id in the component) — the final
     step of a dedup cascade: keep `doc_id == cluster_id`, drop the rest.
+    SQL-checked: the oracle expresses the same fixpoint as a recursive
+    CTE (min reachable id over the transitive closure).
 
     Algorithm: iterative min-label propagation (the Pregel pattern as
     plain DataFrame joins). Each round every node takes the min of its
