@@ -61,3 +61,27 @@ def q_subq_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (per-customer average) — Catalyst
     decorrelates into a grouped join, one pass over orders."""
     return _sql(spark, sf_dir, ("orders",), _CORR)
+
+
+_LATERAL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+"""
+
+
+@query("q_subq_lateral", oracle=_LATERAL)
+def q_subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) — the
+    SQL-standard spelling of per-row dependent subqueries. Catalyst
+    plans it as a decorrelated join + per-key window (the
+    q_win_topk_group shape), NOT a per-customer re-execution, so it
+    distributes like any other join at scale. Identical text runs on
+    DuckDB (comma-LATERAL — the one spelling both parsers accept;
+    Spark also rejects DuckDB's `JOIN LATERAL ... ON true`)."""
+    return _sql(spark, sf_dir, ("customer", "orders"), _LATERAL)

@@ -178,3 +178,38 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "q_win_firstlast",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           first_value(c_custkey) OVER w AS richest,
+           last_value(c_custkey) OVER w AS poorest,
+           nth_value(c_custkey, 2) OVER w AS runner_up
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over a full-partition frame:
+    each customer row annotated with its nation's richest, poorest, and
+    runner-up customer. The explicit UNBOUNDED FOLLOWING frame matters —
+    the default frame ends at CURRENT ROW, which silently turns
+    last_value into the current row on every engine."""
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.first("c_custkey").over(w).alias("richest"),
+        F.last("c_custkey").over(w).alias("poorest"),
+        F.nth_value("c_custkey", 2).over(w).alias("runner_up"),
+    )
