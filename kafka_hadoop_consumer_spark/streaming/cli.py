@@ -1,0 +1,100 @@
+"""Ingestion job CLI — the reference's A8 driver surface
+(SURVEY.md §2A: `hadoop jar kafka-hadoop-consumer.jar -t topic -z zk
+[-o earliest|last] [-l limit] <hdfs-out>`) re-expressed for Spark.
+
+One bounded run per invocation (availableNow), resuming from the
+checkpoint — exactly the reference's cron pattern, with the ZK offset
+commit upgraded to the checkpoint WAL (exactly-once).
+
+    python -m kafka_hadoop_consumer_spark.streaming.cli \
+        --kind file --format json --path /data/incoming \
+        --schema "event_id long, ts timestamp, v double" \
+        --out /data/lake/events --checkpoint /data/ck/events
+
+    python -m kafka_hadoop_consumer_spark.streaming.cli \
+        --kind kafka --topic events --brokers broker:9092 \
+        --starting-offsets earliest --limit 100000 \
+        --out /data/lake/events --checkpoint /data/ck/events
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from kafka_hadoop_consumer_spark.streaming.ingest import SourceSpec, run_ingest
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="kafka_hadoop_consumer_spark.streaming.cli",
+        description="Bounded streaming ingest run (reference A8 parity)",
+    )
+    p.add_argument("--kind", choices=("kafka", "file", "rate"), required=True)
+    # kafka (reference: -t topic, -z zookeeper → brokers)
+    p.add_argument("--topic", help="Kafka topic (reference -t)")
+    p.add_argument("--brokers", help="bootstrap servers (reference -z zk quorum)")
+    p.add_argument(
+        "--starting-offsets",
+        default="earliest",
+        help="earliest | latest | per-partition JSON (reference -o)",
+    )
+    p.add_argument(
+        "--limit", type=int, default=None,
+        help="max records per trigger (reference -l)",
+    )
+    # file
+    p.add_argument("--path", help="input directory (file kind)")
+    p.add_argument("--format", default="json", help="file format (json/csv/parquet)")
+    p.add_argument("--schema", help="DDL schema string (file kind requires one)")
+    # decode + sink (reference: mapper decode + <hdfs-out>)
+    p.add_argument("--json-payload-schema", default=None,
+                   help="if set, parse the payload as JSON with this DDL")
+    p.add_argument("--out", required=True, help="output path (reference <hdfs-out>)")
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint dir (reference: ZK offset znodes)")
+    p.add_argument("--partition-by", default=None,
+                   help="comma-separated sink partition columns")
+    p.add_argument("--continuous", action="store_true",
+                   help="run continuously instead of one bounded drain")
+    return p
+
+
+def spec_from_args(args: argparse.Namespace) -> SourceSpec:
+    """Translate parsed CLI args to a SourceSpec (pure, unit-testable)."""
+    if args.kind == "kafka":
+        if not args.topic or not args.brokers:
+            raise SystemExit("--kind kafka requires --topic and --brokers")
+        return SourceSpec(
+            kind="kafka",
+            topic=args.topic,
+            brokers=args.brokers,
+            starting_offsets=args.starting_offsets,
+            max_per_trigger=args.limit,
+        )
+    if args.kind == "file":
+        if not args.path or not args.schema:
+            raise SystemExit("--kind file requires --path and --schema")
+        return SourceSpec(
+            kind="file", path=args.path, format=args.format, schema=args.schema
+        )
+    return SourceSpec(kind="rate")
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    from kafka_hadoop_consumer_spark import get_spark
+
+    spark = get_spark(app_name="ingest-cli")
+    run_ingest(
+        spark,
+        spec_from_args(args),
+        out_path=args.out,
+        checkpoint=args.checkpoint,
+        json_schema=args.json_payload_schema,
+        available_now=not args.continuous,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
+    )
+
+
+if __name__ == "__main__":
+    main()

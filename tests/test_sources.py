@@ -59,3 +59,30 @@ def test_partitioned_write_enables_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("]")[0]
     n_f = _orders(spark).where(F.col("o_orderstatus") == "F").count()
     assert back.count() == n_f
+
+
+def test_ingest_cli_end_to_end(spark, tmp_path):
+    """A8 driver parity: the CLI arg surface maps to a SourceSpec and a
+    full bounded ingest run (parse → spec → run_ingest → parquet out)."""
+    from kafka_hadoop_consumer_spark.streaming.cli import build_parser, spec_from_args, main
+
+    # arg → spec translation (kafka spec is contract-only offline)
+    ka = build_parser().parse_args([
+        "--kind", "kafka", "--topic", "events", "--brokers", "b:9092",
+        "--limit", "500", "--out", "/x", "--checkpoint", "/c",
+    ])
+    spec = spec_from_args(ka)
+    assert (spec.kind, spec.topic, spec.brokers, spec.max_per_trigger) == (
+        "kafka", "events", "b:9092", 500)
+
+    # file kind runs the whole pipeline
+    src = tmp_path / "in"
+    src.mkdir()
+    _orders(spark).limit(100).write.mode("overwrite").json(str(src / "j"))
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    main([
+        "--kind", "file", "--format", "json", "--path", str(src / "j"),
+        "--schema", "o_orderkey long, o_custkey long, o_totalprice double",
+        "--out", out, "--checkpoint", ck,
+    ])
+    assert spark.read.parquet(out).count() == 100
