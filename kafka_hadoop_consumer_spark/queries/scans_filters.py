@@ -118,3 +118,38 @@ def q_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("qty_class"),
     )
+
+
+@query(
+    "q_source_kafka_sim",
+    oracle="""
+    SELECT 'sim' AS topic,
+           CAST(p AS INT) AS "partition",
+           CAST(o AS BIGINT) AS "offset",
+           'k' || CAST(o % 10 AS VARCHAR) AS key,
+           'msg-' || CAST(p AS VARCHAR) || '-' || CAST(o AS VARCHAR) AS value,
+           CAST(1700000000000000 + o * 1000000 + p AS BIGINT) AS ts_us
+    FROM range(0, 4) t(p), range(0, 250) u(o)
+    WHERE o >= 200
+    """,
+)
+def q_source_kafka_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of the custom `kafka_sim` Python DataSource
+    (sources/kafka_sim.py — the reference's KafkaInputFormat re-expressed
+    as a Spark 4 DataSource: one task per topic-partition, offset-range
+    predicates absorbed by pushFilters). Payloads are deterministic
+    functions of (partition, offset), so DuckDB regenerates the identical
+    log from `range()` — a full value-level oracle for a custom source.
+    The offset predicate here is served from pushdown, not a post-scan
+    filter (asserted in tests/test_sources.py)."""
+    from kafka_hadoop_consumer_spark.sources import kafka_sim
+    from pyspark.sql import functions as F
+
+    kafka_sim.register(spark)
+    return (
+        spark.read.format("kafka_sim")
+        .option("n_partitions", "4")
+        .option("n_messages", "250")
+        .load()
+        .where(F.col("offset") >= 200)
+    )

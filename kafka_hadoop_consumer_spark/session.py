@@ -32,6 +32,8 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # custom Python data sources absorb offset-range predicates
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 def get_spark(app_name: str = "kafka_hadoop_consumer_spark",
@@ -52,6 +54,7 @@ def get_spark(app_name: str = "kafka_hadoop_consumer_spark",
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for pandas interchange (pandas UDFs, toPandas).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

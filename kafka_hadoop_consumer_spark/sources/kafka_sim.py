@@ -1,0 +1,124 @@
+"""`kafka_sim` — a custom Python DataSource emitting a deterministic
+Kafka-envelope message log (Spark 4 DataSource API).
+
+This is the modern re-expression of the reference's core extension
+point: where `soid/kafka-hadoop-consumer` implemented a Hadoop
+`KafkaInputFormat` (one InputSplit per topic-partition, a RecordReader
+fetching an offset range [R? SURVEY.md §2A A1-A3]), this source
+implements the same three contracts Spark-natively:
+
+- ``partitions()`` → one ``InputPartition`` per simulated
+  topic-partition (the `getSplits` analogue; Spark schedules one task
+  per partition, no shuffle);
+- ``read(partition)`` → the bounded offset-range scan per partition
+  (the RecordReader fetch loop);
+- ``pushFilters()`` → offset-range predicates are absorbed into the
+  scan bounds (the `-o earliest|last` / committed-offset resume logic,
+  generalized to arbitrary offset ranges).
+
+Payloads are pure functions of (partition, offset), so the full scan is
+DuckDB-oracle-checkable — a correctness gate most custom sources can't
+have.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark import cloudpickle
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+# the reader ships to executor python workers, which do not inherit the
+# driver's sys.path (see memory: worker imports) — serialize by value
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+TS_BASE_US = 1_700_000_000_000_000  # deterministic timestamp origin
+
+SCHEMA = (
+    "topic string, partition int, offset bigint, "
+    "key string, value string, ts_us bigint"
+)
+
+
+def message(topic: str, p: int, o: int) -> tuple:
+    """The deterministic payload for (partition, offset) — mirrored
+    verbatim in the q_source_kafka_sim oracle SQL."""
+    return (topic, p, o, f"k{o % 10}", f"msg-{p}-{o}", TS_BASE_US + o * 1_000_000 + p)
+
+
+@dataclass(frozen=True)
+class TopicPartitionRange(InputPartition):
+    topic: str
+    partition: int
+    start: int          # inclusive
+    end: int            # exclusive
+
+
+class KafkaSimReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.topic = options.get("topic", "sim")
+        self.n_partitions = int(options.get("n_partitions", 4))
+        self.n_messages = int(options.get("n_messages", 250))
+        # offset-range state, tightened by pushFilters
+        self.lo = int(options.get("starting_offset", 0))
+        self.hi = self.n_messages
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Absorb offset-range predicates into the per-partition scan
+        bounds; everything else is returned for Spark to evaluate."""
+        for f in filters:
+            if isinstance(f, (GreaterThanOrEqual, GreaterThan, LessThan,
+                              LessThanOrEqual, EqualTo)) and f.attribute == ("offset",):
+                v = int(f.value)
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, v + 1)
+                else:  # EqualTo
+                    self.lo = max(self.lo, v)
+                    self.hi = min(self.hi, v + 1)
+            else:
+                yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            TopicPartitionRange(self.topic, p, self.lo, self.hi)
+            for p in range(self.n_partitions)
+        ]
+
+    def read(self, part: TopicPartitionRange) -> Iterator[tuple]:
+        for o in range(part.start, part.end):
+            yield message(part.topic, part.partition, o)
+
+
+class KafkaSimDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_sim"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> KafkaSimReader:
+        return KafkaSimReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering replaces the entry)."""
+    spark.dataSource.register(KafkaSimDataSource)

@@ -86,3 +86,32 @@ def test_ingest_cli_end_to_end(spark, tmp_path):
         "--out", out, "--checkpoint", ck,
     ])
     assert spark.read.parquet(out).count() == 100
+
+
+def test_kafka_sim_pushdown_and_splits(spark):
+    """The custom DataSource honors the three InputFormat contracts:
+    per-partition splits, bounded offset scan, offset-range pushdown."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+    from kafka_hadoop_consumer_spark.sources import kafka_sim
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    r = kafka_sim.KafkaSimReader({"n_partitions": "3", "n_messages": "100"})
+    rest = list(r.pushFilters([
+        GreaterThanOrEqual(("offset",), 90),
+        LessThan(("offset",), 95),
+        EqualTo(("key",), "k1"),     # not ours — returned to Spark
+    ]))
+    assert rest == [EqualTo(("key",), "k1")]
+    parts = r.partitions()
+    assert len(parts) == 3 and all((p.start, p.end) == (90, 95) for p in parts)
+    rows = list(r.read(parts[1]))
+    assert [t[2] for t in rows] == [90, 91, 92, 93, 94]
+    assert rows[0][:2] == ("sim", 1)
+
+    kafka_sim.register(spark)
+    df = (spark.read.format("kafka_sim").option("n_partitions", "4")
+          .option("n_messages", "250").load())
+    assert df.rdd.getNumPartitions() == 4  # one task per topic-partition
+    filtered = df.where(F.col("offset") >= 240)
+    assert "GreaterThanOrEqual(offset,240)" in formatted_plan(filtered)
+    assert filtered.count() == 40
