@@ -31,6 +31,7 @@ from pyspark import cloudpickle
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -107,6 +108,54 @@ class KafkaSimReader(DataSourceReader):
             yield message(part.topic, part.partition, o)
 
 
+class KafkaSimStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over the simulated log — the exact offset
+    contract of the real Kafka source (SURVEY.md §2A A1-A3, A7):
+
+    - ``initialOffset`` → all partitions at 0 (the `-o earliest` path;
+      a checkpoint overrides it on restart, the committed-ZK-offset
+      path);
+    - ``latestOffset`` → the broker-side high watermark: the topic is
+      filled to ``n_messages`` per partition. Raise ``n_messages``
+      between bounded runs on the same checkpoint to simulate new
+      arrivals — each rerun consumes exactly the delta (the reference's
+      cron pattern);
+    - ``partitions(start, end)`` → one offset-range split per
+      topic-partition per micro-batch (`getSplits`);
+    - ``commit`` → a no-op: the checkpoint WAL already made the batch
+      durable (the upgrade over the reference's post-job ZK write).
+
+    Offsets are ``{partition: next_offset}`` dicts, serialized into the
+    checkpoint by Spark. The high watermark is a pure function of the
+    options (never instance state): a restarted reader must not report
+    an offset below the checkpoint's, or the source would "regress".
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.topic = options.get("topic", "sim")
+        self.n_partitions = int(options.get("n_partitions", 4))
+        self.n_messages = int(options.get("n_messages", 250))
+
+    def initialOffset(self) -> dict:
+        return {str(p): 0 for p in range(self.n_partitions)}
+
+    def latestOffset(self) -> dict:
+        return {str(p): self.n_messages for p in range(self.n_partitions)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return [
+            TopicPartitionRange(self.topic, int(p), start.get(p, 0), end[p])
+            for p in end
+        ]
+
+    def read(self, part: TopicPartitionRange) -> Iterator[tuple]:
+        for o in range(part.start, part.end):
+            yield message(part.topic, part.partition, o)
+
+    def commit(self, end: dict) -> None:
+        pass  # durability lives in the checkpoint, not the source
+
+
 class KafkaSimDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -117,6 +166,9 @@ class KafkaSimDataSource(DataSource):
 
     def reader(self, schema) -> KafkaSimReader:
         return KafkaSimReader(self.options)
+
+    def streamReader(self, schema) -> KafkaSimStreamReader:
+        return KafkaSimStreamReader(self.options)
 
 
 def register(spark) -> None:

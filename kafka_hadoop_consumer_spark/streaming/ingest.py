@@ -30,7 +30,7 @@ class SourceSpec:
     """Declarative source config — the analogue of the reference CLI args
     (`-t topic -z zk -o offset -l limit`)."""
 
-    kind: str                       # "kafka" | "file" | "rate"
+    kind: str                       # "kafka" | "file" | "rate" | "kafka_sim"
     # kafka
     topic: str | None = None
     brokers: str | None = None
@@ -90,6 +90,19 @@ def build_reader(spark: SparkSession, spec: SourceSpec) -> DataStreamReader:
         reader = spark.readStream.format("rate").option(
             "rowsPerSecond", str(spec.rows_per_second)
         )
+        for k, v in spec.extra_options.items():
+            reader = reader.option(k, v)
+        return reader
+    if spec.kind == "kafka_sim":
+        # the offline Kafka stand-in: same envelope, same offset
+        # semantics, implemented as a custom Python DataSource; pass
+        # n_partitions / n_messages via extra_options
+        from kafka_hadoop_consumer_spark.sources import kafka_sim
+
+        kafka_sim.register(spark)
+        reader = spark.readStream.format("kafka_sim")
+        if spec.topic:
+            reader = reader.option("topic", spec.topic)
         for k, v in spec.extra_options.items():
             reader = reader.option(k, v)
         return reader
