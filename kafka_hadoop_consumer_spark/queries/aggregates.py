@@ -253,3 +253,40 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
     )
+
+
+@query("q_agg_sketch_merge")  # no oracle: DataSketches HLL ≠ DuckDB HLL (R4)
+def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): one
+    sketch per order-status, then a re-aggregated global estimate from
+    the sketches ALONE — the 100 TB pattern for distinct counts:
+    partial sketches combine map-side, persist as bytes, and roll up
+    across days/partitions without re-reading raw data (exact
+    countDistinct needs a full shuffle of the distinct keys every time).
+
+    Deterministic (HLL registers are order-insensitive maxima), but not
+    DuckDB-comparable; tests/test_oracle.py gates the estimates against
+    exact counts at ±5%.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_nd"),
+    )
+    return (
+        per_group.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+            F.lit("ALL").alias("o_orderstatus"),
+            F.sum(F.lit(0)).alias("pad"),
+        ).select(
+            "o_orderstatus",
+            F.col("est").cast("long").alias("estimated_nd"),
+            F.lit(None).cast("long").alias("exact_nd"),
+        )
+    ).unionByName(
+        per_group.select(
+            "o_orderstatus",
+            F.hll_sketch_estimate("sk").cast("long").alias("estimated_nd"),
+            F.col("exact_nd").cast("long").alias("exact_nd"),
+        )
+    )

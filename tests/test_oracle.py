@@ -26,3 +26,25 @@ def test_rows_only_runs(spark, name):
     rows = df.count()
     assert rows >= 0
     assert len(df.schema) > 0
+
+
+def test_sketch_merge_estimates_close_and_consistent(spark):
+    """q_agg_sketch_merge: per-group HLL estimates within 5% of exact;
+    the merged (union-of-sketches) global estimate agrees with a single
+    whole-table sketch to <1% (mergeability — not bit-equality: the
+    DataSketches union gadget is HLL_8 internally, so its rounding can
+    differ from a directly-built HLL_4 sketch by a few counts)."""
+    from pyspark.sql import functions as F
+    from kafka_hadoop_consumer_spark.catalog import load_table
+
+    rows = {r.o_orderstatus: r for r in QUERIES["q_agg_sketch_merge"](spark, SF_DIR).collect()}
+    for status, r in rows.items():
+        if status == "ALL":
+            continue
+        assert abs(r.estimated_nd - r.exact_nd) <= 0.05 * r.exact_nd, r
+
+    o = load_table(spark, SF_DIR, "orders")
+    whole = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).cast("long")
+    ).collect()[0][0]
+    assert abs(rows["ALL"].estimated_nd - whole) <= 0.01 * whole
