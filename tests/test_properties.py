@@ -133,3 +133,92 @@ def test_keyed_dedup_idempotent(spark, rows):
     twice = dedup(dedup(df)).toPandas().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(once, twice)
     assert once["k"].is_unique
+
+
+_words = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=1, max_size=80
+)
+
+
+@SLOW
+@given(st.lists(_words, min_size=1, max_size=6))
+def test_chunking_reassembles_exactly(spark, docs):
+    """q_text_chunk invariants on arbitrary token streams: chunk starts
+    stride the stream exactly; de-overlapped chunks concatenate back to
+    the original text (lossless coverage, no token duplicated/dropped)."""
+    from kafka_hadoop_consumer_spark.queries.pipeline import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": [" ".join(w) for w in docs]}
+    )
+    pdf["lang"] = "en"
+    pdf["source"] = "t"
+    pdf["n_chars"] = pdf.text.str.len()
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("documents_prop")
+
+    import kafka_hadoop_consumer_spark.queries.pipeline as pl
+
+    # pipeline.py binds load_table by name — patch the module-local symbol
+    orig = pl.load_table
+    try:
+        pl.load_table = lambda s, d, n: sdf  # noqa: E731
+        chunks = pl.q_text_chunk(spark, "ignored").toPandas()
+    finally:
+        pl.load_table = orig
+
+    for doc_id, w in zip(range(len(docs)), docs):
+        mine = chunks[chunks.doc_id == doc_id].sort_values("chunk_idx")
+        n = len(w)
+        expected_starts = list(range(0, n, CHUNK_STRIDE))
+        assert list(mine.chunk_idx) == list(range(len(expected_starts)))
+        # strip the overlap (tokens beyond the stride) from every chunk,
+        # keep the final chunk whole, and the stream reassembles
+        rebuilt: list[str] = []
+        rows = list(mine.chunk)
+        for i, chunk in enumerate(rows):
+            toks = chunk.split(" ")
+            rebuilt.extend(toks if i == len(rows) - 1 else toks[:CHUNK_STRIDE])
+        assert rebuilt == w
+        assert all(mine.n_chunk_tokens <= CHUNK_TOKENS)
+
+
+@SLOW
+@given(st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=40))
+def test_sequence_packing_invariants(spark, lengths):
+    """q_pack_sequences invariants: offsets are the prefix sums in key
+    order; bins are contiguous; every bin's start offset lands inside its
+    256-token budget window."""
+    from kafka_hadoop_consumer_spark.queries.pipeline import PACK_BUDGET
+    import kafka_hadoop_consumer_spark.queries.pipeline as pl
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(lengths)),
+            "text": [" ".join(["w"] * k) for k in lengths],
+            "lang": ["en" if i % 2 else "de" for i in range(len(lengths))],
+            "source": "t",
+            "n_chars": 1,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    orig = pl.load_table
+    try:
+        pl.load_table = lambda s, d, n: sdf  # noqa: E731
+        packed = pl.q_pack_sequences(spark, "ignored").toPandas()
+    finally:
+        pl.load_table = orig
+
+    for lang, grp in packed.groupby("lang"):
+        grp = grp.sort_values("doc_id").reset_index(drop=True)
+        cum = 0
+        prev_bin = 0
+        for r in grp.itertuples():
+            assert r.start_offset == cum
+            assert r.bin_id == cum // PACK_BUDGET
+            assert r.bin_id >= prev_bin  # bins contiguous, never backward
+            prev_bin = r.bin_id
+            cum += r.n_tokens

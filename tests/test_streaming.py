@@ -387,3 +387,37 @@ def test_ingest_kafka_sim_stream_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 300
     assert got.select("partition", "offset").distinct().count() == 300  # no dupes
+
+
+def test_kafka_sim_stream_windowed_agg(spark, tmp_path):
+    """Streaming analytics compose over the Kafka-shaped source: envelope
+    decode → event-time window agg → memory sink, matching the batch
+    computation of the same log."""
+    from kafka_hadoop_consumer_spark.sources import kafka_sim
+
+    kafka_sim.register(spark)
+    stream = (
+        spark.readStream.format("kafka_sim")
+        .option("n_partitions", "2").option("n_messages", "120").load()
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .groupBy(F.window("ts", "1 minute").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "key", "n")
+    )
+    # complete mode: the whole log lands in ONE micro-batch (latestOffset
+    # jumps straight to the high watermark), so append mode would close
+    # no windows; complete emits every window state
+    q = (stream.writeStream.format("memory").queryName("ksim_win")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.start, r.key): r.n for r in spark.sql("SELECT * FROM ksim_win").collect()}
+    batch = (
+        spark.read.format("kafka_sim")
+        .option("n_partitions", "2").option("n_messages", "120").load()
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .groupBy(F.window("ts", "1 minute").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "key", "n")
+    )
+    expected = {(r.start, r.key): r.n for r in batch.collect()}
+    assert got == expected
