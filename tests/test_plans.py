@@ -91,3 +91,34 @@ def test_stratified_sample_prunes_columns(spark):
     the three output columns, not text (the wide column)."""
     (schema,) = read_schema_columns(QUERIES["q_sample_stratified"](spark, SF_DIR))
     assert schema == {"doc_id", "lang", "n_chars"}, schema
+
+
+def test_e2e_q3_broadcasts_dim_and_takes_ordered(spark):
+    """The Q3-shape report plan: customer dim broadcast, top-10 via
+    TakeOrderedAndProject, and the date filters pushed to both scans."""
+    df = QUERIES["q_e2e_q3"](spark, SF_DIR)
+    assert has_broadcast_hash_join(df)
+    assert has_take_ordered(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed
+
+
+def test_e2e_q18_aggregates_before_joining(spark):
+    """Q18 shape: the HAVING pre-aggregation must sit BELOW the joins in
+    the plan (shrink-then-join), not above them."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_e2e_q18"](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    agg_depth = min(
+        (i for i, ln in enumerate(tree.splitlines()) if "HashAggregate" in ln),
+        default=-1,
+    )
+    join_depth = min(
+        (i for i, ln in enumerate(tree.splitlines()) if "Join" in ln),
+        default=-1,
+    )
+    assert agg_depth != -1 and join_depth != -1
+    # deeper in the printed tree = later line; the grouped subquery's agg
+    # must appear below (after) the join that consumes it
+    assert agg_depth > join_depth
