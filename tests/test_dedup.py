@@ -92,3 +92,37 @@ def test_dedup_clusters_match_transitive_closure(spark):
         if r.is_representative
     }
     assert reps == set(expected.values())
+
+
+def test_minhash_recall_cross_checked_against_spark_ml(spark):
+    """Independent-implementation check: pyspark.ml's MinHashLSH over the
+    same shingle sets must agree with our custom MinHash+banding on the
+    planted near-dup pairs — both find ≥90% of the exact-Jaccard truth."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from kafka_hadoop_consumer_spark.catalog import load_table
+    from kafka_hadoop_consumer_spark.queries.dedup import shingles
+
+    d = load_table(spark, SF_DIR, "documents")
+    sets = shingles(d).groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs")
+    )
+    cv = CountVectorizer(inputCol="shs", outputCol="v", binary=True).fit(sets)
+    vec = cv.transform(sets).select("doc_id", "v")
+    model = MinHashLSH(inputCol="v", outputCol="h", numHashTables=8, seed=7).fit(vec)
+    # Jaccard distance threshold 0.4 == similarity > 0.6 (our gate)
+    ml_pairs = {
+        (min(r.a, r.b), max(r.a, r.b))
+        for r in model.approxSimilarityJoin(vec, vec, 0.4)
+        .select(
+            F.col("datasetA.doc_id").alias("a"),
+            F.col("datasetB.doc_id").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .collect()
+    }
+    truth = _pairs(QUERIES["q_dedup_ngram_jaccard"](spark, SF_DIR))
+    ours = _pairs(QUERIES["q_dedup_minhash"](spark, SF_DIR))
+    assert truth, "no planted pairs found"
+    assert len(ml_pairs & truth) >= 0.9 * len(truth)
+    assert len(ours & truth) >= 0.9 * len(truth)
