@@ -149,7 +149,7 @@ def run_ingest(
     json_schema: str | None = None,
     available_now: bool = True,
     partition_by: list[str] | None = None,
-) -> None:
+) -> dict:
     """The whole reference job A1→A7: source → decode → checkpointed
     parquet sink, bounded by availableNow (the cron pattern: drain what's
     available, commit offsets transactionally, exit).
@@ -157,6 +157,10 @@ def run_ingest(
     Rerunning with the same checkpoint consumes ONLY new input — the
     reference's ZK-committed-offset resume, but exactly-once instead of
     at-least-once (offsets WAL + sink commit log are atomic per batch).
+
+    Returns run metrics from the streaming progress API — the
+    operational telemetry the reference's job counters provided:
+    ``{"rows": input rows this run, "batches": micro-batches run}``.
     """
     df = decode_payload(load_stream(spark, spec), json_schema=json_schema)
     writer = (
@@ -171,3 +175,8 @@ def run_ingest(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p is not None]
+    return {
+        "rows": int(sum(p["numInputRows"] for p in progresses)),
+        "batches": len(progresses),
+    }

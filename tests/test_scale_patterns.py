@@ -100,3 +100,26 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_observed_metrics_computed_in_same_action(spark, tmp_path):
+    """The Observation API yields row/null metrics from the SAME write
+    action — no second validation scan at 100 TB."""
+    from kafka_hadoop_consumer_spark.operators.quality import observed, quality_gate
+    from kafka_hadoop_consumer_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, SF_DIR, "orders").withColumn(
+        "maybe", F.when(F.col("o_orderkey") % 10 == 0, None).otherwise(F.col("o_orderkey"))
+    )
+    df2, obs = observed(o, "maybe", "o_custkey")
+    df2.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    total = o.count()
+    assert m["n_rows"] == total
+    assert m["null_o_custkey"] == 0
+    assert m["null_maybe"] == o.where(F.col("maybe").isNull()).count()
+
+    kept = quality_gate(o, "maybe")
+    assert kept.count() == total - m["null_maybe"]
