@@ -53,10 +53,16 @@ SCHEMA = (
 )
 
 
-def message(topic: str, p: int, o: int) -> tuple:
+def message(topic: str, p: int, o: int, payload: str = "text") -> tuple:
     """The deterministic payload for (partition, offset) — mirrored
-    verbatim in the q_source_kafka_sim oracle SQL."""
-    return (topic, p, o, f"k{o % 10}", f"msg-{p}-{o}", TS_BASE_US + o * 1_000_000 + p)
+    verbatim in the q_source_kafka_sim oracle SQL. ``payload="json"``
+    emits a structured JSON value instead (the reference's A5 decode
+    path for structured payloads)."""
+    if payload == "json":
+        value = f'{{"k": "k{o % 10}", "seq": {o}, "part": {p}}}'
+    else:
+        value = f"msg-{p}-{o}"
+    return (topic, p, o, f"k{o % 10}", value, TS_BASE_US + o * 1_000_000 + p)
 
 
 @dataclass(frozen=True)
@@ -72,6 +78,7 @@ class KafkaSimReader(DataSourceReader):
         self.topic = options.get("topic", "sim")
         self.n_partitions = int(options.get("n_partitions", 4))
         self.n_messages = int(options.get("n_messages", 250))
+        self.payload = options.get("payload", "text")
         # offset-range state, tightened by pushFilters
         self.lo = int(options.get("starting_offset", 0))
         self.hi = self.n_messages
@@ -105,7 +112,7 @@ class KafkaSimReader(DataSourceReader):
 
     def read(self, part: TopicPartitionRange) -> Iterator[tuple]:
         for o in range(part.start, part.end):
-            yield message(part.topic, part.partition, o)
+            yield message(part.topic, part.partition, o, self.payload)
 
 
 class KafkaSimStreamReader(DataSourceStreamReader):
@@ -135,6 +142,7 @@ class KafkaSimStreamReader(DataSourceStreamReader):
         self.topic = options.get("topic", "sim")
         self.n_partitions = int(options.get("n_partitions", 4))
         self.n_messages = int(options.get("n_messages", 250))
+        self.payload = options.get("payload", "text")
 
     def initialOffset(self) -> dict:
         return {str(p): 0 for p in range(self.n_partitions)}
@@ -150,7 +158,7 @@ class KafkaSimStreamReader(DataSourceStreamReader):
 
     def read(self, part: TopicPartitionRange) -> Iterator[tuple]:
         for o in range(part.start, part.end):
-            yield message(part.topic, part.partition, o)
+            yield message(part.topic, part.partition, o, self.payload)
 
     def commit(self, end: dict) -> None:
         pass  # durability lives in the checkpoint, not the source

@@ -433,3 +433,22 @@ def test_run_ingest_returns_metrics(spark, tmp_path):
     # idle rerun: zero new rows
     m2 = run_ingest(spark, spec, str(tmp_path / "o"), str(tmp_path / "c"))
     assert m2["rows"] == 0
+
+
+def test_kafka_sim_json_payload_decode(spark, tmp_path):
+    """A5 with structured payloads over the Kafka offset model: envelope
+    stripped, JSON value parsed into typed columns, sunk exactly-once."""
+    spec = SourceSpec(
+        kind="kafka_sim", topic="j",
+        extra_options={"n_partitions": "2", "n_messages": "40",
+                       "payload": "json"},
+    )
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+    m = run_ingest(spark, spec, out, ck,
+                   json_schema="k string, seq long, part int")
+    assert m["rows"] == 80
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"k", "seq", "part"}
+    assert got.where(F.col("seq").isNull()).count() == 0
+    assert got.where((F.col("part") == 1) & (F.col("seq") == 39)).count() == 1
+    assert got.where(F.col("k") == "k3").count() == 8  # 4 seqs × 2 partitions
