@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
 from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.textutil import ngram_expr
 
 N_SHINGLE = 4           # w-shingle width (FIXTURES.md planted pairs use 4)
 N_MINHASH = 32          # signature length K
@@ -46,12 +47,7 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
         df.withColumn("_toks", F.split(F.col(text_col), " "))
         .select(
             F.col(id_col),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, greatest(size(_toks) - {N_SHINGLE - 1}, 0)),"
-                    f" i -> array_join(slice(_toks, i, {N_SHINGLE}), ' '))"
-                )
-            ).alias("sh"),
+            F.explode(F.expr(ngram_expr("_toks", N_SHINGLE))).alias("sh"),
         )
         .distinct()
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
 from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.textutil import ngram_expr
 
 CHUNK_TOKENS = 32       # chunk width (tokens)
 CHUNK_STRIDE = 24       # stride => 8-token overlap between adjacent chunks
@@ -123,7 +124,9 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.doc_id, n_tokens, n_distinct, max_tf,
            round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_ratio,
-           round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6) AS dup_bigram_ratio
+           CASE WHEN n_bigrams = 0 THEN 0.0
+                ELSE round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6)
+           END AS dup_bigram_ratio
     FROM stats s JOIN bigr b ON s.doc_id = b.doc_id
     """,
 )
@@ -148,10 +151,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("c").alias("max_tf"),
     )
-    bigrams = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 1, 0)),"
-        " i -> array_join(slice(toks, i, 2), ' '))"
-    )
+    bigrams = F.expr(ngram_expr("toks", 2))
     bigr = (
         d.withColumn("toks", F.split("text", " "))
         .select(
@@ -170,11 +170,18 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
             ).alias("dup_token_ratio"),
-            F.round(
-                1.0
-                - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"),
-                6,
-            ).alias("dup_bigram_ratio"),
+            # single-token docs have no bigrams: define the ratio as 0.0
+            # (ANSI mode would otherwise raise DIVIDE_BY_ZERO)
+            F.when(F.col("n_bigrams") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    1.0
+                    - F.col("n_distinct_bigrams").cast("double")
+                    / F.col("n_bigrams"),
+                    6,
+                )
+            )
+            .alias("dup_bigram_ratio"),
         )
     )
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
 from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.textutil import ngram_expr
 
 # Tokens are space-separated in the fixture corpus (FIXTURES.md: word-salad
 # from a small vocabulary). Lazy because Column construction needs an
@@ -106,12 +107,7 @@ def q_text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         d.withColumn("toks", F.split("text", " "))
         .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(toks) - 3, 0)),"
-                    " i -> array_join(slice(toks, i, 4), ' '))"
-                )
-            ).alias("ngram")
+            F.explode(F.expr(ngram_expr("toks", 4))).alias("ngram")
         )
     )
     return (
