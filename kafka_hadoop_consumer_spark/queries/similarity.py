@@ -29,6 +29,16 @@ N_PLANES = 4         # sign-bit LSH hyperplanes → 16 buckets
 DEDUP_COS_THRESHOLD = 0.4
 EMB_DIM = 64
 
+# Multi-table LSH for near-dup candidate generation (q_dedup_embedding).
+# k bits/table bounds per-table bucket count (2^k); L tables drive recall:
+# P(candidate | cos=c) = 1 - (1 - p^k)^L with p = 1 - arccos(c)/pi.
+# At the fixture's hardest pairs (cos ~= 0.40, p ~= 0.63): ~0.93 with
+# k=3, L=12; recall rises steeply with cos (0.99 at cos 0.6). At 100 TB
+# raise k ~ log2(n/target_bucket_size) and L with it — the join stays an
+# equi-join on (table, bucket), never an all-pairs product.
+DEDUP_LSH_TABLES = 12
+DEDUP_LSH_BITS = 3
+
 
 def _vec_double(col: str = "embedding"):
     return F.transform(col, lambda x: x.cast("double"))
@@ -89,25 +99,53 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_embedding",
-    oracle=_ORACLE_E
-    + f"""
-    SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+def _dedup_planes() -> list[list[list[float]]]:
+    """Deterministic hyperplanes for the near-dup LSH tables (seed 7):
+    ``planes[l][j]`` is bit ``j`` of table ``l``. Shipped as literals to
+    BOTH engines, so the candidate sets match by construction."""
+    rng = np.random.RandomState(7)
+    return rng.randn(DEDUP_LSH_TABLES, DEDUP_LSH_BITS, EMB_DIM).tolist()
+
+
+def _dedup_embedding_oracle() -> str:
+    """Oracle mirroring the LSH cascade exactly: identical plane literals,
+    identical sign-bit buckets, identical verify threshold."""
+    rows = []
+    for l, table in enumerate(_dedup_planes()):
+        for j, h in enumerate(table):
+            lit = "[" + ", ".join(repr(x) for x in h) + "]"
+            rows.append(f"({l}, {j}, {lit}::DOUBLE[])")
+    values = ",\n      ".join(rows)
+    return (
+        _ORACLE_E
+        + f""",
+    planes AS (SELECT * FROM (VALUES
+      {values}) AS p(l, j, h)),
+    buckets AS (
+      SELECT e.vec_id, p.l,
+             CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.v, p.h),
+                                                        q -> q[1] * q[2])) > 0
+                           THEN 1 << p.j ELSE 0 END) AS INT) AS bucket
+      FROM e, planes p
+      GROUP BY e.vec_id, p.l),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec1, b.vec_id AS vec2
+      FROM buckets a JOIN buckets b
+        ON a.l = b.l AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec1, vec2,
            round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
                  / (a.nrm * b.nrm), 4) AS cos_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM cand JOIN e a ON a.vec_id = vec1 JOIN e b ON b.vec_id = vec2
     WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
                 / (a.nrm * b.nrm), 4) > {DEDUP_COS_THRESHOLD}
-    """,
-)
-def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos > {DEDUP_COS_THRESHOLD}).
-
-    All-pairs at test scale (the exact ground truth); at 100 TB the LSH
-    bucketing of q_sim_lsh_topk prefilters candidates first. The
-    threshold is applied to the ROUNDED cosine on both sides.
     """
+    )
+
+
+def exact_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs ground truth (cos > {DEDUP_COS_THRESHOLD}) — O(n²),
+    test/recall-measurement use only; deliberately NOT a registered query
+    (the registered operator is the bucketed cascade below)."""
     e = load_table(spark, sf_dir, "embeddings")
     ed = e.select("vec_id", _vec_double().alias("v"))
     a = ed.select(F.col("vec_id").alias("vec1"), F.col("v").alias("v1"))
@@ -117,6 +155,73 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(b, F.col("vec1") < F.col("vec2"))
+        .select("vec1", "vec2", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") > DEDUP_COS_THRESHOLD)
+    )
+
+
+@query("q_dedup_embedding", oracle=_dedup_embedding_oracle())
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table sign-bit LSH:
+    candidate pairs collide in ≥1 of {DEDUP_LSH_TABLES} tables
+    ({DEDUP_LSH_BITS} bits each), then exact cosine verify
+    (> {DEDUP_COS_THRESHOLD} on the ROUNDED value, both engines).
+
+    The oracle runs the SAME cascade (plane literals shared), so the
+    check is exact cross-engine parity of the full pipeline, not of an
+    all-pairs scan. Recall vs the exact ground truth
+    (exact_embedding_pairs) is measured in tests/test_similarity.py.
+
+    Scale shape: every join is an equi-join — (table, bucket) for
+    candidates, vec_id to re-fetch vectors — so the plan has no
+    cartesian/BNLJ over the corpus (asserted in tests/test_plans.py).
+    At 100 TB, raise DEDUP_LSH_BITS ~ log2(n/bucket_target) so bucket
+    sizes stay bounded; candidate verify cost is O(Σ candidates), not
+    O(n²).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", _vec_double().alias("v"))
+    planes = _dedup_planes()
+    buckets = [
+        sum(
+            (
+                F.when(
+                    _dot(F.col("v"), F.array(*[F.lit(float(x)) for x in planes[l][j]])) > 0,
+                    F.lit(1 << j),
+                ).otherwise(F.lit(0))
+                for j in range(1, DEDUP_LSH_BITS)
+            ),
+            start=F.when(
+                _dot(F.col("v"), F.array(*[F.lit(float(x)) for x in planes[l][0]])) > 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).cast("int")
+        for l in range(DEDUP_LSH_TABLES)
+    ]
+    bucketed = ed.select(
+        "vec_id", F.posexplode(F.array(*buckets)).alias("l", "bucket")
+    )
+    cand = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.l") == F.col("b.l"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2")
+        )
+        .distinct()
+    )
+    a = ed.select(F.col("vec_id").alias("vec1"), F.col("v").alias("v1"))
+    b = ed.select(F.col("vec_id").alias("vec2"), F.col("v").alias("v2"))
+    cos = F.round(
+        _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 4
+    )
+    return (
+        cand.join(a, "vec1")
+        .join(b, "vec2")
         .select("vec1", "vec2", cos.alias("cos_sim"))
         .where(F.col("cos_sim") > DEDUP_COS_THRESHOLD)
     )

@@ -122,3 +122,14 @@ def test_e2e_q18_aggregates_before_joining(spark):
     # deeper in the printed tree = later line; the grouped subquery's agg
     # must appear below (after) the join that consumes it
     assert agg_depth > join_depth
+
+
+def test_dedup_embedding_has_no_allpairs_join(spark):
+    """Near-dup candidate generation must be equi-joins on (table, bucket)
+    and vec_id — an all-pairs BroadcastNestedLoop/cartesian over the
+    corpus would be O(n^2) rows at 100 TB."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_dedup_embedding"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
