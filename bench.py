@@ -108,18 +108,46 @@ def main() -> None:
     ingest_sec, ingest_rows = time_ingest(spark, sf_dir)
     timings["s_ingest_e2e"] = round(ingest_sec, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall-clock (median of 3, noop sink)",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "ingest_rows_per_sec": round(ingest_rows / ingest_sec),
-                "sf": float(sf),
-            }
-        )
-    )
+    result = {
+        "metric": "headline query wall-clock (median of 3, noop sink)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "ingest_rows_per_sec": round(ingest_rows / ingest_sec),
+        "sf": float(sf),
+    }
+    print(json.dumps(result))
+    check_regressions(timings, sf)
+
+
+# Regression guardrail: refactors must not silently slow the headline
+# set. Compared only at the anchor's scale factor (per-query medians are
+# meaningless across SFs); >1.5× on any query fails the run loudly.
+ANCHOR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+REGRESSION_RATIO = 1.5
+
+
+def check_regressions(timings: dict[str, float], sf: str) -> None:
+    if not os.path.exists(ANCHOR):
+        return
+    with open(ANCHOR) as f:
+        anchor = json.load(f)
+    if float(sf) != float(anchor.get("sf", -1)):
+        return
+    regressions = []
+    for name, sec in timings.items():
+        base = anchor.get("queries", {}).get(name)
+        if base:
+            ratio = sec / base
+            flag = " REGRESSION" if ratio > REGRESSION_RATIO else ""
+            print(f"# vs r01: {name} {sec:.3f}s / {base:.3f}s = {ratio:.2f}x{flag}",
+                  file=sys.stderr)
+            if ratio > REGRESSION_RATIO:
+                regressions.append((name, ratio))
+    if regressions:
+        print(f"BENCH REGRESSION >{REGRESSION_RATIO}x vs {ANCHOR}: {regressions}",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

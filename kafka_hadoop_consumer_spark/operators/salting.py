@@ -29,7 +29,18 @@ def salted_join(
     retry determinism); the small side is exploded n_salts× so every
     (key, salt) pair finds its match. Join keys become (on, salt) —
     spreading each hot key across n_salts shuffle partitions.
+
+    Only ``inner`` and ``left`` are sound: each large-side row carries
+    exactly one salt, so unmatched large rows null-extend once. With
+    ``right``/``full``/``outer`` every unmatched SMALL row would appear
+    n_salts times (one per exploded replica) — rejected explicitly.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}: "
+            "outer variants would emit each unmatched small-side row "
+            "n_salts times (one per replica)"
+        )
     salt_src = F.xxhash64(*[F.col(c) for c in large.columns])
     salted_large = large.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)).cast("int"))
     replicated_small = small.withColumn(

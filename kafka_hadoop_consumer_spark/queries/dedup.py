@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query, track
 from kafka_hadoop_consumer_spark.queries.textutil import ngram_expr
 
 N_SHINGLE = 4           # w-shingle width (FIXTURES.md planted pairs use 4)
@@ -35,6 +35,14 @@ N_MINHASH = 32          # signature length K
 N_BANDS = 8             # LSH bands (K = bands × rows)
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 JACCARD_THRESHOLD = 0.6
+# Hot-shingle document-frequency cap: shingles present in more docs than
+# this are dropped from the exact-Jaccard shingle space (postings AND
+# per-doc sizes, so the ratio stays consistent). A stop-phrase shared by
+# 1M docs would otherwise contribute |posting|² ≈ 10¹² candidate pairs —
+# the classic near-dedup skew bomb. df-capping is standard in production
+# dedup; fixture max df is 6 (sf0.1), so the cap is inert at test scale
+# and the DuckDB oracles mirror it exactly either way.
+DF_CAP = 64
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -53,26 +61,29 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     )
 
 
-def exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for every doc pair sharing ≥1 shingle.
+def exact_jaccard_pairs(sh: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
+    """Exact shingle-set Jaccard for every doc pair sharing ≥1 surviving
+    shingle, over the df-capped shingle space (df ≤ ``df_cap``).
 
     Pair generation is posting-list style: one shuffle groups doc ids per
     shingle, then pair combinations explode from each posting list — one
     wide stage instead of a shingle self-join plus pair shuffle (measured
     25% faster at sf0.1, and the shuffle moves |shingles| rows instead of
-    2×|shingles| join probes). Σ|posting|² on hot shingles is inherent to
-    the exact operator; the MinHash path is the at-scale answer.
+    2×|shingles| join probes). The df-cap bounds each posting's pair
+    fan-out at C(df_cap, 2), so Σ|posting|² can no longer blow up on a
+    hot shingle; per-doc sizes are derived from the SAME capped postings
+    so numerator and denominator agree.
 
-    The shingle set feeds two plan branches (postings + sizes); callers
-    should persist it. The per-doc sizes table is rows=|docs| → broadcast
-    on both probe sides.
+    The capped posting table feeds two plan branches (pairs + sizes) and
+    is persisted for the duration of the query. The per-doc sizes table
+    is rows=|docs| → broadcast on both probe sides.
     """
-    posts = (
+    posts = persist_tracked(
         sh.groupBy("sh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") > 1)
+        .where(F.size("ds") <= df_cap)
     )
-    pairs = posts.select(
+    pairs = posts.where(F.size("ds") > 1).select(
         F.explode(
             F.expr(
                 "flatten(transform(ds, (x, i) ->"
@@ -82,7 +93,9 @@ def exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
         ).alias("p")
     ).select("p.doc1", "p.doc2")
     inter = pairs.groupBy("doc1", "doc2").agg(F.count(F.lit(1)).alias("n_inter"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = posts.select(F.explode("ds").alias("doc_id")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
     s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
     return (
@@ -103,11 +116,16 @@ def exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
     "q_dedup_ngram_jaccard",
     oracle=f"""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
+    sh_all AS (
       SELECT DISTINCT doc_id, s
       FROM tok,
            UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
                                  i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)
+    ),
+    sh AS (  -- hot-shingle df-cap, mirroring the engine exactly
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh_all)
+      WHERE df <= {DF_CAP}
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -124,13 +142,14 @@ def exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs (J > 0.6 on 4-shingles) — the
-    ground truth the MinHash path is measured against. Finds the planted
-    near-dup pairs (FIXTURES.md: 28 pairs at sf0.001)."""
+    """EXACT n-gram Jaccard near-dup pairs (J > 0.6 on 4-shingles over the
+    df-capped shingle space, df ≤ {DF_CAP}) — the ground truth the MinHash
+    path is measured against. Finds the planted near-dup pairs
+    (FIXTURES.md: 28 pairs at sf0.001; cap inert at fixture df ≤ 6)."""
     d = load_table(spark, sf_dir, "documents")
-    # cache: the shingle set feeds 3 plan branches (see exact_jaccard_pairs)
-    sh = shingles(d).persist()
-    return exact_jaccard_pairs(sh).where(F.col("jaccard") > JACCARD_THRESHOLD)
+    return exact_jaccard_pairs(shingles(d)).where(
+        F.col("jaccard") > JACCARD_THRESHOLD
+    )
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
@@ -170,8 +189,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the semi-join-after-the-fact plan it replaces at sf0.1).
     """
     d = load_table(spark, sf_dir, "documents")
-    # cache: shingles feed signatures + verification (3 plan branches)
-    sh = shingles(d).persist()
+    # cache: shingles feed signatures + verification (released at the
+    # next registered-query call — see registry.persist_tracked)
+    sh = persist_tracked(shingles(d))
     sig = minhash_signatures(sh)
     band_cols = [
         F.xxhash64(
@@ -197,22 +217,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = banded.select(
         F.col("doc_id").alias("doc2"), "band_idx", "band_hash"
     )
-    candidates = (
+    candidates = persist_tracked(
         left.join(right, ["band_idx", "band_hash"])
         .where(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2")
         .distinct()
-    ).persist()  # candidate set is tiny (near-dup pairs); reused 3×
+    )  # candidate set is tiny (near-dup pairs); reused 3×
     cand_docs = (
         candidates.select(F.col("doc1").alias("doc_id"))
         .union(candidates.select("doc2"))
         .distinct()
     )
-    docsets = (
+    docsets = persist_tracked(
         sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
         .groupBy("doc_id")
         .agg(F.collect_set("sh").alias("s"), F.count(F.lit(1)).alias("n"))
-    ).persist()  # one array row per candidate doc; probed by both pair sides
+    )  # one array row per candidate doc; probed by both pair sides
     n_inter = F.size(F.array_intersect("s1", "s2"))
     return (
         F.broadcast(candidates)
@@ -297,11 +317,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per node == min-label-propagation fixpoint
     oracle=f"""
     WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
+    sh_all AS (
       SELECT DISTINCT doc_id, s
       FROM tok,
            UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
                                  i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)
+    ),
+    sh AS (  -- hot-shingle df-cap, mirroring the engine exactly
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh_all)
+      WHERE df <= {DF_CAP}
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
@@ -342,16 +367,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     decreases until fixpoint, so equality means converged).
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d).persist()
     pairs = (
-        exact_jaccard_pairs(sh)
+        exact_jaccard_pairs(shingles(d))
         .where(F.col("jaccard") > JACCARD_THRESHOLD)
         .select("doc1", "doc2")
     )
     # undirected: propagate both ways
-    edges = pairs.union(
-        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
-    ).persist()
+    edges = persist_tracked(
+        pairs.union(
+            pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+        )
+    )
     labels = (
         edges.select(F.col("doc1").alias("doc_id"))
         .distinct()
@@ -382,6 +408,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    track(labels)  # final frame stays pinned until the next query call
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

@@ -18,6 +18,7 @@ order-insensitive value hash), so:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -27,6 +28,33 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+
+# Persisted intermediates pinned by the most recent query invocation.
+# Query functions persist frames that feed multiple plan branches; the
+# cache must outlive the function (the caller materializes the returned
+# DataFrame later), so each invocation releases the PREVIOUS one's pins
+# instead of its own. Bench (4 runs/query) and test sessions invoke
+# queries repeatedly — without this, pinned partitions accumulate until
+# LRU eviction/spill.
+_TRACKED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and pin it until the next registered-query call."""
+    _TRACKED.append(df.persist())
+    return df
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Pin an already-persisted ``df`` for release at the next query call."""
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked() -> None:
+    """Unpersist every frame pinned by the previous query invocation."""
+    while _TRACKED:
+        _TRACKED.pop().unpersist()
 
 
 @dataclass(frozen=True)
@@ -45,11 +73,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query key {name!r}")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         METAS[name] = QueryMeta(name=name, doc=(fn.__doc__ or "").strip(),
                                 oracle=oracle is not None)
-        return fn
+        return wrapped
 
     return deco

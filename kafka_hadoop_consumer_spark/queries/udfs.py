@@ -44,12 +44,20 @@ def _normalize_text(s: pd.Series) -> pd.Series:
 )
 def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized scalar pandas UDF (text normalizer); the oracle
-    expresses the same semantics in SQL."""
+    expresses the same semantics in SQL.
+
+    The UDF is invoked ONCE: ``norm_text`` is materialized in a first
+    projection and ``norm_len`` derives from that column in a second, so
+    the plan has a single ArrowEvalPython node (plan-asserted) instead of
+    two Arrow round-trips for the same input.
+    """
     d = load_table(spark, sf_dir, "documents")
     return d.select(
+        "doc_id", _normalize_text("text").alias("norm_text")
+    ).select(
         "doc_id",
-        _normalize_text("text").alias("norm_text"),
-        F.length(_normalize_text("text")).cast("long").alias("norm_len"),
+        "norm_text",
+        F.length("norm_text").cast("long").alias("norm_len"),
     )
 
 

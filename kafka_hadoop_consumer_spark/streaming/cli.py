@@ -29,7 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="kafka_hadoop_consumer_spark.streaming.cli",
         description="Bounded streaming ingest run (reference A8 parity)",
     )
-    p.add_argument("--kind", choices=("kafka", "file", "rate"), required=True)
+    p.add_argument(
+        "--kind", choices=("kafka", "file", "rate", "kafka_sim"), required=True
+    )
     # kafka (reference: -t topic, -z zookeeper → brokers)
     p.add_argument("--topic", help="Kafka topic (reference -t)")
     p.add_argument("--brokers", help="bootstrap servers (reference -z zk quorum)")
@@ -56,6 +58,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated sink partition columns")
     p.add_argument("--continuous", action="store_true",
                    help="run continuously instead of one bounded drain")
+    p.add_argument("--max-runtime-sec", type=float, default=None,
+                   help="bound a --continuous run: stop cleanly after the "
+                        "first processed batch or this many seconds")
+    p.add_argument("--sink-format", choices=("parquet", "text"),
+                   default="parquet",
+                   help="text = reference A6 literal parity (payload "
+                        "lines); parquet = the at-scale default")
+    # kafka_sim (the offline Kafka stand-in — same envelope/offset model)
+    p.add_argument("--n-partitions", type=int, default=4,
+                   help="kafka_sim: simulated topic-partition count")
+    p.add_argument("--n-messages", type=int, default=250,
+                   help="kafka_sim: messages per partition")
+    p.add_argument("--payload", choices=("text", "json"), default="text",
+                   help="kafka_sim: payload mode")
     return p
 
 
@@ -77,6 +93,17 @@ def spec_from_args(args: argparse.Namespace) -> SourceSpec:
         return SourceSpec(
             kind="file", path=args.path, format=args.format, schema=args.schema
         )
+    if args.kind == "kafka_sim":
+        return SourceSpec(
+            kind="kafka_sim",
+            topic=args.topic or "sim",
+            max_per_trigger=args.limit,
+            extra_options={
+                "n_partitions": str(args.n_partitions),
+                "n_messages": str(args.n_messages),
+                "payload": args.payload,
+            },
+        )
     return SourceSpec(kind="rate")
 
 
@@ -93,6 +120,8 @@ def main(argv: list[str] | None = None) -> None:
         json_schema=args.json_payload_schema,
         available_now=not args.continuous,
         partition_by=args.partition_by.split(",") if args.partition_by else None,
+        max_runtime_sec=args.max_runtime_sec,
+        sink_format=args.sink_format,
     )
 
 

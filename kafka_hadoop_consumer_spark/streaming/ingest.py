@@ -18,6 +18,7 @@ downstream pipeline end-to-end with identical checkpoint/commit logic.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -149,6 +150,8 @@ def run_ingest(
     json_schema: str | None = None,
     available_now: bool = True,
     partition_by: list[str] | None = None,
+    max_runtime_sec: float | None = None,
+    sink_format: str = "parquet",
 ) -> dict:
     """The whole reference job A1→A7: source → decode → checkpointed
     parquet sink, bounded by availableNow (the cron pattern: drain what's
@@ -158,13 +161,31 @@ def run_ingest(
     reference's ZK-committed-offset resume, but exactly-once instead of
     at-least-once (offsets WAL + sink commit log are atomic per batch).
 
+    ``sink_format="text"`` reproduces the reference's literal sink
+    behavior (§2A A6: text part-files of the decoded payload, one line
+    per record — kafka-hadoop-consumer wrote TextOutputFormat parts);
+    the payload column is projected to the single ``value`` column the
+    text writer requires. Parquet remains the at-scale default.
+
+    With ``available_now=False`` the query runs continuously (the
+    always-on deployment mode); ``max_runtime_sec`` bounds such a run —
+    it stops cleanly once at least one non-empty micro-batch has been
+    processed, or at the deadline — so continuous mode is drivable from
+    tests and ops smoke checks. An unbounded continuous run
+    (``max_runtime_sec=None``) blocks until externally stopped.
+
     Returns run metrics from the streaming progress API — the
     operational telemetry the reference's job counters provided:
     ``{"rows": input rows this run, "batches": micro-batches run}``.
     """
+    if sink_format not in ("parquet", "text"):
+        raise ValueError(f"unsupported sink_format: {sink_format!r}")
     df = decode_payload(load_stream(spark, spec), json_schema=json_schema)
+    if sink_format == "text":
+        payload_col = "payload" if "payload" in df.columns else df.columns[0]
+        df = df.select(F.col(payload_col).cast("string").alias("value"))
     writer = (
-        df.writeStream.format("parquet")
+        df.writeStream.format(sink_format)
         .option("path", out_path)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
@@ -173,9 +194,35 @@ def run_ingest(
         writer = writer.partitionBy(*partition_by)
     if available_now:
         writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    q.awaitTermination()
-    progresses = [p for p in q.recentProgress if p is not None]
+    # recentProgress retains only the last numRecentProgressUpdates
+    # entries (default 100); a run with more micro-batches (easy with
+    # maxFilesPerTrigger over a large directory) would silently
+    # under-report. Raise the cap for the run so the sum below is
+    # authoritative up to 100k batches, then restore.
+    _PROGRESS_CAP_KEY = "spark.sql.streaming.numRecentProgressUpdates"
+    prev_cap = spark.conf.get(_PROGRESS_CAP_KEY, None)
+    spark.conf.set(_PROGRESS_CAP_KEY, "100000")
+    try:
+        q = writer.start()
+        if available_now or max_runtime_sec is None:
+            q.awaitTermination()
+        else:
+            deadline = time.monotonic() + max_runtime_sec
+            while time.monotonic() < deadline:
+                if any(
+                    p is not None and p["numInputRows"] > 0
+                    for p in q.recentProgress
+                ):
+                    break
+                time.sleep(0.2)
+            q.stop()
+            q.awaitTermination()
+        progresses = [p for p in q.recentProgress if p is not None]
+    finally:
+        if prev_cap is None:
+            spark.conf.unset(_PROGRESS_CAP_KEY)
+        else:
+            spark.conf.set(_PROGRESS_CAP_KEY, prev_cap)
     return {
         "rows": int(sum(p["numInputRows"] for p in progresses)),
         "batches": len(progresses),

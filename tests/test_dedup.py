@@ -94,6 +94,31 @@ def test_dedup_clusters_match_transitive_closure(spark):
     assert reps == set(expected.values())
 
 
+def test_hot_shingle_df_cap_bounds_pair_explosion(spark):
+    """A universal stop-phrase must NOT generate O(n²) candidate pairs:
+    shingles with document frequency > DF_CAP are dropped from the exact
+    shingle space, so the only pairs come from genuinely shared rare
+    shingles. Without the cap a 200-doc corpus sharing one phrase emits
+    C(200,2) = 19900 pairs — the skew bomb at 100 TB."""
+    from kafka_hadoop_consumer_spark.queries.dedup import (
+        exact_jaccard_pairs,
+        shingles,
+    )
+
+    n = 200  # > DF_CAP
+    docs = spark.createDataFrame(
+        [(i, f"the same stop phrase everywhere u{i} v{i} w{i} x{i} y{i} z{i}")
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs)
+    # capped: universal shingles (df=200) dropped, unique tails share nothing
+    assert exact_jaccard_pairs(sh).count() == 0
+    # sanity that the test bites: uncapped, the universal phrase alone
+    # pairs every doc with every other
+    assert exact_jaccard_pairs(sh, df_cap=10**9).count() == n * (n - 1) // 2
+
+
 def test_minhash_recall_cross_checked_against_spark_ml(spark):
     """Independent-implementation check: pyspark.ml's MinHashLSH over the
     same shingle sets must agree with our custom MinHash+banding on the

@@ -124,6 +124,17 @@ def test_e2e_q18_aggregates_before_joining(spark):
     assert agg_depth > join_depth
 
 
+def test_udf_scalar_invokes_python_udf_once(spark):
+    """norm_len derives from the materialized norm_text column, so the
+    plan must contain exactly one ArrowEvalPython invocation of the UDF —
+    a second invocation would double the Arrow round-trip for no reason."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_udf_scalar"](spark, SF_DIR))
+    assert "ArrowEvalPython" in plan, plan
+    assert plan.count("_normalize_text(") == 1, plan
+
+
 def test_dedup_embedding_has_no_allpairs_join(spark):
     """Near-dup candidate generation must be equi-joins on (table, bucket)
     and vec_id — an all-pairs BroadcastNestedLoop/cartesian over the

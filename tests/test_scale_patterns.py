@@ -49,6 +49,17 @@ def test_salted_join_spreads_hot_key(spark, skewed):
     assert max(counts) < 2 * min(counts)  # roughly uniform spread
 
 
+def test_salted_join_rejects_outer_variants(spark, skewed):
+    """Outer salted joins would emit each unmatched small-side row once
+    per replica; the operator must refuse rather than silently duplicate."""
+    import pytest
+
+    fact, dim = skewed
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(fact, dim, "k", how=how)
+
+
 def test_dynamic_partition_pruning(spark, tmp_path_factory):
     """DPP (SURVEY.md §4.2): joining a partitioned fact with a filtered dim
     prunes fact partitions at RUNTIME using the dim's join keys — at

@@ -88,6 +88,61 @@ def test_ingest_cli_end_to_end(spark, tmp_path):
     assert spark.read.parquet(out).count() == 100
 
 
+def test_ingest_cli_kafka_sim_end_to_end(spark, tmp_path):
+    """The offline Kafka stand-in is reachable from the A8 CLI: a bounded
+    kafka_sim run drains the simulated topic through the full decode →
+    checkpointed-sink pipeline."""
+    from kafka_hadoop_consumer_spark.streaming.cli import main
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    main([
+        "--kind", "kafka_sim", "--topic", "cli-t",
+        "--n-partitions", "2", "--n-messages", "50",
+        "--out", out, "--checkpoint", ck,
+    ])
+    got = spark.read.parquet(out)
+    assert got.count() == 100
+    assert {"payload", "topic", "partition", "offset"} <= set(got.columns)
+    assert got.select("topic").distinct().collect()[0][0] == "cli-t"
+
+
+def test_ingest_cli_continuous_bounded(spark, tmp_path):
+    """--continuous (always-on deployment mode) drivable end-to-end: the
+    run processes ≥1 micro-batch and stops cleanly at the bound."""
+    from kafka_hadoop_consumer_spark.streaming.cli import main
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    main([
+        "--kind", "kafka_sim", "--topic", "cont-t",
+        "--n-partitions", "2", "--n-messages", "40",
+        "--continuous", "--max-runtime-sec", "30",
+        "--out", out, "--checkpoint", ck,
+    ])
+    # main() returning at all proves the continuous query stopped cleanly
+    assert spark.read.parquet(out).count() == 80
+
+
+def test_ingest_text_sink_restart(spark, tmp_path):
+    """§2A A6 literal parity: sink_format='text' writes payload lines as
+    text part-files, and a checkpointed rerun appends only the delta."""
+    from kafka_hadoop_consumer_spark.streaming.ingest import SourceSpec, run_ingest
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    spec1 = SourceSpec(kind="kafka_sim", topic="txt",
+                       extra_options={"n_partitions": "2", "n_messages": "30"})
+    run_ingest(spark, spec1, out, ck, sink_format="text")
+    got1 = spark.read.text(out)
+    assert got1.count() == 60
+    assert got1.where(F.col("value") == "msg-1-29").count() == 1
+    # topic grows → rerun ingests exactly the delta into new part-files
+    spec2 = SourceSpec(kind="kafka_sim", topic="txt",
+                       extra_options={"n_partitions": "2", "n_messages": "45"})
+    run_ingest(spark, spec2, out, ck, sink_format="text")
+    got = spark.read.text(out)
+    assert got.count() == 90
+    assert got.distinct().count() == 90
+
+
 def test_kafka_sim_pushdown_and_splits(spark):
     """The custom DataSource honors the three InputFormat contracts:
     per-partition splits, bounded offset scan, offset-range pushdown."""
