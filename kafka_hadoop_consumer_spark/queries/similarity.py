@@ -16,6 +16,8 @@ probe with Hamming-1 multiprobe) — sublinear per-query work at 100 TB.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -25,9 +27,19 @@ from kafka_hadoop_consumer_spark.queries.registry import query
 
 TOP_K = 10
 N_QUERY = 5          # vec_id < 5 are the query vectors
-N_PLANES = 4         # sign-bit LSH hyperplanes → 16 buckets
 DEDUP_COS_THRESHOLD = 0.4
 EMB_DIM = 64
+
+# Multi-table LSH for top-k ANN (q_sim_lsh_topk). L fixed tables drive
+# recall for genuinely-similar vectors; bits-per-table k adapts to corpus
+# size (k ≈ log2(n / target bucket rows)) so buckets stay ~constant-sized
+# at any scale. Per-table probe fraction with Hamming-1 multiprobe is
+# (k+1)/2^k → at n=10⁹ (k≈25) a query touches ~10⁻⁵ of the corpus; at
+# tiny test corpora k floors at 4 and coverage approaches 100% — the
+# correct degeneration (a 500-vector corpus needs no ANN).
+SIM_LSH_TABLES = 8
+SIM_LSH_TARGET_BUCKET = 32
+SIM_LSH_MIN_BITS = 4
 
 # Multi-table LSH for near-dup candidate generation (q_dedup_embedding).
 # k bits/table bounds per-table bucket count (2^k); L tables drive recall:
@@ -181,25 +193,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     ed = e.select("vec_id", _vec_double().alias("v"))
-    planes = _dedup_planes()
-    buckets = [
-        sum(
-            (
-                F.when(
-                    _dot(F.col("v"), F.array(*[F.lit(float(x)) for x in planes[l][j]])) > 0,
-                    F.lit(1 << j),
-                ).otherwise(F.lit(0))
-                for j in range(1, DEDUP_LSH_BITS)
-            ),
-            start=F.when(
-                _dot(F.col("v"), F.array(*[F.lit(float(x)) for x in planes[l][0]])) > 0,
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        ).cast("int")
-        for l in range(DEDUP_LSH_TABLES)
-    ]
     bucketed = ed.select(
-        "vec_id", F.posexplode(F.array(*buckets)).alias("l", "bucket")
+        "vec_id",
+        F.posexplode(
+            F.array(*_table_buckets(F.col("v"), _dedup_planes()))
+        ).alias("l", "bucket"),
     )
     cand = (
         bucketed.alias("a")
@@ -227,23 +225,88 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> list[list[float]]:
-    """Deterministic random hyperplanes (seed 42), shipped as literals."""
+def _table_buckets(vcol, planes: list[list[list[float]]]):
+    """One int bucket column per LSH table: bit j = (v · h[l][j]) > 0.
+    ``planes[l][j]`` is hyperplane j of table l, shipped as literals."""
+    out = []
+    for table in planes:
+        bits = [
+            F.when(
+                _dot(vcol, F.array(*[F.lit(float(x)) for x in row])) > 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            for j, row in enumerate(table)
+        ]
+        out.append(sum(bits[1:], start=bits[0]).cast("int"))
+    return out
+
+
+def _sim_lsh_bits(n: int) -> int:
+    """Bits per table for an n-vector corpus: bucket ≈ TARGET_BUCKET rows."""
+    return max(
+        SIM_LSH_MIN_BITS,
+        int(round(math.log2(max(n, 1) / SIM_LSH_TARGET_BUCKET))),
+    )
+
+
+def _sim_planes(k: int) -> list[list[list[float]]]:
+    """Deterministic hyperplanes (seed 42) for the ANN tables: (L, k, dim)."""
     rng = np.random.RandomState(42)
-    return rng.randn(N_PLANES, EMB_DIM).tolist()
+    return rng.randn(SIM_LSH_TABLES, k, EMB_DIM).tolist()
 
 
-def _bucket_of(vcol):
-    """Sign-bit LSH bucket id: bit j = (v · h_j) > 0."""
-    planes = _hyperplanes()
-    bits = [
-        F.when(
-            _dot(vcol, F.array(*[F.lit(float(x)) for x in planes[j]])) > 0,
-            F.lit(1 << j),
-        ).otherwise(F.lit(0))
-        for j in range(N_PLANES)
-    ]
-    return sum(bits[1:], start=bits[0]).cast("int")
+def lsh_topk(ed: DataFrame, queries: DataFrame, top_k: int = TOP_K) -> DataFrame:
+    """Multi-table sign-bit LSH ANN core over any (vec_id, v) corpus.
+
+    ``ed`` is the corpus (vec_id, v: array<double>), ``queries`` the
+    query side (q_id, qv). Candidate generation: the corpus is bucketed
+    once per table (L bucket ids per vector); each query probes, in each
+    table, its own bucket plus the k Hamming-1 neighbors; union of
+    colliding vectors across tables → exact cosine on candidates only.
+
+    Scale shape: the probe table is L·(k+1) rows per query — broadcast;
+    the corpus never shuffles for candidate generation, and the verify
+    join is an equi-join on vec_id over the (sublinear) candidate set.
+    """
+    n = ed.count()
+    k = _sim_lsh_bits(n)
+    planes = _sim_planes(k)
+    bucketed = ed.select(
+        "vec_id", F.posexplode(F.array(*_table_buckets(F.col("v"), planes))).alias("l", "bucket")
+    )
+    q_ids = queries.select(F.col("q_id").alias("vec_id"))
+    probes = (
+        bucketed.join(F.broadcast(q_ids), "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "l",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("int")
+                        for j in range(k)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    )
+    cand = (
+        bucketed.join(F.broadcast(probes), ["l", "bucket"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        ed.join(cand, "vec_id")
+        .join(F.broadcast(queries), "q_id")
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_k)
+        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    )
 
 
 @query("q_sim_ivf_topk")  # no oracle: approximate by design (SURVEY.md §7 R4)
@@ -320,41 +383,19 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_sim_lsh_topk")  # no oracle: approximate by design (SURVEY.md §7 R4)
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k ANN via random-hyperplane (sign-bit) LSH with
-    Hamming-1 multiprobe.
+    """Approximate top-k ANN via multi-table random-hyperplane LSH with
+    Hamming-1 multiprobe ({SIM_LSH_TABLES} tables; bits/table adapt to
+    corpus size so buckets hold ~{SIM_LSH_TARGET_BUCKET} rows at any n).
 
-    The corpus is bucketed once by {N_PLANES} sign bits; each query probes
-    its own bucket plus the {N_PLANES} buckets one bit-flip away, then
-    brute-forces cosine within the ~(n·(1+{N_PLANES})/2^{N_PLANES})
-    candidates. Sublinear candidate sets at scale; recall vs the exact
-    operator is asserted in tests/test_similarity.py.
+    L independent tables drive recall (≥0.9 gated in
+    tests/test_similarity.py on the fixture AND a 10× synthetic corpus
+    with planted high-cos neighbors); k ≈ log2(n/{SIM_LSH_TARGET_BUCKET})
+    keeps per-query candidate sets sublinear at scale — at n=10⁹, k≈25
+    and a query touches ~10⁻⁵ of the corpus across all tables.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    ed = e.select("vec_id", _vec_double().alias("v")).withColumn(
-        "bucket", _bucket_of(F.col("v"))
+    ed = e.select("vec_id", _vec_double().alias("v"))
+    queries = ed.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    probes = F.array(
-        F.col("bucket"),
-        *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("int")
-            for j in range(N_PLANES)
-        ],
-    )
-    q = (
-        ed.where(F.col("vec_id") < N_QUERY)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("qv"),
-            F.explode(probes).alias("bucket"),
-        )
-    )
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-    return (
-        ed.join(F.broadcast(q), ["bucket"])
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cos.alias("cos_raw"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
-        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"))
-    )
+    return lsh_topk(ed, queries)
