@@ -132,6 +132,8 @@ def check_regressions(timings: dict[str, float], sf: str) -> None:
         return
     with open(ANCHOR) as f:
         anchor = json.load(f)
+    # the driver's BENCH_r{N}.json wraps the bench line under "parsed"
+    anchor = anchor.get("parsed", anchor)
     if float(sf) != float(anchor.get("sf", -1)):
         return
     regressions = []

