@@ -68,6 +68,10 @@ _PRIORITY_KEYS = [
     "q_embed_normquant",
     "q_sample_stratified",
     "q_pack_sequences",
+    # round-2 additions (never driver-checked yet)
+    "q_e2e_q7",
+    "q_dedup_contamination",
+    "q_sample_quota",
 ]
 
 

@@ -152,6 +152,70 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_EVAL_MOD = 10      # doc_id % 10 == 0 → held-out eval set
+CONTAM_MIN_SHARED = 3     # shared shingles to flag contamination
+
+
+@query(
+    "q_dedup_contamination",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh_all AS (
+      SELECT DISTINCT doc_id, s
+      FROM tok,
+           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)
+    ),
+    sh AS (  -- hot shingles carry no contamination signal: df-cap them
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh_all)
+      WHERE df <= {DF_CAP}
+    )
+    SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc,
+           count(*) AS n_shared
+    FROM sh a JOIN sh b ON a.s = b.s
+    WHERE a.doc_id % {CONTAM_EVAL_MOD} != 0 AND b.doc_id % {CONTAM_EVAL_MOD} = 0
+    GROUP BY 1, 2
+    HAVING count(*) >= {CONTAM_MIN_SHARED}
+    """,
+)
+def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing
+    ≥{CONTAM_MIN_SHARED} distinct {N_SHINGLE}-gram shingles with any
+    held-out eval document (here the deterministic doc_id %
+    {CONTAM_EVAL_MOD} == 0 split stands in for the benchmark corpus) —
+    the standard n-gram-overlap contamination check run before training.
+
+    Scale shape: one equi-join on shingle between the (small) eval-side
+    posting set and the train side, with the same hot-shingle df-cap as
+    the dedup family (a stop-phrase shared with an eval doc is not
+    contamination signal, and capping kills the join's skew bomb). At
+    100 TB the eval side is tiny → broadcast; the train side never
+    shuffles more than its capped shingle stream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = persist_tracked(shingles(d))
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > DF_CAP)
+        .select("sh")
+    )
+    capped = sh.join(F.broadcast(hot), "sh", "left_anti")
+    eval_side = capped.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc"), "sh"
+    )
+    train_side = capped.where(F.col("doc_id") % CONTAM_EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_doc"), "sh"
+    )
+    return (
+        train_side.join(F.broadcast(eval_side), "sh")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+
+
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """K min-hashes per doc.
 

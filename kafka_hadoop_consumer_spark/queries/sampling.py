@@ -10,7 +10,7 @@ pipeline stages.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
@@ -35,6 +35,41 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "29"
     ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q_sample_quota",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 50
+    """,
+)
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quota sampling: at most 50 docs per language, chosen by
+    deterministic hash order — the domain-mixing primitive of corpus
+    curation ("cap any one domain/language at N documents").
+
+    Hash-ordered row_number is reproducible across engines, runs, and
+    partitionings (md5 on both sides), unlike rand()-ordered quotas. One
+    shuffle on the group key; at 100 TB, skewed groups are bounded by
+    the quota itself — the window never retains more than the cap per
+    group after the partial top-k AQE applies to window-with-limit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )
 
 
 @query("q_sample_rng")  # no oracle: rng sampling is engine-specific (R4)

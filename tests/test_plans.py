@@ -124,6 +124,17 @@ def test_e2e_q18_aggregates_before_joining(spark):
     assert agg_depth > join_depth
 
 
+def test_e2e_q7_broadcasts_dims_single_fact_shuffle(spark):
+    """Q7's nation-filtered supplier/customer sides must broadcast, so the
+    only shuffle join is lineitem⋈orders; a plan that shuffles the dims
+    (or worse, the facts against them) doesn't survive 100 TB."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_e2e_q7"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_udf_scalar_invokes_python_udf_once(spark):
     """norm_len derives from the materialized norm_text column, so the
     plan must contain exactly one ArrowEvalPython invocation of the UDF —
