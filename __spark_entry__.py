@@ -72,6 +72,9 @@ _PRIORITY_KEYS = [
     "q_e2e_q7",
     "q_dedup_contamination",
     "q_sample_quota",
+    "q_win_cume",
+    "q_text_entropy",
+    "q_agg_mode",
 ]
 
 

@@ -9,7 +9,7 @@ SURVEY.md §7 R2); counts and min/max are exact and stay unrounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
@@ -288,5 +288,39 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             F.hll_sketch_estimate("sk").cast("long").alias("estimated_nd"),
             F.col("exact_nd").cast("long").alias("exact_nd"),
+        )
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY count(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY 1, 2)
+    WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent order priority per
+    status, ties broken by value). Built as count-then-argmax rather
+    than native mode() because mode tie-breaking is engine-dependent;
+    the count agg combines map-side and the argmax window sees only
+    |groups|×|values| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
         )
     )

@@ -286,3 +286,39 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TFIDF_TOP_K)
         .select("doc_id", "tok", "tf", "df", "tfidf")
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, t AS tok, count(*) AS c
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS token_entropy,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS type_token_ratio
+    FROM tf GROUP BY doc_id
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution quality signals per doc: Shannon entropy of the
+    token frequency distribution (H = log2(n) − Σc·log2(c)/n — low
+    entropy ⇒ repetitive/templated text) and type-token ratio. Two
+    map-side-combinable hash aggs (doc,tok) → (doc); no joins, no
+    windows — the shape that survives any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return tf.groupBy("doc_id").agg(
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 4
+        ).alias("token_entropy"),
+        F.round(F.count(F.lit(1)).cast("double") / n, 4).alias("type_token_ratio"),
+    )

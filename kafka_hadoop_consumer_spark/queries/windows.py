@@ -213,3 +213,28 @@ def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("c_custkey").over(w).alias("poorest"),
         F.nth_value("c_custkey", 2).over(w).alias("runner_up"),
     )
+
+
+@query(
+    "q_win_cume",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(cume_dist()    OVER w, 6) AS cd,
+           round(percent_rank() OVER w, 6) AS pr
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+    """,
+)
+def q_win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist / percent_rank: distributional position within each
+    nation. Ordered by value only (no tie-break) — peer groups share
+    ranks identically on both engines; the ratios are exact integer
+    divisions, rounded to 6dp for hash stability."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
