@@ -17,13 +17,20 @@ probe with Hamming-1 multiprobe) — sublinear per-query work at 100 TB.
 from __future__ import annotations
 
 import math
+import sys
 
 import numpy as np
+import pandas as pd
+from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# Executor-side Python workers don't share the driver's sys.path; the
+# pandas UDF below must pickle by value (see queries/udfs.py).
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
 
 TOP_K = 10
 N_QUERY = 5          # vec_id < 5 are the query vectors
@@ -96,11 +103,18 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the raw cosine (ties broken by vec_id); output is rounded.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    ed = e.select("vec_id", _vec_double().alias("v"))
+    # norms precomputed ONCE per vector (mirroring the oracle's e CTE):
+    # the pair expression is then a single array pass (dot) instead of
+    # dot + two norm recomputations per (q, v) pair.
+    ed = e.select(
+        "vec_id", _vec_double().alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
     q = ed.where(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
         ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
@@ -159,12 +173,16 @@ def exact_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     test/recall-measurement use only; deliberately NOT a registered query
     (the registered operator is the bucketed cascade below)."""
     e = load_table(spark, sf_dir, "embeddings")
-    ed = e.select("vec_id", _vec_double().alias("v"))
-    a = ed.select(F.col("vec_id").alias("vec1"), F.col("v").alias("v1"))
-    b = ed.select(F.col("vec_id").alias("vec2"), F.col("v").alias("v2"))
-    cos = F.round(
-        _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 4
+    ed = e.select(
+        "vec_id", _vec_double().alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    a = ed.select(
+        F.col("vec_id").alias("vec1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
     )
+    b = ed.select(
+        F.col("vec_id").alias("vec2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")
+    )
+    cos = F.round(_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 4)
     return (
         a.join(b, F.col("vec1") < F.col("vec2"))
         .select("vec1", "vec2", cos.alias("cos_sim"))
@@ -192,7 +210,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    ed = e.select("vec_id", _vec_double().alias("v"))
+    ed = e.select(
+        "vec_id", _vec_double().alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
     bucketed = ed.select(
         "vec_id",
         F.posexplode(
@@ -212,11 +232,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a = ed.select(F.col("vec_id").alias("vec1"), F.col("v").alias("v1"))
-    b = ed.select(F.col("vec_id").alias("vec2"), F.col("v").alias("v2"))
-    cos = F.round(
-        _dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 4
+    a = ed.select(
+        F.col("vec_id").alias("vec1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
     )
+    b = ed.select(
+        F.col("vec_id").alias("vec2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")
+    )
+    cos = F.round(_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 4)
     return (
         cand.join(a, "vec1")
         .join(b, "vec2")
@@ -270,9 +292,30 @@ def lsh_topk(ed: DataFrame, queries: DataFrame, top_k: int = TOP_K) -> DataFrame
     """
     n = ed.count()
     k = _sim_lsh_bits(n)
-    planes = _sim_planes(k)
-    bucketed = ed.select(
-        "vec_id", F.posexplode(F.array(*_table_buckets(F.col("v"), planes))).alias("l", "bucket")
+    # Bucketing is the hot math (L·k hyperplane dots per vector);
+    # interpreted higher-order functions evaluate per element, so this
+    # is the one place a vectorized Arrow UDF wins: one numpy matmul per
+    # batch (measured ~6× over the HOF formulation at sf0.1). Allowed
+    # here because the key is rows-only checked — q_dedup_embedding, in
+    # contrast, must stay HOF so its arithmetic is bit-identical with
+    # its DuckDB oracle's.
+    H = np.asarray(_sim_planes(k))          # (L, k, dim)
+    Hf = H.reshape(-1, H.shape[-1]).T       # (dim, L·k)
+    weights = 1 << np.arange(k)
+
+    @F.pandas_udf("array<int>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.values)                      # (rows, dim)
+        bits = (V @ Hf) > 0                          # (rows, L·k)
+        b = bits.reshape(len(V), H.shape[0], k) @ weights
+        return pd.Series(list(b.astype(np.int32)))
+
+    # bucketed feeds both the corpus side and the probe side — persist
+    # so the UDF pass over the corpus runs once.
+    bucketed = persist_tracked(
+        ed.select(
+            "vec_id", F.posexplode(_buckets("v")).alias("l", "bucket")
+        )
     )
     q_ids = queries.select(F.col("q_id").alias("vec_id"))
     probes = (
@@ -297,11 +340,13 @@ def lsh_topk(ed: DataFrame, queries: DataFrame, top_k: int = TOP_K) -> DataFrame
         .select("q_id", "vec_id")
         .distinct()
     )
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    edn = ed.withColumn("nrm", _norm(F.col("v")))
+    qn = queries.withColumn("qnrm", _norm(F.col("qv")))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
-        ed.join(cand, "vec_id")
-        .join(F.broadcast(queries), "q_id")
+        edn.join(cand, "vec_id")
+        .join(F.broadcast(qn), "q_id")
         .select("q_id", "vec_id", cos.alias("cos_raw"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= top_k)
@@ -325,7 +370,9 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     nprobe = 3
     e = load_table(spark, sf_dir, "embeddings")
-    ed = e.select("vec_id", "label", _vec_double().alias("v"))
+    ed = e.select("vec_id", "label", _vec_double().alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
 
     # (1) element-wise centroid per cell: posexplode → mean per (cell, pos)
     #     → re-assemble ordered arrays
@@ -341,35 +388,40 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
         .select(F.col("label").alias("cell"), "cv")
+        .withColumn("cnrm", _norm(F.col("cv")))
     )
 
     # (2) assign every vector to its nearest centroid (broadcast centroids)
-    sim_to_cent = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    sim_to_cent = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
     assigned = (
         ed.join(F.broadcast(cent))
-        .select("vec_id", "v", "cell", sim_to_cent.alias("c_sim"))
+        .select("vec_id", "v", "nrm", "cell", sim_to_cent.alias("c_sim"))
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
-        .select("vec_id", "v", "cell")
+        .select("vec_id", "v", "nrm", "cell")
     )
 
     # (3) queries probe their nprobe nearest cells
     w_probe = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
     probes = (
         assigned.where(F.col("vec_id") < N_QUERY)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
         .join(F.broadcast(cent))
         .select(
-            "q_id", "qv", "cell",
-            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("c_sim"),
+            "q_id", "qv", "qnrm", "cell",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))).alias("c_sim"),
         )
         .withColumn("rn", F.row_number().over(w_probe))
         .where(F.col("rn") <= nprobe)
-        .select("q_id", "qv", "cell")
+        .select("q_id", "qv", "qnrm", "cell")
     )
 
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
     w_top = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
     return (
         assigned.join(F.broadcast(probes), ["cell"])
