@@ -219,8 +219,8 @@ def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_cume",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           round(cume_dist()    OVER w, 6) AS cd,
-           round(percent_rank() OVER w, 6) AS pr
+           cume_dist()    OVER w AS cd,
+           percent_rank() OVER w AS pr
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
     """,
@@ -228,13 +228,16 @@ def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cume_dist / percent_rank: distributional position within each
     nation. Ordered by value only (no tie-break) — peer groups share
-    ranks identically on both engines; the ratios are exact integer
-    divisions, rounded to 6dp for hash stability."""
+    ranks identically on both engines. Deliberately UNROUNDED: each
+    value is one integer division (IEEE-correctly-rounded, bit-identical
+    on both engines), whereas round() itself diverges cross-engine at
+    decimal boundaries (HALF_UP on the binary expansion vs
+    multiply-round-divide — caught by the sf0.1 sweep)."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
     )

@@ -124,6 +124,16 @@ def test_e2e_q18_aggregates_before_joining(spark):
     assert agg_depth > join_depth
 
 
+def test_sample_quota_uses_window_group_limit(spark):
+    """The per-group quota must trigger Spark's WindowGroupLimit partial
+    top-k BEFORE the shuffle (each map task forwards ≤cap rows per
+    group) — without it a skewed group ships its full contents."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_sample_quota"](spark, SF_DIR))
+    assert plan.count("WindowGroupLimit") >= 2, plan  # map-side + final
+
+
 def test_e2e_q7_broadcasts_dims_single_fact_shuffle(spark):
     """Q7's nation-filtered supplier/customer sides must broadcast, so the
     only shuffle join is lineitem⋈orders; a plan that shuffles the dims
@@ -155,3 +165,18 @@ def test_dedup_embedding_has_no_allpairs_join(spark):
     plan = formatted_plan(QUERIES["q_dedup_embedding"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_entry_module_reload_is_idempotent(spark):
+    """The driver may import __spark_entry__ more than once; a reload
+    must not re-register query keys (the registry raises on duplicates)."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    importlib.reload(entry)
+    assert len(entry.queries()) == len(entry.oracle_sql()) or len(entry.queries()) > 0
+    # every oracle key must have a query implementation
+    assert set(entry.oracle_sql()) <= set(entry.queries())
