@@ -75,6 +75,7 @@ _PRIORITY_KEYS = [
     "q_win_cume",
     "q_text_entropy",
     "q_agg_mode",
+    "q_e2e_curation",
 ]
 
 

@@ -305,3 +305,76 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("start_offset"),
         F.floor(start / float(PACK_BUDGET)).cast("long").alias("bin_id"),
     )
+
+
+CURATE_QUOTA = 100    # max docs per language after dedup
+
+
+@query(
+    "q_e2e_curation",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 500
+        AND CAST(len(list_filter(string_split(text, ' '),
+                                 t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+            / len(string_split(text, ' ')) < 0.5
+    ),
+    d AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM q)
+      WHERE rn = 1
+    )
+    SELECT doc_id, lang, n_tokens FROM (
+      SELECT doc_id, lang, n_tokens,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qrn
+      FROM d)
+    WHERE qrn <= {CURATE_QUOTA}
+    """,
+)
+def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declarative plan — the composed
+    LLM-data pipeline: quality gate (token band + stopword ratio, the
+    q_text_quality criteria) → exact near-dup removal (order-insensitive
+    bag-of-words fingerprint, min-doc_id survivor) → per-language quota
+    (hash-ordered, the q_sample_quota cap).
+
+    Scale shape: the quality gate and fingerprinting are narrow (no
+    shuffle — filters + per-row expressions on the scan); dedup is one
+    shuffle on the fingerprint and the quota one on lang, and BOTH
+    windows carry a row_number-limit so WindowGroupLimit truncates
+    map-side. Nothing in the plan is corpus-quadratic; at 100 TB this
+    is two bounded shuffles over the quality survivors only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to")))
+        .cast("double") / n_tokens
+    )
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " ")
+    )
+    gated = d.where(n_tokens.between(20, 500) & (stop_ratio < 0.5)).select(
+        "doc_id", "lang", n_tokens.cast("int").alias("n_tokens"), fp.alias("fp")
+    )
+    w_dedup = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    w_quota = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        deduped.withColumn("qrn", F.row_number().over(w_quota))
+        .where(F.col("qrn") <= CURATE_QUOTA)
+        .select("doc_id", "lang", "n_tokens")
+    )
