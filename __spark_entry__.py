@@ -76,6 +76,7 @@ _PRIORITY_KEYS = [
     "q_text_entropy",
     "q_agg_mode",
     "q_e2e_curation",
+    "q_multimodal_frames",
 ]
 
 

@@ -145,3 +145,66 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("checksum").alias("n_distinct"),
         )
     )
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+FRAME_STRIDE = 4       # keep every 4th frame
+RESIZE_MAX = 224       # thumbnail bound (max edge)
+
+
+def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler/resizer (no ffmpeg/PIL in this container).
+
+    Real code would demux the payload and decode every FRAME_STRIDE-th
+    frame, resizing to RESIZE_MAX. The stub derives a deterministic
+    frame count + dimensions from the payload bytes (same rule as
+    _fake_decode) and emits one OUTPUT ROW PER SAMPLED FRAME — the
+    1→N Arrow batch explosion a real sampler produces.
+    """
+    import hashlib
+
+    for pdf in batches:
+        rows: dict[str, list] = {k.name: [] for k in _FRAME_SCHEMA.fields}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            blen = len(payload)
+            n_frames = blen % 24 + 1
+            w, h = blen % 640 + 1, blen % 480 + 1
+            scale = min(1.0, RESIZE_MAX / max(w, h))
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["out_width"].append(max(1, int(w * scale)))
+                rows["out_height"].append(max(1, int(h * scale)))
+                rows["frame_checksum"].append(
+                    hashlib.sha256(bytes(payload) + idx.to_bytes(4, "big"))
+                    .hexdigest()[:12]
+                )
+        yield pd.DataFrame(rows).astype(
+            {"frame_idx": "int32", "out_width": "int32", "out_height": "int32"}
+        )
+
+
+@query("q_multimodal_frames")  # no oracle: mapInPandas plumbing op (R4)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling + resize over binary "video" payloads: every
+    {FRAME_STRIDE}-th frame, thumbnailed to ≤{RESIZE_MAX}px — the
+    mapInPandas shape where each input row explodes into N output rows
+    inside the Arrow batch (demux → sample → resize).
+
+    Scale shape: pure map stage — partition-parallel, zero shuffle; at
+    100 TB the frame stream is written straight to the sink partitioned
+    by whatever downstream training wants. Determinism of the stub lets
+    tests assert exact sampled-frame counts (tests/test_multimodal.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(_fake_frame_sample, schema=_FRAME_SCHEMA)
