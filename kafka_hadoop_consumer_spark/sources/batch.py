@@ -36,3 +36,30 @@ def write_partitioned_parquet(df: DataFrame, path: str,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_sequence_file(df: DataFrame, path: str,
+                        key_col: str | None = None,
+                        value_col: str = "payload") -> None:
+    """Hadoop SequenceFile sink — the reference's literal output format
+    (kafka-hadoop-consumer wrote SequenceFile/Text parts via
+    TextOutputFormat/SequenceFileOutputFormat; §2A A6).
+
+    DataFrame writers don't speak SequenceFile, so this is the one
+    justified RDD drop-down: a narrow map to (key, value) string pairs
+    then ``saveAsSequenceFile`` (org.apache.hadoop.io.Text via the
+    default converters). No shuffle — one part file per partition,
+    exactly the reference's map-task layout.
+    """
+    cols = df.columns
+    if key_col is None:
+        pairs = df.rdd.map(lambda r: ("", str(r[value_col])))
+    else:
+        pairs = df.rdd.map(lambda r, k=key_col: (str(r[k]), str(r[value_col])))
+    pairs.saveAsSequenceFile(path)
+
+
+def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a SequenceFile of Text pairs as (key, value) strings."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, "key string, value string")

@@ -170,3 +170,30 @@ def test_kafka_sim_pushdown_and_splits(spark):
     filtered = df.where(F.col("offset") >= 240)
     assert "GreaterThanOrEqual(offset,240)" in formatted_plan(filtered)
     assert filtered.count() == 40
+
+
+def test_sequence_file_roundtrip(spark, tmp_path):
+    """§2A A6 literal parity: ingested payloads written as Hadoop
+    SequenceFile parts round-trip losslessly, keyed by offset."""
+    from kafka_hadoop_consumer_spark.sources import kafka_sim
+    from kafka_hadoop_consumer_spark.sources.batch import (
+        read_sequence_file,
+        write_sequence_file,
+    )
+
+    kafka_sim.register(spark)
+    msgs = (
+        spark.read.format("kafka_sim")
+        .option("n_partitions", "2").option("n_messages", "40").load()
+        .select(
+            F.concat_ws("-", "partition", "offset").alias("k"),
+            F.col("value").cast("string").alias("payload"),
+        )
+    )
+    out = str(tmp_path / "seq")
+    write_sequence_file(msgs, out, key_col="k")
+    back = read_sequence_file(spark, out)
+    assert back.count() == 80
+    got = {(r["key"], r["value"]) for r in back.collect()}
+    want = {(r["k"], r["payload"]) for r in msgs.collect()}
+    assert got == want
