@@ -77,6 +77,8 @@ _PRIORITY_KEYS = [
     "q_agg_mode",
     "q_e2e_curation",
     "q_multimodal_frames",
+    "q_e2e_q4",
+    "q_e2e_q14",
 ]
 
 
