@@ -122,9 +122,14 @@ def main() -> None:
 
 # Regression guardrail: refactors must not silently slow the headline
 # set. Compared only at the anchor's scale factor (per-query medians are
-# meaningless across SFs); >1.5× on any query fails the run loudly.
+# meaningless across SFs). Thresholds are noise-calibrated: ambient VM
+# load moves single queries up to ~1.5× run-to-run, so the trip wires
+# are any query >2× OR total >1.4× — a real regression (e.g. the cache
+# policy bug: one query 4×, total 1.75×) trips both, noise trips
+# neither. Per-query ratios always print to stderr for inspection.
 ANCHOR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
-REGRESSION_RATIO = 1.5
+QUERY_RATIO = 2.0
+TOTAL_RATIO = 1.4
 
 
 def check_regressions(timings: dict[str, float], sf: str) -> None:
@@ -137,18 +142,22 @@ def check_regressions(timings: dict[str, float], sf: str) -> None:
     if float(sf) != float(anchor.get("sf", -1)):
         return
     regressions = []
+    tot_now = tot_base = 0.0
     for name, sec in timings.items():
         base = anchor.get("queries", {}).get(name)
         if base:
             ratio = sec / base
-            flag = " REGRESSION" if ratio > REGRESSION_RATIO else ""
+            tot_now, tot_base = tot_now + sec, tot_base + base
+            flag = " REGRESSION" if ratio > QUERY_RATIO else ""
             print(f"# vs r01: {name} {sec:.3f}s / {base:.3f}s = {ratio:.2f}x{flag}",
                   file=sys.stderr)
-            if ratio > REGRESSION_RATIO:
-                regressions.append((name, ratio))
+            if ratio > QUERY_RATIO:
+                regressions.append((name, round(ratio, 2)))
+    if tot_base and tot_now / tot_base > TOTAL_RATIO:
+        regressions.append(("TOTAL", round(tot_now / tot_base, 2)))
     if regressions:
-        print(f"BENCH REGRESSION >{REGRESSION_RATIO}x vs {ANCHOR}: {regressions}",
-              file=sys.stderr)
+        print(f"BENCH REGRESSION (> {QUERY_RATIO}x/query or {TOTAL_RATIO}x total) "
+              f"vs {ANCHOR}: {regressions}", file=sys.stderr)
         sys.exit(1)
 
 
