@@ -186,12 +186,14 @@ def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     {CONTAM_EVAL_MOD} == 0 split stands in for the benchmark corpus) —
     the standard n-gram-overlap contamination check run before training.
 
-    Scale shape: one equi-join on shingle between the (small) eval-side
-    posting set and the train side, with the same hot-shingle df-cap as
-    the dedup family (a stop-phrase shared with an eval doc is not
-    contamination signal, and capping kills the join's skew bomb). At
-    100 TB the eval side is tiny → broadcast; the train side never
-    shuffles more than its capped shingle stream.
+    Scale shape: one equi-join on shingle between the eval-side posting
+    set and the train side, with the same hot-shingle df-cap as the
+    dedup family (a stop-phrase shared with an eval doc is not
+    contamination signal, and capping kills the join's skew bomb). A
+    production benchmark set is ~10⁴ docs, so AQE turns the join into a
+    broadcast on its own; the hint is deliberately NOT hard-coded
+    because this fixture's stand-in split (doc_id % {CONTAM_EVAL_MOD})
+    is 10% of the corpus — broadcastable at test scale only.
     """
     d = load_table(spark, sf_dir, "documents")
     sh = persist_tracked(shingles(d))
@@ -209,7 +211,7 @@ def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("train_doc"), "sh"
     )
     return (
-        train_side.join(F.broadcast(eval_side), "sh")
+        train_side.join(eval_side, "sh")
         .groupBy("train_doc", "eval_doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= CONTAM_MIN_SHARED)
