@@ -180,3 +180,38 @@ def test_entry_module_reload_is_idempotent(spark):
     assert len(entry.queries()) == len(entry.oracle_sql()) or len(entry.queries()) > 0
     # every oracle key must have a query implementation
     assert set(entry.oracle_sql()) <= set(entry.queries())
+
+
+def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
+    """Whole-inventory plan lint: no registered operator may contain a
+    CartesianProduct or BroadcastNestedLoopJoin unless it is on the
+    documented whitelist — each entry below is a deliberate
+    corpus-streams-past-broadcast-tiny-side scan, not an accident."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    JUSTIFIED_BNLJ = {
+        "q_join_theta",      # non-equi band join IS the operator
+        "q_text_tfidf",      # crossJoin of a broadcast 1-row corpus count
+        "q_sim_cosine_topk", # corpus streams past 5 broadcast query rows
+        "q_sim_ivf_topk",    # every vector × broadcast centroid table
+    }
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = formatted_plan(fn(spark, SF_DIR))
+        smells = [
+            s for s in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if s in plan
+        ]
+        if smells and name not in JUSTIFIED_BNLJ:
+            offenders[name] = smells
+    assert not offenders, offenders
+
+
+def test_bad_sf_dir_raises_clean_analysis_error(spark):
+    """A wrong data directory must fail fast with AnalysisException (path
+    not found), not a worker-side crash mid-query."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        QUERIES["q_agg_groupby"](spark, "/root/testdata/sf_nope").collect()
