@@ -79,6 +79,8 @@ _PRIORITY_KEYS = [
     "q_multimodal_frames",
     "q_e2e_q4",
     "q_e2e_q14",
+    "q_agg_histogram",
+    "q_pack_bins",
 ]
 
 

@@ -324,3 +324,39 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
         )
     )
+
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 110_000.0, 11
+
+
+@query(
+    "q_agg_histogram",
+    oracle=f"""
+    SELECT CAST(least(greatest(floor((l_extendedprice - {HIST_LO})
+                                     / (({HIST_HI} - {HIST_LO}) / {HIST_BINS})), 0),
+                      {HIST_BINS - 1}) AS INT) AS bin,
+           count(*) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram ({HIST_BINS} bins over [{HIST_LO},
+    {HIST_HI})) — the distribution-profiling staple. Bin arithmetic is
+    plain floor division (engine-neutral, unlike width_bucket whose
+    edge semantics differ); one map-side-combinable hash agg, and the
+    fixed edges mean the same query profiles 100 TB without a prior
+    min/max pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    bin_col = F.least(
+        F.greatest(F.floor((F.col("l_extendedprice") - HIST_LO) / width), F.lit(0)),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    return li.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )

@@ -142,3 +142,62 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL tokenize_long(d.text) t
         """
     )
+
+
+_PACK_BINS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("bin_id", T.IntegerType()),
+    ]
+)
+
+BIN_BUDGET = 512   # tokens per packed bin
+
+
+def _ffd_pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    """First-fit-decreasing bin packing within one group — genuinely
+    sequential/stateful (each placement depends on all prior ones), the
+    applyInPandas case built-ins can't express. Deterministic: items
+    sorted by (tokens desc, doc_id)."""
+    pdf = pdf.sort_values(
+        ["n_tokens", "doc_id"], ascending=[False, True], ignore_index=True
+    )
+    remaining: list[int] = []
+    assigned: list[int] = []
+    for nt in pdf["n_tokens"]:
+        for i, rem in enumerate(remaining):
+            if nt <= rem:
+                remaining[i] = rem - nt
+                assigned.append(i)
+                break
+        else:
+            remaining.append(BIN_BUDGET - nt)
+            assigned.append(len(remaining) - 1)
+    out = pdf[["doc_id", "lang", "n_tokens"]].copy()
+    out["bin_id"] = pd.array(assigned, dtype="int32")
+    return out
+
+
+@query("q_pack_bins")  # no oracle: greedy FFD is inherently sequential (R4)
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing: per language, pack docs
+    into bins of ≤{BIN_BUDGET} tokens (oversize docs get singleton
+    bins) — tighter than the cumulative-sum packing of
+    q_pack_sequences, at the cost of sequential per-group state.
+
+    Scale shape: token counts compute JVM-side; one shuffle on lang
+    brings each group to one Arrow batch. Groups must fit in executor
+    memory — at 100 TB you'd pack per (lang, shard) where shard is a
+    hash prefix, keeping groups bounded while preserving within-shard
+    packing quality (the standard compromise). Properties (no bin over
+    budget, every doc exactly once) gated in tests/test_properties.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with_tokens = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("int").alias("n_tokens")
+    )
+    return with_tokens.groupBy("lang").applyInPandas(
+        _ffd_pack, schema=_PACK_BINS_SCHEMA
+    )

@@ -63,3 +63,23 @@ def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
     """Read back a SequenceFile of Text pairs as (key, value) strings."""
     rdd = spark.sparkContext.sequenceFile(path)
     return spark.createDataFrame(rdd, "key string, value string")
+
+
+def write_bucketed_table(df: DataFrame, table: str, key: str,
+                         n_buckets: int = 32,
+                         sort: bool = True,
+                         mode: str = "overwrite") -> None:
+    """Bucketed (and bucket-sorted) managed table — the write-time
+    pre-shuffle that makes every later equi-join/agg on ``key``
+    shuffle-free (SortMergeJoin with zero Exchange when both sides share
+    the bucketing; plan-asserted in tests/test_scale_patterns.py).
+
+    At 100 TB this is the storage layout for fact tables that join on a
+    stable key every day: pay the shuffle once at ingest, never again.
+    n_buckets should be sized so each bucket file lands near the
+    cluster's target split size (128-512 MB).
+    """
+    writer = df.write.bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.mode(mode).saveAsTable(table)

@@ -222,3 +222,26 @@ def test_sequence_packing_invariants(spark, lengths):
             assert r.bin_id >= prev_bin  # bins contiguous, never backward
             prev_bin = r.bin_id
             cum += r.n_tokens
+
+
+def test_pack_bins_respects_budget_and_covers_all_docs(spark):
+    """FFD packing invariants: every doc placed exactly once; no bin's
+    token sum exceeds the budget unless it is a singleton oversize doc;
+    result deterministic across runs."""
+    from kafka_hadoop_consumer_spark.catalog import load_table
+    from kafka_hadoop_consumer_spark.queries import QUERIES
+    from kafka_hadoop_consumer_spark.queries.udfs import BIN_BUDGET
+    from tests.conftest import SF_DIR
+
+    packed = QUERIES["q_pack_bins"](spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id").toPandas()
+    assert sorted(packed.doc_id) == sorted(docs.doc_id)
+    sums = packed.groupby(["lang", "bin_id"]).agg(
+        total=("n_tokens", "sum"), n=("doc_id", "count")
+    )
+    over = sums[(sums.total > BIN_BUDGET) & (sums.n > 1)]
+    assert over.empty, over
+    again = QUERIES["q_pack_bins"](spark, SF_DIR).toPandas()
+    a = packed.sort_values("doc_id", ignore_index=True)
+    b = again.sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)

@@ -91,12 +91,17 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
     from kafka_hadoop_consumer_spark.catalog import load_table
     from tests.conftest import SF_DIR
 
-    load_table(spark, SF_DIR, "orders").write.bucketBy(
-        n_bkts, "o_custkey"
-    ).sortBy("o_custkey").mode("overwrite").saveAsTable("b_orders")
-    load_table(spark, SF_DIR, "customer").withColumn(
-        "c_custkey2", F.col("c_custkey")
-    ).write.bucketBy(n_bkts, "c_custkey").mode("overwrite").saveAsTable("b_customer")
+    from kafka_hadoop_consumer_spark.sources.batch import write_bucketed_table
+
+    write_bucketed_table(
+        load_table(spark, SF_DIR, "orders"), "b_orders", "o_custkey", n_bkts
+    )
+    write_bucketed_table(
+        load_table(spark, SF_DIR, "customer").withColumn(
+            "c_custkey2", F.col("c_custkey")
+        ),
+        "b_customer", "c_custkey", n_bkts, sort=False,
+    )
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
     try:
