@@ -76,11 +76,14 @@ _PRIORITY_KEYS = [
     "q_text_entropy",
     "q_agg_mode",
     "q_e2e_curation",
-    "q_multimodal_frames",
     "q_e2e_q4",
     "q_e2e_q14",
     "q_agg_histogram",
+    "q_text_bm25",
     "q_pack_bins",
+    # rows-only key last: if the driver's evaluation window caps at 50,
+    # this (pytest-gated) key is the one that overflows
+    "q_multimodal_frames",
 ]
 
 

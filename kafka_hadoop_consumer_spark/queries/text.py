@@ -322,3 +322,71 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token_entropy"),
         F.round(F.count(F.lit(1)).cast("double") / n, 4).alias("type_token_ratio"),
     )
+
+
+BM25_TERMS = ("join", "scan", "filter")
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TOP = 20
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM docs),
+    tf AS (
+      SELECT doc_id, t AS tok, count(*) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)
+      WHERE t IN ('join', 'scan', 'filter')
+      GROUP BY 1, 2),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+    SELECT doc_id, round(sum(
+             ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({BM25_K1} + 1)
+             / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * docs.dl / stats.avgdl))
+           ), 4) AS bm25
+    FROM tf
+    JOIN df USING (tok)
+    JOIN docs USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOP}
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring for a fixed query ({', '.join(BM25_TERMS)}):
+    the classic probabilistic ranking, top-{BM25_TOP} docs.
+
+    Scale shape mirrors tf-idf: term frequencies are one hash agg over
+    the term-filtered token stream (the IN filter prunes before the
+    explode output shuffles); document frequencies and the (N, avgdl)
+    corpus stats are tiny — broadcast back; final top-k is
+    TakeOrderedAndProject. The ln() idf is libm — score rounded 4dp on
+    both engines (SURVEY.md §7 R2)."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (BM25_K1 + 1) / denom
+    return (
+        tf.join(F.broadcast(df_), "tok")
+        .join(docs, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(BM25_TOP)
+    )
