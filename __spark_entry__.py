@@ -80,6 +80,11 @@ _PRIORITY_KEYS = [
     "q_e2e_q14",
     "q_agg_histogram",
     "q_text_bm25",
+    "q_e2e_q19",
+    "q_e2e_q11",
+    "q_agg_percentile",
+    "q_sample_mixture",
+    "q_embed_centroid",
     "q_pack_bins",
     # rows-only key last: if the driver's evaluation window caps at 50,
     # this (pytest-gated) key is the one that overflows

@@ -360,3 +360,40 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("lo"),
         F.round(F.max("l_extendedprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50_disc,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles: percentile_disc (an actual data value,
+    bit-exact cross-engine, left unrounded) and interpolated
+    percentile_cont at p50/p90/p99 (interpolation arithmetic can differ
+    in the last ulp between engines → rounded 4dp).
+
+    Scale note: exact percentiles require the group's values together —
+    one shuffle, same as any grouped agg; Spark's Percentile buffers
+    per-group counts-by-value (OpenHashMap partial state), so heavily
+    duplicated metric values aggregate map-side. For truly unbounded
+    groups at 100 TB the approx path is q_agg_approx_distinct's sibling
+    ``percentile_approx`` (t-digest-like sketch, mergeable, bounded
+    memory) — kept out of the oracle gate because sketches are
+    engine-specific (SURVEY.md §7 R4)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "p50_disc"
+        ),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )

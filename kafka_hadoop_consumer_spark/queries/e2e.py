@@ -345,3 +345,122 @@ def q_e2e_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+Q19_PRED = (
+    # (brand, max p_size, quantity lo, quantity hi) — adapted to the fixture's
+    # columns (no p_container/l_shipmode in the testdata schema)
+    ("Brand#12", 15, 1.0, 11.0),
+    ("Brand#23", 25, 10.0, 20.0),
+    ("Brand#15", 35, 20.0, 30.0),
+)
+
+
+@query(
+    "q_e2e_q19",
+    oracle="""
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY p.p_brand
+    """,
+)
+def q_e2e_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under an OR-of-ANDs predicate
+    that references BOTH join sides (brand/size from part, quantity from
+    lineitem).
+
+    Scale shape — the classic hand-optimization, done declaratively:
+    each side is prefiltered with the *implied* per-side disjunction
+    (part: brand∈{...} with its size cap; lineitem: the quantity-range
+    union) so both predicates push into the parquet scans; the filtered
+    part (a few % of the dim) broadcasts; the full cross-side
+    disjunction then runs as a residual on the joined rows. Catalyst
+    cannot derive the per-side implications from the cross-side OR on
+    its own, so stating them explicitly is what keeps the lineitem scan
+    pruned at 100 TB."""
+    part_pred = None
+    li_pred = None
+    for brand, size_hi, q_lo, q_hi in Q19_PRED:
+        pp = (F.col("p_brand") == brand) & F.col("p_size").between(1, size_hi)
+        lp = F.col("l_quantity").between(q_lo, q_hi)
+        part_pred = pp if part_pred is None else (part_pred | pp)
+        li_pred = lp if li_pred is None else (li_pred | lp)
+    p = load_table(spark, sf_dir, "part").where(part_pred).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(li_pred)
+    residual = None
+    for brand, size_hi, q_lo, q_hi in Q19_PRED:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        residual = c if residual is None else (residual | c)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(residual)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_e2e_q11",
+    oracle="""
+    WITH v AS (
+      SELECT p.p_brand, sum(l.l_extendedprice * (1 - l.l_discount)) AS val
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand),
+    w AS (SELECT p_brand, val, sum(val) OVER () AS total FROM v)
+    SELECT p_brand,
+           round(val, 2) AS value,
+           round(100 * val / total, 4) AS pct
+    FROM w
+    WHERE val > 0.02 * total
+    """,
+)
+def q_e2e_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value vs a global-total threshold
+    (brands holding > 2% of total revenue, with their share).
+
+    Scale shape: Q11's scalar subquery is expressed as ``sum OVER ()``
+    on the ALREADY-AGGREGATED frame — the window runs over |groups| rows
+    (25 brands), not the fact table, so the single-partition window is
+    a no-op at any scale; the fact table is read once. The unrounded
+    threshold compare is safe at a 2%-vs-4% margin; displayed values
+    are rounded (cross-engine sum order, SURVEY.md §7 R2)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    v = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
+        )
+    )
+    total = F.sum("val").over(Window.partitionBy())
+    return (
+        v.withColumn("total", total)
+        .where(F.col("val") > 0.02 * F.col("total"))
+        .select(
+            "p_brand",
+            F.round("val", 2).alias("value"),
+            F.round(100 * F.col("val") / F.col("total"), 4).alias("pct"),
+        )
+    )

@@ -378,3 +378,40 @@ def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("qrn") <= CURATE_QUOTA)
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+@query(
+    "q_embed_centroid",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+          FROM e)
+    SELECT label,
+           CAST(pos AS INT) AS pos,
+           round(avg(x), 6) AS centroid,
+           count(*) AS n_vecs
+    FROM x
+    GROUP BY label, pos
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the k-means M-step / class-prototype
+    primitive), long format: one row per (label, dimension).
+
+    Scale shape: posexplode is narrow (no shuffle); the avg is one hash
+    agg keyed on (label, pos) with map-side partial sums, so the shuffle
+    carries |labels|×|dims| partial states — constant-size regardless of
+    corpus row count. That is exactly how you'd compute centroids for a
+    billion vectors (and iterating it + q_sim_ivf_topk's assignment step
+    is distributed k-means). Component avg is an accumulated double →
+    rounded 6dp on both engines (SURVEY.md §7 R2)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return (
+        e.select("label", F.posexplode(v).alias("pos0", "x"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            F.round(F.avg("x"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

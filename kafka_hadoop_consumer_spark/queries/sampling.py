@@ -116,3 +116,44 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F_n").alias("n_F"),
         F.col("O_n").alias("n_O"),
     )
+
+
+MIX_ALPHA = 0.3  # temperature exponent: 1.0 = natural, 0.0 = uniform
+
+
+@query(
+    "q_sample_mixture",
+    oracle=f"""
+    WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    shares AS (
+      SELECT lang, n_docs, n_docs / sum(n_docs) OVER () AS share FROM counts)
+    SELECT lang, n_docs,
+           round(share, 6) AS share,
+           round(pow(share, {MIX_ALPHA})
+                 / sum(pow(share, {MIX_ALPHA})) OVER (), 6) AS weight
+    FROM shares
+    """,
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mixture weights (the multilingual
+    sampling recipe from mBERT/XLM-R: w_l ∝ (n_l/N)^α, α={MIX_ALPHA}) —
+    upweights low-resource languages for training-data balancing.
+
+    Scale shape: one count-by-lang hash agg over the corpus (map-side
+    combinable); everything after runs on |langs| rows, so the
+    single-partition windows are no-ops at any scale. pow() is libm →
+    weights rounded 6dp on both engines; the share division itself is
+    exact (int counts → double)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    shares = counts.withColumn(
+        "share_raw", F.col("n_docs") / F.sum("n_docs").over(w)
+    )
+    pw = F.pow("share_raw", MIX_ALPHA)
+    return shares.select(
+        "lang",
+        "n_docs",
+        F.round("share_raw", 6).alias("share"),
+        F.round(pw / F.sum(pw).over(w), 6).alias("weight"),
+    )
