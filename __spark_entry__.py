@@ -85,7 +85,10 @@ _PRIORITY_KEYS = [
     "q_agg_percentile",
     "q_sample_mixture",
     "q_embed_centroid",
+    "q_time_gapfill",
+    "q_agg_unpivot",
     "q_pack_bins",
+    "q_embed_kmeans",
     # rows-only key last: if the driver's evaluation window caps at 50,
     # this (pytest-gated) key is the one that overflows
     "q_multimodal_frames",

@@ -397,3 +397,47 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
+
+
+UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "q_agg_unpivot",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{m}' AS measure,
+               count(*) AS n,
+               round(sum({m}), 2) AS total,
+               round(avg({m}), 4) AS avg_val,
+               min({m}) AS min_val,
+               max({m}) AS max_val
+        FROM lineitem"""
+        for m in UNPIVOT_MEASURES
+    ),
+)
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) + per-measure profile: wide numeric columns →
+    (measure, val) long form, then one grouped agg — the
+    column-statistics pass a data-quality profiler runs over every
+    table.
+
+    Scale shape: unpivot is a narrow projection (each input row emits
+    |measures| rows, no shuffle), and the profile is a hash agg with
+    |measures| groups — partial states are map-side-combined so the
+    shuffle carries a handful of rows per partition. The oracle is the
+    portable spelling: one aggregate per measure UNION ALLed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=list(UNPIVOT_MEASURES),
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 2).alias("total"),
+        F.round(F.avg("val"), 4).alias("avg_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

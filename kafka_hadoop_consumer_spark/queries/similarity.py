@@ -451,3 +451,72 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
     return lsh_topk(ed, queries)
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _sq_dist(vcol, centroid: list[float]):
+    """Squared L2 distance between an array column and a centroid literal,
+    as a fixed-order sequential fold (deterministic bit pattern)."""
+    carr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vcol, carr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query("q_embed_kmeans")  # no oracle: iterative algorithm (SURVEY.md §7 R4);
+# pytest cross-checks assignments against an independent NumPy Lloyd's run
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's), k={KMEANS_K}, {KMEANS_ITERS} fixed
+    iterations, deterministic init (vec_id < k are the seeds).
+
+    Spark-first iterative shape: each iteration is (1) an assignment map
+    — squared-L2 against k broadcast centroid LITERALS, argmin with
+    lowest-id tie-break, no shuffle — and (2) a centroid update: one
+    hash agg keyed on (cluster, dim) whose shuffle carries k×dim partial
+    sums (constant-size at any corpus scale), collected to the driver
+    (k×dim doubles — the legitimate driver-side loop, same class as
+    q_dedup_clusters' convergence scalar). Centroids are rounded 6dp
+    each iteration so the floating accumulation order inside the update
+    agg cannot leak into the next assignment — runs are bit-reproducible
+    and match the NumPy mirror in tests/test_similarity.py exactly.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", _vec_double().alias("v"))
+    cents = [
+        [round(float(x), 6) for x in row["v"]]
+        for row in ed.where(F.col("vec_id") < KMEANS_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    for _ in range(KMEANS_ITERS):
+        dists = F.array(*[_sq_dist(F.col("v"), c) for c in cents])
+        assigned = ed.select(
+            "vec_id",
+            "v",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
+        upd = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("c"))
+            .collect()
+        )
+        new = {}
+        for row in upd:
+            new.setdefault(row["cluster"], [0.0] * len(cents[0]))[row["pos"]] = round(
+                row["c"], 6
+            )
+        cents = [new.get(i, cents[i]) for i in range(KMEANS_K)]
+    dists = F.array(*[_sq_dist(F.col("v"), c) for c in cents])
+    return ed.select(
+        "vec_id",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
+        F.round(F.array_min(dists), 6).alias("dist2"),
+    )

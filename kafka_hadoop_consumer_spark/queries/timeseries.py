@@ -243,3 +243,70 @@ def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+GAPFILL_USERS = 20  # fixed panel: bounded spine regardless of SF
+
+
+@query(
+    "q_time_gapfill",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, value
+      FROM events WHERE user_id < {GAPFILL_USERS}),
+    hourly AS (
+      SELECT user_id, hr, round(avg(value), 4) AS v FROM ev GROUP BY 1, 2),
+    b AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM b)
+    SELECT s.user_id, s.hr,
+           last_value(h.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+           CAST(h.v IS NULL AS INT) AS is_gap
+    FROM spine s
+    LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hr = s.hr
+    """,
+)
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify each user's hourly metric onto a
+    regular spine (min..max hour) and carry the last observation forward
+    (LOCF) into the gaps — the hypertable/`time_bucket_gapfill` staple.
+
+    Scale shape: the hourly rollup is one map-side-combinable hash agg;
+    the spine is *generated* per user from its (min, max) bounds —
+    sequence + explode, narrow, no driver loop — and the LOCF is a
+    running `last(ignorenulls)` window that rides the same user_id
+    partitioning as the spine join, so the whole fill is one shuffle.
+    The avg is rounded 4dp before filling (LOCF then copies identical
+    bits on both engines)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < GAPFILL_USERS)
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hr"], "left")
+        .select(
+            "user_id",
+            "hr",
+            F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+            F.col("v").isNull().cast("int").alias("is_gap"),
+        )
+    )

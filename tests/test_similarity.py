@@ -112,3 +112,50 @@ def test_dedup_embedding_recall_vs_exact(spark):
     assert approx <= set(exact), "cascade must emit only true pairs (precision 1.0)"
     recall = len(approx) / len(exact)
     assert recall >= 0.95, f"recall {recall:.3f} ({len(approx)}/{len(exact)})"
+
+
+def test_kmeans_matches_numpy_lloyds(spark):
+    """q_embed_kmeans must reproduce an independent NumPy Lloyd's run
+    exactly: same deterministic init (vec_id < k), same per-iteration
+    6dp centroid rounding (which is what makes both sides bit-stable),
+    same lowest-id argmin tie-break. Also gates that the clustering is
+    non-trivial (every cluster non-empty) and that inertia does not
+    increase across iterations."""
+    import numpy as np
+
+    from kafka_hadoop_consumer_spark.queries.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = (
+        QUERIES["q_embed_kmeans"](spark, SF_DIR)
+        .orderBy("vec_id")
+        .collect()
+    )
+    got = {int(r["vec_id"]): int(r["cluster"]) for r in rows}
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    V = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    cents = np.round(V[:KMEANS_K].copy(), 6)
+    inertias = []
+    for _ in range(KMEANS_ITERS):
+        d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes first occurrence = lowest id
+        inertias.append(d2.min(axis=1).sum())
+        for k in range(KMEANS_K):
+            if (assign == k).any():
+                cents[k] = np.round(V[assign == k].mean(axis=0), 6)
+    d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    final = d2.argmin(axis=1)
+    expected = {int(t["vec_id"][i]): int(final[i]) for i in range(len(t))}
+
+    assert got == expected
+    assert len({c for c in got.values()}) == KMEANS_K, "empty cluster"
+    assert all(
+        b <= a * (1 + 1e-9) for a, b in zip(inertias, inertias[1:])
+    ), f"inertia increased: {inertias}"
