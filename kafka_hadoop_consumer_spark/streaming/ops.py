@@ -216,3 +216,64 @@ def stateful_user_counters(df: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_continuous_rollup(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Continuous aggregate (the hypertable materialized-rollup pattern):
+    maintain a per-(window, event_type) rollup table that stays correct as
+    new micro-batches arrive and across restarts.
+
+    Spark-first shape: the aggregation itself lives in the STREAM (state
+    store holds the running per-bucket totals; update output mode emits
+    only buckets a batch changed), and foreachBatch REPLACES those
+    buckets in the snapshot — replace-not-add is what makes a replayed
+    batch id idempotent, because the emitted rows are full recomputed
+    totals, not deltas. At 100 TB the snapshot rewrite becomes a
+    partition-overwrite (or MERGE on a table format); the stream side
+    already only ships changed buckets.
+    """
+    rolled = (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"), "event_type",
+            "n_events", "total_value",
+        )
+    )
+
+    def replace_buckets(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.cache()
+        try:
+            current = spark.read.parquet(out_path)
+            keep = current.join(
+                batch.select("bucket", "event_type").distinct(),
+                ["bucket", "event_type"],
+                "left_anti",
+            )
+            merged = keep.unionByName(batch)
+        except Exception:  # first batch: no snapshot yet
+            merged = batch
+        merged.cache().count()
+        merged.write.mode("overwrite").parquet(out_path)
+        merged.unpersist()
+        batch.unpersist()
+
+    q = (
+        rolled.writeStream.outputMode("update")
+        .foreachBatch(replace_buckets)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
