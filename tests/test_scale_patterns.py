@@ -139,3 +139,52 @@ def test_observed_metrics_computed_in_same_action(spark, tmp_path):
 
     kept = quality_gate(o, "maybe")
     assert kept.count() == total - m["null_maybe"]
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Runtime bloom-filter injection (SURVEY.md §4.2): when a shuffle
+    join's small side carries a selective filter, Catalyst builds a bloom
+    filter from its join keys and applies `might_contain` on the big side
+    BEFORE the shuffle — at 100 TB that drops most of the fact exchange
+    for selective dim filters, complementing DPP (which needs a
+    partitioned fact, while this works on any layout). The application
+    threshold defaults to 10 GB scans, so the test lowers it to observe
+    the mechanism at fixture scale."""
+    from kafka_hadoop_consumer_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:1500]
+        assert "might_contain" in plan, plan[:1500]
+        n = joined.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    expected = (
+        load_table(spark, SF_DIR, "lineitem")
+        .join(
+            load_table(spark, SF_DIR, "orders").where(
+                F.col("o_totalprice") > 400000
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert n == expected  # the bloom filter is a pre-filter, never lossy
