@@ -87,6 +87,9 @@ _PRIORITY_KEYS = [
     "q_embed_centroid",
     "q_time_gapfill",
     "q_agg_unpivot",
+    "q_win_islands",
+    "q_e2e_funnel",
+    "q_e2e_q22",
     "q_pack_bins",
     "q_embed_kmeans",
     # rows-only key last: if the driver's evaluation window caps at 50,

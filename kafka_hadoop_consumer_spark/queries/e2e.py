@@ -464,3 +464,109 @@ def q_e2e_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100 * F.col("val") / F.col("total"), 4).alias("pct"),
         )
     )
+
+
+@query(
+    "q_e2e_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+          GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase
+    """,
+)
+def q_e2e_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked AFTER the
+    first view, then purchased AFTER that first qualifying click — the
+    product-analytics sequence query (strictly ordered stages, not mere
+    per-type existence).
+
+    Scale shape: each stage is a per-user min() — map-side-combinable hash
+    aggs whose outputs are one row per user — and every stage join is an
+    equi-join on user_id riding the same hash partitioning, so the funnel
+    is a chain of small keyed frames, never a self-join of raw events;
+    min-timestamps compare exactly (no floats)."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+@query(
+    "q_e2e_q22",
+    oracle="""
+    WITH t AS (SELECT avg(c_acctbal) AS thresh FROM customer
+               WHERE c_acctbal > 0)
+    SELECT c.c_mktsegment,
+           count(*) AS n_custs,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c CROSS JOIN t
+    WHERE c.c_acctbal > t.thresh
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_e2e_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers with no BIG-TICKET order
+    (>$300k) — the lost-opportunity report: scalar-subquery threshold +
+    anti join + group. (The fixture gives every customer some order, so
+    the literal Q22 "no orders at all" set is empty; the big-ticket
+    variant keeps the identical plan shape with a non-trivial result.)
+
+    Scale shape: the threshold is a 1-row aggregate broadcast into the
+    filter; the NOT EXISTS is a LEFT ANTI hash join on custkey (orders
+    pre-projected to its join key); both plan-assertable, no correlated
+    per-row probing. The unrounded avg-threshold compare is safe: the
+    avg differs from any 2dp account balance by orders of magnitude more
+    than cross-engine ulp drift."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    thresh = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("thresh")
+    )
+    return (
+        c.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("thresh"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

@@ -241,3 +241,54 @@ def q_win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.percent_rank().over(w).alias("pr"),
     )
+
+
+ISLAND_MIN_LEN = 3
+
+
+@query(
+    "q_win_islands",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS grp
+      FROM events)
+    SELECT user_id, event_type,
+           min(ts) AS island_start,
+           count(*) AS island_len
+    FROM seq
+    GROUP BY user_id, event_type, grp
+    HAVING count(*) >= {ISLAND_MIN_LEN}
+    """,
+)
+def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events per
+    user (streak detection — the classic two-row_number difference trick),
+    keeping streaks of length ≥ {ISLAND_MIN_LEN}.
+
+    Scale shape: both row_numbers and the island agg share the user_id
+    hash partitioning, so the whole query is ONE shuffle; the per-user
+    sort is bounded by a user's event count. event_id breaks timestamp
+    ties so the numbering is total on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("ts").alias("island_start"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .where(F.col("island_len") >= ISLAND_MIN_LEN)
+        .drop("grp")
+    )
