@@ -88,6 +88,8 @@ _PRIORITY_KEYS = [
     "q_time_gapfill",
     "q_agg_unpivot",
     "q_win_islands",
+    "q_time_ohlc",
+    "q_text_cooccur",
     "q_e2e_funnel",
     "q_e2e_q22",
     "q_pack_bins",

@@ -390,3 +390,84 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(BM25_TOP)
     )
+
+
+COOCCUR_MIN_PAIRS = 5
+
+
+@query(
+    "q_text_cooccur",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    cx AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    cxy AS (
+      SELECT a.tok AS t1, b.tok AS t2, count(*) AS c_xy
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING count(*) >= {COOCCUR_MIN_PAIRS}),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT t1, t2, c_xy,
+           round(ln(c_xy * n.n_docs / (x.c * y.c)), 6) AS pmi
+    FROM cxy
+    CROSS JOIN n
+    JOIN cx x ON x.tok = cxy.t1
+    JOIN cx y ON y.tok = cxy.t2
+    """,
+)
+def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level co-occurrence with PMI scoring (the collocation /
+    embedding-prep statistic: which token pairs appear together more
+    than chance).
+
+    Scale shape: pairs are generated INSIDE each document from its
+    sorted distinct-token array (an indexed transform over the array —
+    narrow, no self-join shuffle; the oracle's a⋈b spelling is the same
+    relation), so the only shuffles are the two hash aggs; per-doc pair
+    count is bounded by distinct-tokens², the document-length analogue
+    of the dedup family's df-cap. Token marginals are Zipf-small →
+    broadcast back; ln() is libm → PMI rounded 6dp on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.array_sort(F.array_distinct(F.split("text", " "))).alias("ts")
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ts",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ts"), i + 2, F.size("ts") - i - 1),
+                        lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.t1", "p.t2")
+    cxy = (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= COOCCUR_MIN_PAIRS)
+    )
+    cx = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        cxy.crossJoin(F.broadcast(n))
+        .join(F.broadcast(cx.withColumnRenamed("tok", "t1").withColumnRenamed("c", "cx1")), "t1")
+        .join(F.broadcast(cx.withColumnRenamed("tok", "t2").withColumnRenamed("c", "cx2")), "t2")
+        .select(
+            "t1",
+            "t2",
+            "c_xy",
+            F.round(
+                F.log(F.col("c_xy") * F.col("n_docs") / (F.col("cx1") * F.col("cx2"))),
+                6,
+            ).alias("pmi"),
+        )
+    )

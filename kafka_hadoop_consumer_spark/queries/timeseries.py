@@ -310,3 +310,41 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").isNull().cast("int").alias("is_gap"),
         )
     )
+
+
+@query(
+    "q_time_ohlc",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+           arg_min(value, CAST(ts AS TIMESTAMP)) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, CAST(ts AS TIMESTAMP)) AS close,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: per (series, hour) open/high/low/close bars — the
+    financial downsampling staple, expressed with ordered-argument
+    aggregates (min_by/max_by ≡ DuckDB arg_min/arg_max) instead of a
+    window + dedup pass.
+
+    Scale shape: ONE map-side-combinable hash agg — min_by/max_by partial
+    states are a single (value, ts) pair each, so 100 TB of ticks reduce
+    to |series|×|buckets| rows with no sort and no window; every output
+    is a pass-through double (bit-exact, unrounded). Timestamps are
+    unique per series in the fixture, so the ordered aggregates are
+    deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
