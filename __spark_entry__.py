@@ -92,8 +92,10 @@ _PRIORITY_KEYS = [
     "q_text_cooccur",
     "q_e2e_funnel",
     "q_e2e_q22",
+    "q_sample_split",
     "q_pack_bins",
     "q_embed_kmeans",
+    "q_agg_approx_percentile",
     # rows-only key last: if the driver's evaluation window caps at 50,
     # this (pytest-gated) key is the one that overflows
     "q_multimodal_frames",

@@ -441,3 +441,22 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+@query("q_agg_approx_percentile")  # no oracle: sketch internals are
+# engine-specific (SURVEY.md §7 R4); accuracy is gated vs the exact
+# operator in tests/test_oracle.py
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles via percentile_approx
+    (KLL/GK-style mergeable sketch, bounded memory) — the 100 TB
+    companion to q_agg_percentile's exact path: partial sketches merge
+    map-side, so unbounded groups cost O(sketch) not O(group).
+
+    accuracy=10000 → rank error ≤ 1/10000; pytest gates the result
+    against the exact percentiles."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    )

@@ -157,3 +157,47 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("share_raw", 6).alias("share"),
         F.round(pw / F.sum(pw).over(w), 6).alias("weight"),
     )
+
+
+SPLIT_BOUNDS = ("cc", "e6")  # md5-prefix cut points ≈ 80% / 10% / 10%
+
+
+@query(
+    "q_sample_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                       < '{SPLIT_BOUNDS[0]}' THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                       < '{SPLIT_BOUNDS[1]}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT lang, split, count(*) AS n_docs
+    FROM tagged
+    GROUP BY lang, split
+    """,
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) by content-stable
+    hash — the dataset-versioning staple: a document's split never
+    changes when the corpus grows, shards move, or the job reruns,
+    because membership depends only on its id hash (no RNG, no
+    partition-order dependence).
+
+    Scale shape: the split tag is a narrow projection; the audit count
+    is one map-side-combinable hash agg over |langs|×3 groups. The same
+    CASE predicate filters any split lazily (train-only scan reads
+    nothing else when used as a pushed filter)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < SPLIT_BOUNDS[0], "train")
+        .when(h < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

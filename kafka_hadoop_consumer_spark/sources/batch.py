@@ -22,9 +22,22 @@ def read_csv(spark: SparkSession, path: str, schema: str,
     )
 
 
-def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    """Schema-explicit JSON-lines scan (no inference pass)."""
-    return spark.read.schema(schema).json(path)
+def read_json(spark: SparkSession, path: str, schema: str,
+              mode: str = "PERMISSIVE",
+              corrupt_col: str | None = None) -> DataFrame:
+    """Schema-explicit JSON-lines scan (no inference pass).
+
+    ``mode`` is the malformed-record policy — the knob that decides what
+    a 100 TB ingest does when a producer ships a bad line:
+    PERMISSIVE (default) nulls the row out and, when ``corrupt_col`` is
+    given, quarantines the raw line in that column for a dead-letter
+    audit; DROPMALFORMED silently drops; FAILFAST aborts the job.
+    tests/test_sources.py exercises all three."""
+    reader = spark.read
+    if corrupt_col:
+        schema = f"{schema}, {corrupt_col} string"
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
+    return reader.schema(schema).option("mode", mode).json(path)
 
 
 def write_partitioned_parquet(df: DataFrame, path: str,

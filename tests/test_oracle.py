@@ -48,3 +48,24 @@ def test_sketch_merge_estimates_close_and_consistent(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).cast("long")
     ).collect()[0][0]
     assert abs(rows["ALL"].estimated_nd - whole) <= 0.01 * whole
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """q_agg_approx_percentile: sketch quantiles within 1% relative error
+    of the exact q_agg_percentile values per group (accuracy=10000 →
+    rank error 1e-4; on ~thousands of rows per group that's near-exact)."""
+    from kafka_hadoop_consumer_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["q_agg_percentile"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["q_agg_approx_percentile"](spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for g in exact:
+        for e, a in zip(exact[g], approx[g]):
+            assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (g, e, a)

@@ -197,3 +197,33 @@ def test_sequence_file_roundtrip(spark, tmp_path):
     got = {(r["key"], r["value"]) for r in back.collect()}
     want = {(r["k"], r["payload"]) for r in msgs.collect()}
     assert got == want
+
+
+def test_json_malformed_record_policies(spark, tmp_path):
+    """Bad-producer robustness (read_json mode knob): PERMISSIVE
+    quarantines the raw line in the corrupt column, DROPMALFORMED drops
+    it, FAILFAST aborts — the three dead-letter policies of a 100 TB
+    ingest."""
+    import pytest
+    from kafka_hadoop_consumer_spark.sources import read_json
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.json").write_text(
+        '{"id": 1, "v": 10.0}\n'
+        'THIS IS NOT JSON\n'
+        '{"id": 2, "v": 20.0}\n'
+    )
+    schema = "id long, v double"
+
+    quarantined = read_json(spark, str(p), schema, corrupt_col="_bad").cache()
+    assert quarantined.where(F.col("_bad").isNotNull()).count() == 1
+    bad = quarantined.where(F.col("_bad").isNotNull()).first()
+    assert bad["_bad"] == "THIS IS NOT JSON" and bad["id"] is None
+    assert quarantined.where(F.col("_bad").isNull()).count() == 2
+    quarantined.unpersist()
+
+    assert read_json(spark, str(p), schema, mode="DROPMALFORMED").count() == 2
+
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_json(spark, str(p), schema, mode="FAILFAST").collect()
