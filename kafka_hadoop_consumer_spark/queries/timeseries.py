@@ -274,11 +274,14 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     regular spine (min..max hour) and carry the last observation forward
     (LOCF) into the gaps — the hypertable/`time_bucket_gapfill` staple.
 
-    Scale shape: the hourly rollup is one map-side-combinable hash agg;
-    the spine is *generated* per user from its (min, max) bounds —
-    sequence + explode, narrow, no driver loop — and the LOCF is a
-    running `last(ignorenulls)` window that rides the same user_id
-    partitioning as the spine join, so the whole fill is one shuffle.
+    Scale shape: two shuffles, both cheap by construction. The hourly
+    rollup is a map-side-combinable hash agg (shuffles partial states,
+    not raw events); everything after — bounds, generated spine
+    (sequence + explode, narrow, no driver loop), spine join, and the
+    running `last(ignorenulls)` LOCF window — rides ONE user_id
+    partitioning whose input is already |user×hour| rollup rows, not
+    the fact table. (Collapsing to one shuffle by pre-partitioning on
+    user_id alone would ship raw events instead of partials — worse.)
     The avg is rounded 4dp before filling (LOCF then copies identical
     bits on both engines)."""
     e = load_table(spark, sf_dir, "events").where(F.col("user_id") < GAPFILL_USERS)

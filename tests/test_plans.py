@@ -219,3 +219,25 @@ def test_bad_sf_dir_raises_clean_analysis_error(spark):
 
     with pytest.raises(AnalysisException):
         QUERIES["q_agg_groupby"](spark, "/root/testdata/sf_nope").collect()
+
+
+def test_single_shuffle_claims_hold(spark):
+    """Docstring shuffle-count claims, pinned: gaps-and-islands (both
+    row_numbers + the island agg ride one user_id partitioning) and OHLC
+    (one map-side-combinable agg, no window) are single-shuffle; gapfill
+    pays exactly two (partial-agg rollup, then the user-keyed fill)."""
+    from kafka_hadoop_consumer_spark.plans import n_shuffle_exchanges
+
+    assert n_shuffle_exchanges(QUERIES["q_win_islands"](spark, SF_DIR)) == 1
+    assert n_shuffle_exchanges(QUERIES["q_time_ohlc"](spark, SF_DIR)) == 1
+    assert n_shuffle_exchanges(QUERIES["q_time_gapfill"](spark, SF_DIR)) == 2
+
+
+def test_q22_plans_anti_join_with_broadcast_threshold(spark):
+    """Q22 shape: the NOT EXISTS must plan as a hash LeftAnti join and the
+    1-row avg threshold as a broadcast — no correlated re-execution."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_e2e_q22"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
