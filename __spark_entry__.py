@@ -93,6 +93,7 @@ _PRIORITY_KEYS = [
     "q_e2e_funnel",
     "q_e2e_q22",
     "q_sample_split",
+    "q_text_lmscore",
     "q_pack_bins",
     "q_embed_kmeans",
     "q_agg_approx_percentile",

@@ -471,3 +471,65 @@ def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+LM_SMOOTH = 0.5  # additive smoothing pseudo-count
+
+
+@query(
+    "q_text_lmscore",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tf AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    n AS (SELECT sum(c) AS total, count(*) AS vocab FROM tf),
+    scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             sum(ln((tf.c + {LM_SMOOTH})
+                    / (n.total + {LM_SMOOTH} * n.vocab))) AS logp
+      FROM tok t
+      JOIN tf ON tf.tok = t.tok
+      CROSS JOIN n
+      GROUP BY t.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(logp / n_tokens, 6) AS avg_logp
+    FROM scored
+    """,
+)
+def q_text_lmscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: each document's mean token
+    log-probability under the corpus's own smoothed unigram LM — the
+    CCNet/KenLM-style perplexity quality filter in its simplest exact
+    form (outlier docs score low; the ranking is what the filter
+    thresholds).
+
+    Scale shape: the LM "training" is one token hash agg; the model —
+    (token, count) plus the (total, vocab) scalars — is Zipf-small and
+    broadcasts back onto the token stream, so scoring is a narrow pass
+    over the explode with one final per-doc agg. ln() is libm → the
+    per-doc mean is rounded 6dp on both engines; the count sums feeding
+    it are exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = tf.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    logp = F.log(
+        (F.col("c") + LM_SMOOTH) / (F.col("total") + LM_SMOOTH * F.col("vocab"))
+    )
+    return (
+        tok.join(F.broadcast(tf), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(logp).alias("logp_raw"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("logp_raw") / F.col("n_tokens"), 6).alias("avg_logp"),
+        )
+    )

@@ -195,6 +195,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_text_bm25",       # crossJoin of broadcast 1-row (N, avgdl) stats
         "q_e2e_funnel",      # crossJoin of three 1-row stage counts
         "q_text_cooccur",    # crossJoin of a broadcast 1-row corpus count
+        "q_text_lmscore",    # crossJoin of broadcast 1-row (total, vocab) stats
         "q_e2e_q22",         # crossJoin of a broadcast 1-row avg threshold
         "q_sim_cosine_topk", # corpus streams past 5 broadcast query rows
         "q_sim_ivf_topk",    # every vector × broadcast centroid table

@@ -227,3 +227,21 @@ def test_json_malformed_record_policies(spark, tmp_path):
 
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         read_json(spark, str(p), schema, mode="FAILFAST").collect()
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution on the lake: old files lack a column newer files
+    carry; mergeSchema reads both generations with nulls backfilled —
+    the additive-evolution contract a long-lived 100 TB table relies on."""
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(p)
+    spark.createDataFrame(
+        [(3, "c", 1.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 1.5)}
