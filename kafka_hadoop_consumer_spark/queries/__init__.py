@@ -24,6 +24,7 @@ from kafka_hadoop_consumer_spark.queries import (  # noqa: E402,F401
     sampling,
     e2e,
     pipeline,
+    e2e_tpch,
 )
 
 __all__ = ["QUERIES", "ORACLES", "METAS", "query"]
