@@ -25,6 +25,7 @@ from kafka_hadoop_consumer_spark.queries import (  # noqa: E402,F401
     e2e,
     pipeline,
     e2e_tpch,
+    formats,
 )
 
 __all__ = ["QUERIES", "ORACLES", "METAS", "query"]

@@ -1,0 +1,128 @@
+"""Source/sink format-parity keys: CSV, JSON-lines, and ORC roundtrips.
+
+The reference consumed Kafka byte payloads and wrote text/SequenceFile
+part-files; downstream jobs re-read those files with per-format parsers
+(§2A A5/A6). These keys prove the engine's batch format matrix end-to-end
+*at the value level*: each writes a fixture projection to the format under
+test, reads it back with an explicit schema (never inference — a schema
+inference pass over 100 TB is a full extra scan), and aggregates; the
+DuckDB oracle computes the same aggregate from the original parquet, so
+any roundtrip corruption (quoting, escaping, type mangling, precision
+loss) breaks the hash.
+
+Format choice per key is deliberate:
+- CSV carries only integer/string columns (line-oriented CSV cannot hold
+  free text with embedded newlines without multiLine=true, which kills
+  input splitting at scale — documented, not worked around);
+- JSON-lines carries the full text column (JSON escapes newlines, so the
+  file stays splittable);
+- ORC is the binary columnar cross-check (doubles roundtrip bit-exact).
+
+Writes land under /tmp/khcs_formats/<sf>/ with mode=overwrite, so reruns
+are idempotent and concurrent SFs don't collide.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.catalog import load_table
+from kafka_hadoop_consumer_spark.queries.registry import query
+
+
+def _out_dir(sf_dir: str, fmt: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/khcs_formats/{tag}/{fmt}"
+
+
+@query(
+    "q_source_csv_roundtrip",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink→source roundtrip (header, explicit schema on re-read).
+
+    Carries (doc_id, lang, source, n_chars) — ints and newline-free
+    strings, the columns CSV can hold while staying line-splittable.
+    The re-read aggregate must equal the oracle's aggregate over the
+    original parquet, proving write quoting + read parsing are lossless."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = _out_dir(sf_dir, "csv")
+    d.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema("doc_id bigint, lang string, source string, n_chars bigint")
+        .option("header", "true")
+        .csv(path)
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "q_source_json_roundtrip",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_len,
+           min(md5(text)) AS min_md5
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink→source roundtrip INCLUDING the free-text column —
+    JSON escaping keeps embedded newlines/quotes inside one physical
+    line, so the file stays splittable at 100 TB. The min(md5(text))
+    probe catches any escaping corruption byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    path = _out_dir(sf_dir, "json")
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema("doc_id bigint, text string, source string").json(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_len"),
+        F.min(F.md5("text")).alias("min_md5"),
+    )
+
+
+@query(
+    "q_source_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink→source roundtrip — the second columnar format besides
+    parquet (both ship in Spark; the reference era's Hive pipelines wrote
+    ORC). Doubles roundtrip bit-exact through ORC, so max(o_totalprice)
+    is compared UNROUNDED (a selection, not arithmetic) while the sum is
+    rounded like every cross-engine double aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _out_dir(sf_dir, "orc")
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )

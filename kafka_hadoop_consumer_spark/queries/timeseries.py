@@ -351,3 +351,130 @@ def q_time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ts").alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q_time_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts
+               FROM events GROUP BY user_id),
+    coh AS (SELECT user_id, date_trunc('week', first_ts) AS cohort_week FROM f),
+    act AS (SELECT DISTINCT user_id,
+                   date_trunc('week', CAST(ts AS TIMESTAMP)) AS act_week
+            FROM events),
+    sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM coh GROUP BY 1),
+    r AS (SELECT c.cohort_week,
+                 CAST(datediff('day', c.cohort_week, a.act_week) / 7 AS INT)
+                     AS week_offset,
+                 count(DISTINCT a.user_id) AS n_active
+          FROM act a JOIN coh c ON a.user_id = c.user_id
+          GROUP BY 1, 2)
+    SELECT strftime(r.cohort_week, '%Y-%m-%d') AS cohort_week,
+           r.week_offset, r.n_active,
+           100.0 * r.n_active / s.cohort_size AS retention_pct
+    FROM r JOIN sizes s ON s.cohort_week = r.cohort_week
+    """,
+)
+def q_time_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their first
+    event; for each later week, the share of the cohort still active —
+    the product-analytics staple behind every retention curve.
+
+    Scale shape: THREE aggregations, all map-side-combinable, and every
+    join keyed on user_id or on the tiny (cohort_week) frame: first-event
+    and distinct-activity both reduce the raw events before any join, so
+    the join inputs are |users| and |users×weeks| rows, never raw events;
+    cohort sizes (a few rows) broadcast back. retention_pct is a single
+    division of two exact counts — bit-identical cross-engine, emitted
+    UNROUNDED (SURVEY.md §7 R2 corollary).
+    """
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    coh = first.select(
+        "user_id", F.date_trunc("week", "first_ts").alias("cohort_week")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    sizes = coh.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    r = (
+        act.join(coh, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff("act_week", "cohort_week") / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return r.join(F.broadcast(sizes), "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        (F.lit(100.0) * F.col("n_active") / F.col("cohort_size")).alias(
+            "retention_pct"
+        ),
+    )
+
+
+@query(
+    "q_cdc_scd2",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev_type
+      FROM events),
+    v AS (
+      SELECT *, CAST(sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                              THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM w),
+    runs AS (
+      SELECT user_id, version, event_type,
+             CAST(epoch_us(min(ts)) AS BIGINT) AS valid_from_us
+      FROM v GROUP BY user_id, version, event_type)
+    SELECT user_id, version, event_type, valid_from_us,
+           lead(valid_from_us) OVER
+             (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+           (lead(valid_from_us) OVER
+             (PARTITION BY user_id ORDER BY version) IS NULL) AS is_current
+    FROM runs
+    """,
+)
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 build from a change stream: collapse each user's
+    consecutive runs of equal state (event_type) into versioned validity
+    intervals [valid_from, valid_to) with an is_current flag — the
+    dimension-history operator every warehouse CDC pipeline runs, and the
+    batch mirror of q_dedup_keyed's "latest wins" (which keeps only the
+    final state; this keeps the full history, change-compressed).
+
+    Scale shape: one shuffle on user_id serves the lag window, the
+    run-id cumulative sum, the per-run aggregate, AND the lead window
+    (all partition on user_id; the groupBy key only prefixes version).
+    Interval bounds are integer microseconds — exact cross-engine; the
+    (ts, event_id) order key is unique so every window is deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("event_type").over(w)
+    changed = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    runs = (
+        e.withColumn("version", F.sum(changed).over(wrun))
+        .groupBy("user_id", "version", "event_type")
+        .agg(us(F.min("ts")).alias("valid_from_us"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from_us").over(wv)
+    return runs.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from_us",
+        valid_to.alias("valid_to_us"),
+        valid_to.isNull().alias("is_current"),
+    )
