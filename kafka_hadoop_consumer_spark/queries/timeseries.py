@@ -380,39 +380,45 @@ def q_time_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     event; for each later week, the share of the cohort still active —
     the product-analytics staple behind every retention curve.
 
-    Scale shape: THREE aggregations, all map-side-combinable, and every
-    join keyed on user_id or on the tiny (cohort_week) frame: first-event
-    and distinct-activity both reduce the raw events before any join, so
-    the join inputs are |users| and |users×weeks| rows, never raw events;
-    cohort sizes (a few rows) broadcast back. retention_pct is a single
-    division of two exact counts — bit-identical cross-engine, emitted
-    UNROUNDED (SURVEY.md §7 R2 corollary).
+    Scale shape: raw events are read ONCE — a single user_id hash-agg
+    computes each user's cohort week (min) AND distinct active weeks
+    (collect_set, bounded by the calendar: ≤ weeks-of-history elements,
+    never |events|) — so there is NO user-level join and no second scan
+    anywhere; the exploded (user, week) frame is counted directly
+    (already distinct per user), and the cohort size is recovered from
+    the matrix itself — n_active at offset 0 IS the cohort population
+    (every user is active in their own first week) — via a window over
+    the |cohorts×weeks| aggregate, not another pass. retention_pct is a
+    single division of two exact counts — bit-identical cross-engine,
+    emitted UNROUNDED (SURVEY.md §7 R2 corollary).
     """
     e = load_table(spark, sf_dir, "events")
-    first = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    coh = first.select(
-        "user_id", F.date_trunc("week", "first_ts").alias("cohort_week")
+    per_user = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", "ts")).alias("weeks"),
     )
-    act = e.select(
-        "user_id", F.date_trunc("week", "ts").alias("act_week")
-    ).distinct()
-    sizes = coh.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
-    r = (
-        act.join(coh, "user_id")
-        .withColumn(
-            "week_offset",
-            (F.datediff("act_week", "cohort_week") / 7).cast("int"),
-        )
-        .groupBy("cohort_week", "week_offset")
-        .agg(F.count_distinct("user_id").alias("n_active"))
+    act = per_user.select(
+        "user_id",
+        "cohort_week",
+        F.explode("weeks").alias("act_week"),
+    ).withColumn(
+        "week_offset",
+        (F.datediff("act_week", "cohort_week") / 7).cast("int"),
     )
-    return r.join(F.broadcast(sizes), "cohort_week").select(
+    # one row per (user, act_week) already — a plain count IS the
+    # distinct-user count, no count_distinct expansion needed
+    r = act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    wc = Window.partitionBy("cohort_week")
+    cohort_size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(wc)
+    return r.select(
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "week_offset",
         "n_active",
-        (F.lit(100.0) * F.col("n_active") / F.col("cohort_size")).alias(
-            "retention_pct"
-        ),
+        (F.lit(100.0) * F.col("n_active") / cohort_size).alias("retention_pct"),
     )
 
 

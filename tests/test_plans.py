@@ -242,3 +242,58 @@ def test_q22_plans_anti_join_with_broadcast_threshold(spark):
     plan = formatted_plan(QUERIES["q_e2e_q22"](spark, SF_DIR))
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_new_tpch_shapes_plan_audit(spark):
+    """Plan claims for the round-2 TPC-H completions: Q6 is a pure
+    scan-agg with its predicates pushed; Q16's NOT-IN exclusion plans as
+    a hash LeftAnti; Q20's IN chain as a LeftSemi; Q21 broadcasts the
+    supplier dim and takes its top-20 without a global sort."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    q6 = QUERIES["q_e2e_q6"](spark, SF_DIR)
+    pushed = " ".join(pushed_filters(q6))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+    assert "Join" not in formatted_plan(q6)
+
+    assert "LeftAnti" in formatted_plan(QUERIES["q_e2e_q16"](spark, SF_DIR))
+    assert "LeftSemi" in formatted_plan(QUERIES["q_e2e_q20"](spark, SF_DIR))
+
+    q21 = QUERIES["q_e2e_q21"](spark, SF_DIR)
+    assert has_broadcast_hash_join(q21)
+    assert has_take_ordered(q21)
+
+
+def test_q17_decorrelated_avg_reuses_partkey_shuffle(spark):
+    """Q17's per-part average must NOT add a third shuffle: the avg-qty
+    agg and the main join both hash on l_partkey (one exchange per
+    branch, join rides them)."""
+    from kafka_hadoop_consumer_spark.plans import n_shuffle_exchanges
+
+    assert n_shuffle_exchanges(QUERIES["q_e2e_q17"](spark, SF_DIR)) <= 2
+
+
+def test_scd2_single_user_shuffle(spark):
+    """SCD2 claims one user_id exchange serving lag window, run-id
+    cumsum, per-run agg, and lead window (grouping keys are prefixed by
+    the partition key, so no re-partitioning anywhere)."""
+    from kafka_hadoop_consumer_spark.plans import n_shuffle_exchanges
+
+    assert n_shuffle_exchanges(QUERIES["q_cdc_scd2"](spark, SF_DIR)) == 1
+
+
+def test_retention_single_scan_no_join(spark):
+    """Retention claims: events are scanned ONCE (cohort + activity from
+    one user_id agg; cohort size recovered from the matrix itself), no
+    join anywhere, ≤3 exchanges."""
+    from kafka_hadoop_consumer_spark.plans import (
+        formatted_plan,
+        n_shuffle_exchanges,
+    )
+
+    df = QUERIES["q_time_retention"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Join" not in tree, tree
+    assert n_shuffle_exchanges(df) <= 3
