@@ -42,6 +42,8 @@ HEADLINE = [
     "q_udf_scalar",        # Arrow pandas-UDF path
     "q_win_sessionize",    # lag + cumsum gap sessionization
     "q_text_tfidf",        # tf-idf with broadcast vocabulary
+    "q_e2e_q9",            # 5-table profit rollup (round-2 TPC-H set)
+    "q_cdc_scd2",          # change-compressed SCD2 (single-shuffle windows)
 ]
 
 N_RUNS = 3

@@ -26,6 +26,7 @@ from kafka_hadoop_consumer_spark.queries import (  # noqa: E402,F401
     pipeline,
     e2e_tpch,
     formats,
+    quality,
 )
 
 __all__ = ["QUERIES", "ORACLES", "METAS", "query"]
