@@ -460,3 +460,40 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.9, 10000).alias("p90"),
         F.percentile_approx("value", 0.99, 10000).alias("p99"),
     )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates per group: correlation,
+    population/sample covariance, and the OLS regression family
+    (slope/intercept/R²) — the profiling pass feeding feature selection.
+
+    All are single-pass co-moment aggregates (count/sum/sumsq/sum-xy
+    partials), map-side combinable — one shuffle of constant-size state.
+    skewness/kurtosis are deliberately EXCLUDED from the oracle contract:
+    Spark computes population moments, DuckDB applies sample-bias
+    correction, so they differ beyond rounding by definition (verified
+    1e-6..3e-6 at sf0.01). Every included function is definitionally
+    identical; results rounded for cross-engine sum-order drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_p"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_s"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )

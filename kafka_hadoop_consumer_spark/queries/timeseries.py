@@ -484,3 +484,105 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to_us"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@query(
+    "q_time_ewma",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             lag(value, 1) OVER ew AS l1, lag(value, 2) OVER ew AS l2,
+             lag(value, 3) OVER ew AS l3, lag(value, 4) OVER ew AS l4,
+             lag(value, 5) OVER ew AS l5, lag(value, 6) OVER ew AS l6,
+             lag(value, 7) OVER ew AS l7
+      FROM events
+      WINDOW ew AS (PARTITION BY event_type
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id))
+    SELECT event_type, event_id,
+           ((((((((value
+             + 0.5 * coalesce(l1, 0)) + 0.25 * coalesce(l2, 0))
+             + 0.125 * coalesce(l3, 0)) + 0.0625 * coalesce(l4, 0))
+             + 0.03125 * coalesce(l5, 0)) + 0.015625 * coalesce(l6, 0))
+             + 0.0078125 * coalesce(l7, 0)))
+           /
+           ((((((((1.0
+             + CASE WHEN l1 IS NULL THEN 0 ELSE 0.5 END)
+             + CASE WHEN l2 IS NULL THEN 0 ELSE 0.25 END)
+             + CASE WHEN l3 IS NULL THEN 0 ELSE 0.125 END)
+             + CASE WHEN l4 IS NULL THEN 0 ELSE 0.0625 END)
+             + CASE WHEN l5 IS NULL THEN 0 ELSE 0.03125 END)
+             + CASE WHEN l6 IS NULL THEN 0 ELSE 0.015625 END)
+             + CASE WHEN l7 IS NULL THEN 0 ELSE 0.0078125 END))
+           AS ewma
+    FROM w
+    """,
+)
+def q_time_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per series (α = 0.5,
+    truncated at 8 taps — weights below 2⁻⁷ are beneath double noise for
+    this use), normalized over the taps actually present so the series
+    head isn't biased toward zero.
+
+    Determinism: α = 0.5 makes every weight an exact binary fraction
+    (multiplication is an exponent shift — lossless), and the numerator
+    is written as the same left-associated chain in both engines, so the
+    result is BIT-EXACT cross-engine with no rounding at all — a
+    deliberate contrast to the rounded stochastic aggregates.
+
+    Scale shape: one shuffle on event_type serves all eight lags (same
+    window spec); the tap chain is pure projection (whole-stage codegen,
+    no extra pass per tap). A recursive infinite-history EWMA is
+    inherently sequential; the truncated form is the scalable batch
+    equivalent (error < 2⁻⁸ relative)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lags = [F.lag("value", k).over(w) for k in range(1, 8)]
+    weights = [0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125]
+    num = F.col("value")
+    den = F.lit(1.0)
+    for lk, wk in zip(lags, weights):
+        num = num + wk * F.coalesce(lk, F.lit(0.0))
+        den = den + F.when(lk.isNull(), 0.0).otherwise(wk)
+    return e.select(
+        "event_type", "event_id", (num / den).alias("ewma")
+    )
+
+
+@query(
+    "q_time_rolling",
+    oracle="""
+    SELECT event_type, event_id,
+           round(avg(value) OVER w7, 4) AS roll_mean,
+           round(stddev_pop(value) OVER w7, 4) AS roll_vol,
+           round(min(value) OVER w7, 4) AS roll_min,
+           round(max(value) OVER w7, 4) AS roll_max
+    FROM events
+    WINDOW w7 AS (PARTITION BY event_type
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_time_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row mean/volatility/min/max per series — the moving-
+    statistics panel behind monitoring dashboards and financial bars.
+
+    Scale shape: ONE shuffle on event_type; all four window aggregates
+    share the same frame spec, so Spark evaluates them in a single
+    Window operator pass. Mean and stddev are rounded on both sides
+    (windowed running sums associate differently across engines);
+    min/max are selections but ride the same rounding for a uniform
+    contract."""
+    e = load_table(spark, sf_dir, "events")
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return e.select(
+        "event_type",
+        "event_id",
+        F.round(F.avg("value").over(w7), 4).alias("roll_mean"),
+        F.round(F.stddev_pop("value").over(w7), 4).alias("roll_vol"),
+        F.round(F.min("value").over(w7), 4).alias("roll_min"),
+        F.round(F.max("value").over(w7), 4).alias("roll_max"),
+    )
