@@ -126,3 +126,39 @@ def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@query(
+    "q_source_partitioned_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def q_source_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned write + partition-PRUNED re-read: events
+    land partitioned by event_type; the re-read filters two types, so
+    the scan must touch only those directories (partition pruning — the
+    layout decision that turns a 100 TB scan into a per-type read;
+    pruning is plan-asserted in tests/test_plans.py).
+
+    The aggregate matches the oracle over the ORIGINAL parquet, proving
+    the partition column round-trips losslessly through the directory
+    encoding (partition values live in paths, not data files)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _out_dir(sf_dir, "partitioned")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

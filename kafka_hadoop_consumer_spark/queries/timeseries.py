@@ -586,3 +586,78 @@ def q_time_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value").over(w7), 4).alias("roll_min"),
         F.round(F.max("value").over(w7), 4).alias("roll_max"),
     )
+
+
+MERGE_CUTOFF = "2024-01-16"
+
+
+@query(
+    "q_cdc_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_type, value
+      FROM (SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events
+            WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{MERGE_CUTOFF}')
+      WHERE rn = 1),
+    delta AS (
+      SELECT user_id, event_type, value
+      FROM (SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events
+            WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{MERGE_CUTOFF}')
+      WHERE rn = 1)
+    SELECT coalesce(d.user_id, b.user_id) AS user_id,
+           coalesce(d.event_type, b.event_type) AS event_type,
+           coalesce(d.value, b.value) AS value,
+           CASE WHEN b.user_id IS NULL THEN 'insert'
+                WHEN d.user_id IS NULL THEN 'unchanged'
+                ELSE 'update' END AS action
+    FROM base b FULL JOIN delta d ON d.user_id = b.user_id
+    """,
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE / upsert (the ``MERGE INTO`` shape without a table
+    format): apply a change-batch of per-key latest states onto a base
+    snapshot — matched keys update, unmatched delta keys insert,
+    untouched base keys pass through, each row labeled with its merge
+    action. Complements q_cdc_scd2 (which keeps history; this applies
+    state) and q_dedup_keyed (the compaction primitive both reuse).
+
+    Scale shape: both sides compact to one row per key BEFORE the merge
+    join (row_number over the same user_id partitioning), so the FULL
+    outer join touches |keys|, not |events|, and rides the same user_id
+    hash partitioning — one logical shuffle family, no re-partition.
+    Values pass through unrounded (selections, not arithmetic)."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp_ntz")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    base = latest(e.where(F.col("ts") < cutoff))
+    delta = latest(e.where(F.col("ts") >= cutoff)).select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("event_type").alias("d_event_type"),
+        F.col("value").alias("d_value"),
+    )
+    merged = base.join(delta, base.user_id == delta.d_user_id, "full")
+    return merged.select(
+        F.coalesce("d_user_id", "user_id").alias("user_id"),
+        F.coalesce("d_event_type", "event_type").alias("event_type"),
+        F.coalesce("d_value", "value").alias("value"),
+        F.when(F.col("user_id").isNull(), "insert")
+        .when(F.col("d_user_id").isNull(), "unchanged")
+        .otherwise("update")
+        .alias("action"),
+    )

@@ -297,3 +297,36 @@ def test_retention_single_scan_no_join(spark):
     assert tree.count("Scan parquet") == 1, tree
     assert "Join" not in tree, tree
     assert n_shuffle_exchanges(df) <= 3
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark):
+    """The re-read side of the partitioned roundtrip must serve the
+    event_type filter from PartitionFilters (directory pruning), not a
+    row-level post-scan filter."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    plan = formatted_plan(
+        QUERIES["q_source_partitioned_roundtrip"](spark, SF_DIR)
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:2000]
+
+
+def test_cdc_merge_compacts_before_join(spark):
+    """Both merge sides must reduce to one row per key BEFORE the FULL
+    join (row_number filters below the join in the tree) so the join
+    touches |keys| rows, and the join itself must be a FullOuter hash/
+    sort-merge join, not a nested loop."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_cdc_merge"](spark, SF_DIR))
+    assert "FullOuter" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    join_line = min(
+        i for i, ln in enumerate(tree.splitlines()) if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+    )
+    win_lines = [i for i, ln in enumerate(tree.splitlines()) if "Window" in ln]
+    assert win_lines and all(w > join_line for w in win_lines), tree
