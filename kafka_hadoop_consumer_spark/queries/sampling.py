@@ -201,3 +201,43 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    SELECT doc_id, n_chars, a_key
+    FROM (
+      SELECT doc_id, n_chars,
+             round(pow(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       / 4294967296.0,
+                       1.0 / n_chars), 9) AS a_key
+      FROM documents)
+    ORDER BY a_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis A-Res:
+    each item draws u ∈ [0,1) and scores u^(1/w) (w = n_chars); the
+    top-k scores ARE a weighted sample — long documents proportionally
+    likelier, yet the draw is a pure function of the key.
+
+    Determinism: u comes from the md5 hash (engine-portable, like every
+    sampler here), not rand(); pow() drifts in the last ulp between
+    libm implementations, so the score is rounded to 9dp on BOTH sides
+    before ranking, with doc_id as the tiebreak.
+
+    Scale shape: the score is a zero-shuffle projection; top-100 is
+    TakeOrderedAndProject (per-partition partial top-k, no global
+    sort) — the same one-pass selection at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(4294967296.0)
+    a_key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9)
+    return (
+        d.select("doc_id", "n_chars", a_key.alias("a_key"))
+        .orderBy(F.col("a_key").desc(), F.col("doc_id"))
+        .limit(100)
+    )

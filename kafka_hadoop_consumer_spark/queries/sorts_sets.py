@@ -124,3 +124,36 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     b = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
     return a.exceptAll(b)
+
+
+@query(
+    "q_set_union_byname",
+    oracle="""
+    SELECT event_id, user_id, value, event_type
+    FROM (
+      SELECT event_id, user_id, value
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL BY NAME
+      SELECT event_id, user_id, event_type
+      FROM events WHERE event_id % 2 = 1
+    )
+    """,
+)
+def q_set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two feeds of the same stream with drifted
+    schemas (an old feed lacking event_type, a new feed lacking value)
+    merged positionally-unsafe but NAME-safe — unionByName with
+    allowMissingColumns null-fills the gaps, exactly DuckDB's
+    UNION ALL BY NAME. The everyday operator for reading a dataset
+    whose schema widened mid-history.
+
+    Scale shape: a union is plan-level concatenation — zero shuffle,
+    zero compute; each side's projection pushes into its own scan."""
+    e = load_table(spark, sf_dir, "events")
+    old_feed = e.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    new_feed = e.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type"
+    )
+    return old_feed.unionByName(new_feed, allowMissingColumns=True)
