@@ -18,6 +18,7 @@ from kafka_hadoop_consumer_spark.streaming import (
     kafka_source_options,
     run_ingest,
 )
+from kafka_hadoop_consumer_spark.streaming.ingest import load_stream
 from kafka_hadoop_consumer_spark.streaming import ops
 from tests.conftest import SF_SMALL
 
@@ -506,3 +507,64 @@ def test_continuous_rollup_matches_batch_and_restarts_incrementally(
     rest.repartition(1).write.mode("append").parquet(src)
     ops.run_continuous_rollup(stream(), out, ckpt)
     assert snapshot() == groundtruth(ev)
+
+
+def test_stream_corrupt_record_quarantine(spark, tmp_path):
+    """Streaming dead-letter queue: PERMISSIVE JSON parsing with a
+    corrupt-record column; one foreachBatch routes parsed rows to the
+    main sink and malformed lines VERBATIM to a quarantine sink — a
+    bad producer never crashes the 100 TB ingest and never silently
+    disappears either (the batch `read_json` policies, proven on the
+    streaming path)."""
+    import json as _json
+
+    src = tmp_path / "dlq_src"
+    src.mkdir()
+    good = [
+        {"event_id": i, "user_id": i % 5, "value": float(i)} for i in range(20)
+    ]
+    bad = ["{this is not json", '{"event_id": 999, "user_id":']
+    (src / "part-0.json").write_text(
+        "\n".join([_json.dumps(g) for g in good[:10]] + bad[:1]) + "\n"
+    )
+    (src / "part-1.json").write_text(
+        "\n".join([_json.dumps(g) for g in good[10:]] + bad[1:]) + "\n"
+    )
+
+    spec = SourceSpec(
+        kind="file",
+        format="json",
+        path=str(src),
+        schema="event_id long, user_id long, value double, _bad string",
+        extra_options={
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": "_bad",
+        },
+    )
+    stream = load_stream(spark, spec)
+    out = str(tmp_path / "dlq_out")
+    quarantine = str(tmp_path / "dlq_quarantine")
+
+    def route(batch, _bid):
+        batch.persist()
+        batch.where(F.col("_bad").isNull()).drop("_bad").write.mode(
+            "append"
+        ).parquet(out)
+        batch.where(F.col("_bad").isNotNull()).select("_bad").write.mode(
+            "append"
+        ).parquet(quarantine)
+        batch.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", str(tmp_path / "dlq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    good_back = spark.read.parquet(out)
+    assert good_back.count() == 20
+    assert good_back.where(F.col("event_id").isNull()).count() == 0
+    bad_back = [r["_bad"] for r in spark.read.parquet(quarantine).collect()]
+    assert sorted(bad_back) == sorted(bad), bad_back
