@@ -480,3 +480,70 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("is_representative"),
     )
+
+
+EDITDIST_BAND = 3        # n_chars band width for blocking
+EDITDIST_LEN_TOL = 2     # max length difference within a candidate pair
+EDITDIST_HEAD = 32       # prefix compared
+EDITDIST_MAX = 16        # max edit distance reported (non-trivial at sf0.01+)
+
+
+@query(
+    "q_dedup_editdist",
+    oracle=f"""
+    SELECT doc_id_a, doc_id_b, dist FROM (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(levenshtein(substring(a.text, 1, {EDITDIST_HEAD}),
+                              substring(b.text, 1, {EDITDIST_HEAD})) AS INT) AS dist
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang
+       AND abs(a.n_chars - b.n_chars) <= {EDITDIST_LEN_TOL}
+       AND a.doc_id < b.doc_id)
+    WHERE dist <= {EDITDIST_MAX}
+    """,
+)
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification with banded blocking: candidate
+    pairs come from an EQUI-join on (lang, length-band) — each left doc
+    explodes to its band and both neighbors, so any pair within the
+    length tolerance meets in exactly one band (|band_a − band_b| ≤ 1 is
+    implied by |Δlen| ≤ 2 < band width, and the right side's band is
+    unique → no duplicate pairs) — then Levenshtein on 32-char heads,
+    early-exited at the threshold (Spark's 3-arg levenshtein).
+
+    Scale shape: the blocking join is a hash equi-join (never a
+    length-range theta join, never all-pairs); candidates per doc are
+    bounded by band occupancy, and the quadratic verify runs on
+    candidates only — the same cascade shape as minhash→verify. Edit
+    distance is an exact integer on both engines."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        F.substring("text", 1, EDITDIST_HEAD).alias("head"),
+    )
+    band = (F.col("n_chars") / EDITDIST_BAND).cast("long")
+    left = d.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("len_a"),
+        F.col("head").alias("head_a"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+    )
+    right = d.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("len_b"),
+        F.col("head").alias("head_b"),
+        band.alias("band"),
+    )
+    pairs = left.join(
+        right,
+        (left.lang_a == right.lang_b)
+        & (left.band == right.band)
+        & (left.doc_id_a < right.doc_id_b)
+        & (F.abs(left.len_a - right.len_b) <= EDITDIST_LEN_TOL),
+    )
+    dist = F.levenshtein("head_a", "head_b", EDITDIST_MAX)
+    return (
+        pairs.select("doc_id_a", "doc_id_b", dist.alias("dist"))
+        .where(F.col("dist") >= 0)
+    )

@@ -212,8 +212,10 @@ def q_e2e_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     side) feeding a conditional-ratio aggregate.
 
     Scale shape: part (type-filtered) and both supplier/customer dim
-    chains broadcast; the only shuffles are the two fact-fact edges
-    (lineitem⋈orders on orderkey, then custkey). Ratio of two
+    chains broadcast (the customer side is region-filtered to ~1/5 of
+    the dim and hinted — same documented degrade-to-SMJ story as
+    q_join_multiway if customers outgrow executors), so the ONLY
+    shuffle is the lineitem⋈orders orderkey edge. Ratio of two
     association-order-dependent sums → rounded 6dp on both sides."""
     li = load_table(spark, sf_dir, "lineitem")
     p = (
@@ -243,7 +245,7 @@ def q_e2e_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
