@@ -497,3 +497,29 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
     )
+
+
+@query(
+    "q_agg_boolean",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_discount <= 0.1) AS all_small_discount,
+           bool_or(l_quantity >= 45)   AS any_bulk,
+           CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_high_tax,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_finished
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family: every/any (bool_and/or),
+    count_if, and FILTER-style conditional count — predicate rollups for
+    monitoring dashboards. All exact (boolean/integer), map-side
+    combinable with 1-bit/1-long partial state."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_discount") <= 0.1).alias("all_small_discount"),
+        F.some(F.col("l_quantity") >= 45).alias("any_bulk"),
+        F.count_if(F.col("l_tax") > 0.05).alias("n_high_tax"),
+        F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("n_finished"),
+    )

@@ -162,3 +162,33 @@ def q_source_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "q_source_codec_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(md5(text)) AS min_md5
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_source_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec roundtrip: documents written with zstd
+    (the 100 TB default — snappy-class speed at gzip-class ratio; codec
+    is a per-write knob, not a format property) and re-read; the md5
+    probe proves decompression is byte-lossless. At scale the codec
+    choice moves both storage cost and scan throughput, so it belongs
+    to the engine's tested surface, not ops folklore."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    path = _out_dir(sf_dir, "zstd")
+    d.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min(F.md5("text")).alias("min_md5"),
+    )
