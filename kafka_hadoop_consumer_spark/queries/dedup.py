@@ -78,6 +78,21 @@ def exact_jaccard_pairs(sh: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
     is persisted for the duration of the query. The per-doc sizes table
     is rows=|docs| → broadcast on both probe sides.
     """
+    return pair_overlap_counts(sh, df_cap).select(
+        "doc1",
+        "doc2",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+        ).alias("jaccard"),
+    )
+
+
+def pair_overlap_counts(sh: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
+    """(doc1, doc2, n_inter, n1, n2) for every doc pair sharing ≥1
+    surviving shingle — the shared posting-list core behind both the
+    symmetric (Jaccard) and asymmetric (containment) exact overlap
+    measures; see exact_jaccard_pairs for the plan rationale."""
     posts = persist_tracked(
         sh.groupBy("sh")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -98,18 +113,7 @@ def exact_jaccard_pairs(sh: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
     )
     s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
-    return (
-        inter.join(F.broadcast(s1), "doc1")
-        .join(F.broadcast(s2), "doc2")
-        .select(
-            "doc1",
-            "doc2",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("n1") + F.col("n2") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
-    )
+    return inter.join(F.broadcast(s1), "doc1").join(F.broadcast(s2), "doc2")
 
 
 @query(
@@ -546,4 +550,61 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.select("doc_id_a", "doc_id_b", dist.alias("dist"))
         .where(F.col("dist") >= 0)
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh_all AS (
+      SELECT DISTINCT doc_id, s
+      FROM tok,
+           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)
+    ),
+    sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh_all)
+      WHERE df <= {DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           CAST(n_inter AS DOUBLE) / least(s1.n_sh, s2.n_sh) AS containment
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE CAST(n_inter AS DOUBLE) / least(s1.n_sh, s2.n_sh)
+          > {CONTAINMENT_THRESHOLD}
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|) > 0.8 —
+    the asymmetric overlap measure that catches a short document quoted
+    wholesale inside a longer one, which symmetric Jaccard misses (the
+    union in its denominator is dominated by the longer doc). The
+    standard companion to Jaccard in corpus dedup (Broder's containment).
+
+    Scale shape: identical posting-list core as q_dedup_ngram_jaccard
+    (pair_overlap_counts — one shingle shuffle, df-capped fan-out,
+    broadcast size tables); only the final ratio differs. The ratio is
+    one IEEE division of two exact integers → bit-identical cross-engine,
+    threshold and value both UNROUNDED."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    counts = pair_overlap_counts(sh)
+    containment = F.col("n_inter").cast("double") / F.least(
+        F.col("n1"), F.col("n2")
+    )
+    return (
+        counts.select("doc1", "doc2", containment.alias("containment"))
+        .where(F.col("containment") > CONTAINMENT_THRESHOLD)
     )
