@@ -140,3 +140,51 @@ def q_time_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("z")) > 3)
         .select("event_id", "event_type", "value", "z")
     )
+
+
+@query(
+    "q_fn_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_disc(value, 0.01) AS lo,
+             quantile_disc(value, 0.99) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           least(greatest(e.value, b.lo), b.hi) AS clipped,
+           (e.value < b.lo OR e.value > b.hi) AS is_clipped
+    FROM events e JOIN b ON b.event_type = e.event_type
+    """,
+)
+def q_fn_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each series to its exact [p1, p99] band — the
+    outlier treatment that caps rather than drops (value distributions
+    survive, tails stop dominating sums).
+
+    Determinism: percentile_disc picks ACTUAL data values (selections,
+    bit-exact cross-engine — Spark's percentile_disc ≡ DuckDB's
+    quantile_disc, verified on the fixture), and clipping is pure
+    min/max comparison, so every output column is unrounded.
+
+    Scale shape: the per-series bounds are a grouped agg producing
+    |series| rows, broadcast back over the events scan — the fact table
+    never shuffles (the same stats-join shape as q_time_anomaly)."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY value)").alias("lo"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("hi"),
+    )
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+                "clipped"
+            ),
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+                "is_clipped"
+            ),
+        )
+    )

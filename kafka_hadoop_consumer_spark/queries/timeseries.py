@@ -661,3 +661,53 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+DEBOUNCE_GAP_US = 3600 * 1_000_000  # 1-hour cooldown per (user, type)
+
+
+@query(
+    "q_dedup_debounce",
+    oracle=f"""
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER
+               (PARTITION BY user_id, event_type
+                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      FROM events)
+    WHERE prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) > {DEBOUNCE_GAP_US}
+    """,
+)
+def q_dedup_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / cooldown dedup: keep an event only if the SAME user's
+    previous event of the SAME type is more than 1 hour older — the
+    rate-limiting dedup of alerting and notification pipelines (batch
+    analogue of streaming dropDuplicatesWithinWatermark, which
+    s_stream_dedup covers).
+
+    NOTE the chained-suppression semantics: the gap is measured to the
+    previous RAW event, not the previous kept one — a steady drip of
+    sub-hour events suppresses everything after the first (lag-based,
+    one window pass). Keeping gap-to-last-KEPT would need a running
+    session reset — that variant is exactly q_win_sessionize's first
+    event per session.
+
+    Scale shape: one shuffle on (user_id, event_type); the lag compare
+    is integer microseconds — exact cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_us = us(F.lag("ts").over(w))
+    return (
+        e.withColumn("prev_us", prev_us)
+        .where(
+            F.col("prev_us").isNull()
+            | (us(F.col("ts")) - F.col("prev_us") > DEBOUNCE_GAP_US)
+        )
+        .select(
+            "event_id", "user_id", "event_type", us(F.col("ts")).alias("ts_us")
+        )
+    )
