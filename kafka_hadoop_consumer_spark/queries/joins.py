@@ -206,3 +206,34 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_join_skewed",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join: the salted-join operator as a first-class
+    query — fact (events) salted into 8 sub-keys, dim (customer) replicated
+    8x, join on (key, salt).
+
+    Result set is IDENTICAL to the plain equi-join (the oracle): salting
+    only re-shards the shuffle. At 100 TB this is the structural answer to
+    pathological single-key skew (one user = 30% of the fact table) that
+    AQE's skew splitting can't fix for broadcast/hash joins — each hot key
+    spreads over n_salts tasks at the cost of replicating the small side.
+    See operators/salting.py for the determinism argument (hash-derived
+    salt, no rand()).
+    """
+    from kafka_hadoop_consumer_spark.operators.salting import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return salted_join(e, c, on="user_id", n_salts=8).select(
+        "event_id", "user_id", "value", "c_name", "c_mktsegment"
+    )

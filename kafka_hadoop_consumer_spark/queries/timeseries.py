@@ -711,3 +711,221 @@ def q_dedup_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "event_type", us(F.col("ts")).alias("ts_us")
         )
     )
+
+
+# --- interval-overlap join -------------------------------------------------
+# Fixed campaign calendar over the fixture's event range (Jan 2024): 15
+# windows, one every 2 days, each 36 h long. Constants (not data-derived
+# scalars) so both engines build the identical dim without an extra pass.
+IVL_BASE_US = 1_704_067_200_000_000  # epoch micros of 2024-01-01 00:00 UTC
+IVL_STEP_US = 2 * 24 * 3600 * 1_000_000  # campaign every 2 days
+IVL_LEN_US = 36 * 3600 * 1_000_000  # each lasts 36 h
+IVL_N = 15
+IVL_BUCKET_US = IVL_STEP_US  # time-bucket width for the equi-join prefilter
+
+
+@query(
+    "q_join_interval",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    lagd AS (
+      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM e),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM lagd),
+    sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    iv AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+      FROM sess GROUP BY 1, 2),
+    camp AS (
+      SELECT range AS campaign_id,
+             {IVL_BASE_US} + range * {IVL_STEP_US} AS ws,
+             {IVL_BASE_US} + range * {IVL_STEP_US} + {IVL_LEN_US} AS we
+      FROM range({IVL_N}))
+    SELECT iv.user_id, iv.session_id, camp.campaign_id,
+           least(iv.e, camp.we) - greatest(iv.s, camp.ws) AS overlap_us
+    FROM iv JOIN camp ON iv.s < camp.we AND iv.e >= camp.ws
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user activity sessions x campaign windows,
+    emitting the overlap duration for every (session, campaign) pair whose
+    intervals intersect ([s,e] closed vs [ws,we) half-open: s < we AND
+    e >= ws).
+
+    The oracle is the plain theta join; the engine plan is the
+    SCALE-SAFE shape: both interval sets explode into the 2-day time
+    buckets they cover, the pairing is an EQUI-join on the bucket, the
+    overlap predicate is a residual, and each pair is emitted exactly
+    once (only in the bucket where the LATER of the two starts falls:
+    bkt = greatest(s,ws) DIV W) — so no distinct pass and no
+    BroadcastNestedLoop over unbounded ranges. At test scale Spark
+    broadcasts the tiny exploded campaign side; with two large inputs
+    the same plan becomes a shuffle hash join on the bucket key, cost
+    proportional to co-bucketed pairs rather than |A|x|B|.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = us(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull() | (us(F.col("ts")) - prev_us > SESSION_GAP_US), 1
+    ).otherwise(0)
+    iv = (
+        e.withColumn("session_id", F.sum(is_new).over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(us(F.min("ts")).alias("s"), us(F.max("ts")).alias("e"))
+    )
+    camp = (
+        spark.range(IVL_N)
+        .select(
+            F.col("id").alias("campaign_id"),
+            (F.lit(IVL_BASE_US) + F.col("id") * IVL_STEP_US).alias("ws"),
+            (F.lit(IVL_BASE_US) + F.col("id") * IVL_STEP_US + IVL_LEN_US).alias("we"),
+        )
+    )
+    W = IVL_BUCKET_US
+    sb = iv.withColumn(
+        "bkt", F.explode(F.expr(f"sequence(s DIV {W}, e DIV {W})"))
+    )
+    cb = camp.withColumn(
+        "bkt", F.explode(F.expr(f"sequence(ws DIV {W}, (we - 1) DIV {W})"))
+    )
+    return (
+        sb.join(cb, "bkt")
+        .where(
+            (F.col("s") < F.col("we"))
+            & (F.col("e") >= F.col("ws"))
+            & (F.col("bkt") == F.expr(f"greatest(s, ws) DIV {W}"))
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "campaign_id",
+            (F.least("e", "we") - F.greatest("s", "ws")).alias("overlap_us"),
+        )
+    )
+
+
+@query(
+    "q_time_interp",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, value
+      FROM events WHERE user_id < {GAPFILL_USERS}),
+    hourly AS (
+      SELECT user_id, hr, round(avg(value), 4) AS v FROM ev GROUP BY 1, 2),
+    b AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM b),
+    j AS (
+      SELECT s.user_id, s.hr, h.v,
+             CASE WHEN h.v IS NULL THEN NULL ELSE s.hr END AS obs_hr
+      FROM spine s
+      LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hr = s.hr),
+    ctx AS (
+      SELECT user_id, hr, v,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(obs_hr IGNORE NULLS) OVER wp AS ph,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(obs_hr IGNORE NULLS) OVER wf AS nh
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY hr
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, hr,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE CAST(CAST(round(pv * 10000) AS BIGINT) * (datediff('hour', ph, nh) - datediff('hour', ph, hr))
+                       + CAST(round(nv * 10000) AS BIGINT) * datediff('hour', ph, hr) AS DOUBLE)
+                  / (datediff('hour', ph, nh) * 10000.0)
+           END AS value_interp,
+           CAST(v IS NULL AS INT) AS is_gap
+    FROM ctx
+    """,
+)
+def q_time_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill: densify each user's hourly metric and
+    fill gaps by interpolating between the neighboring OBSERVED points
+    (edges fall back to nearest-value); the companion to q_time_gapfill's
+    LOCF.
+
+    Same scale shape as gapfill (map-side-combinable rollup, generated
+    spine, one user_id partitioning) plus ONE extra window pass: the
+    backward context (prev observed value/hour) and forward context (next
+    observed value/hour) both ride the same user_id partitioning — sorted
+    once, scanned in both frame directions, no extra shuffle. The
+    interpolation fraction is exact integer-microsecond arithmetic cast
+    to double; the result is rounded 4dp on both engines.
+    """
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < GAPFILL_USERS)
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.round(F.avg("value"), 4).alias("v"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr"),
+        )
+    )
+    j = (
+        spine.join(hourly, ["user_id", "hr"], "left")
+        .withColumn("obs_hr", F.when(F.col("v").isNotNull(), F.col("hr")))
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    ctx = j.select(
+        "user_id",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last("obs_hr", ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first("obs_hr", ignorenulls=True).over(wf).alias("nh"),
+    )
+    # Exact fixed-point interpolation: endpoints are 4dp-rounded doubles →
+    # scale to integers (x10000); the fraction is whole hours on the spine.
+    # One integer dot-product + ONE double division (IEEE correctly rounded
+    # → bit-identical across engines; no round() boundary flips).
+    hrs = lambda a, b: ((us(b) - us(a)) / F.lit(3_600_000_000)).cast("long")  # noqa: E731
+    pvi = F.round(F.col("pv") * 10000).cast("long")
+    nvi = F.round(F.col("nv") * 10000).cast("long")
+    dn = hrs("ph", "hr")
+    dd = hrs("ph", "nh")
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise((pvi * (dd - dn) + nvi * dn).cast("double") / (dd * F.lit(10000.0)))
+    )
+    return ctx.select(
+        "user_id",
+        "hr",
+        interp.alias("value_interp"),
+        F.col("v").isNull().cast("int").alias("is_gap"),
+    )

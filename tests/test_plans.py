@@ -330,3 +330,40 @@ def test_cdc_merge_compacts_before_join(spark):
     )
     win_lines = [i for i, ln in enumerate(tree.splitlines()) if "Window" in ln]
     assert win_lines and all(w > join_line for w in win_lines), tree
+
+
+def test_interval_join_is_bucketized_equi_join(spark):
+    """q_join_interval must pair intervals via the bucket EQUI-join (hash
+    join, no BroadcastNestedLoopJoin over raw ranges) and pay only the one
+    sessionization shuffle — the scale contract from its docstring."""
+    from kafka_hadoop_consumer_spark.plans import (
+        formatted_plan,
+        n_shuffle_exchanges,
+    )
+
+    df = QUERIES["q_join_interval"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert n_shuffle_exchanges(df) == 1
+
+
+def test_time_interp_rides_gapfill_shuffle_budget(spark):
+    """Both interpolation context windows (backward prev-obs, forward
+    next-obs) must ride the same user_id partitioning as the LOCF fill —
+    exactly gapfill's two shuffles, not a third for the second frame."""
+    from kafka_hadoop_consumer_spark.plans import n_shuffle_exchanges
+
+    assert n_shuffle_exchanges(QUERIES["q_time_interp"](spark, SF_DIR)) == 2
+
+
+def test_skewed_join_spreads_key_over_salts(spark):
+    """q_join_skewed joins on the composite (user_id, _salt) — the salted
+    key must reach the physical join so a hot user hashes to n_salts
+    distinct shuffle/broadcast slots."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_join_skewed"](spark, SF_DIR))
+    assert "_salt" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
