@@ -6,10 +6,22 @@ users can apply them to their own tables: shingling, MinHash signatures,
 exact Jaccard scoring, LSH bucketing for embeddings.
 """
 
+from kafka_hadoop_consumer_spark.operators.salting import salted_join
+from kafka_hadoop_consumer_spark.operators.temporal import (
+    asof_join,
+    interval_overlap_join,
+)
 from kafka_hadoop_consumer_spark.queries.dedup import (
     exact_jaccard_pairs,
     minhash_signatures,
     shingles,
 )
 
-__all__ = ["shingles", "minhash_signatures", "exact_jaccard_pairs"]
+__all__ = [
+    "shingles",
+    "minhash_signatures",
+    "exact_jaccard_pairs",
+    "salted_join",
+    "asof_join",
+    "interval_overlap_join",
+]

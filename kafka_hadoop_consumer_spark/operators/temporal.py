@@ -1,0 +1,127 @@
+"""Temporal join operators (library API): as-of join and interval-overlap
+join — the two time-series joins Spark has no native operator for,
+expressed as compositions that keep Catalyst in charge of the physical
+plan (SURVEY.md §2B temporal-join rows; the registered q_join_asof /
+q_join_interval keys are fixture-bound instances of these).
+
+Both are equi-join-shaped on purpose:
+
+- ``asof_join`` is an equi-join on the ``by`` key with a one-sided time
+  residual, then a per-left-row window picks the single winner — one
+  shuffle on the key, never a cross product.
+- ``interval_overlap_join`` never evaluates raw range-vs-range pairing:
+  each interval explodes into the fixed-width time buckets it covers and
+  the pairing is an EQUI-join on the bucket id, with the true overlap
+  predicate as a residual and an emit-once guard so a pair meeting in
+  several buckets is produced exactly once. Cost is proportional to
+  co-bucketed candidates, not |A|x|B|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    left_key: str,
+    direction: str = "backward",
+    tolerance: int | None = None,
+    how: str = "inner",
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the single closest right row at-or-before
+    (``backward``) / at-or-after (``forward``) its timestamp, per ``by`` key.
+
+    ``left_key`` must uniquely identify left rows (the winner window
+    partitions on it). ``tolerance`` (same units as the timestamp columns)
+    bounds how far back/forward a match may be. ``how='left'`` keeps
+    unmatched left rows null-extended. Equal right timestamps are broken
+    by ``tie_break`` (a unique right column, ordered in the same direction
+    as the timestamp) — pass one whenever right timestamps can collide,
+    or the winner among ties is nondeterministic.
+
+    Non-``by`` column names must be disjoint between the two inputs.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports how in ('inner','left'), got {how!r}")
+    overlap = (set(left.columns) & set(right.columns)) - {by}
+    if overlap:
+        raise ValueError(f"non-by columns must be disjoint, shared: {sorted(overlap)}")
+
+    r = right.withColumnRenamed(by, "_asof_by")
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    if direction == "backward":
+        cond = rt <= lt
+        if tolerance is not None:
+            cond &= rt >= lt - F.lit(tolerance)
+        order = [rt.desc()]
+        if tie_break is not None:
+            order.append(F.col(tie_break).desc())
+    else:
+        cond = rt >= lt
+        if tolerance is not None:
+            cond &= rt <= lt + F.lit(tolerance)
+        order = [rt.asc()]
+        if tie_break is not None:
+            order.append(F.col(tie_break).asc())
+    w = Window.partitionBy(left_key).orderBy(*order)
+    return (
+        left.join(r, (F.col(by) == F.col("_asof_by")) & cond, how)
+        .withColumn("_asof_rn", F.row_number().over(w))
+        .where(F.col("_asof_rn") == 1)
+        .drop("_asof_rn", "_asof_by")
+    )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """All (a, b) pairs whose intervals intersect — a's interval closed
+    [a_start, a_end], b's half-open [b_start, b_end): overlap iff
+    ``a_start < b_end AND a_end >= b_start``. Interval bounds must be
+    integers (e.g. epoch micros); column names must be disjoint.
+
+    Scale shape (see module docstring): both sides explode into
+    ``bucket_width``-sized time buckets, pair via an equi-join on the
+    bucket, and each pair is emitted only in the bucket containing
+    ``greatest(a_start, b_start)`` — one output row per overlapping pair,
+    no distinct pass. Pick ``bucket_width`` near the typical interval
+    length: too small multiplies the explode fan-out
+    (span/bucket_width rows per interval), too large co-buckets
+    non-overlapping intervals and shifts cost to the residual filter.
+    """
+    if set(a.columns) & set(b.columns):
+        raise ValueError(
+            f"column names must be disjoint, shared: {sorted(set(a.columns) & set(b.columns))}"
+        )
+    W = int(bucket_width)
+    ab = a.withColumn(
+        "_ivl_bkt", F.explode(F.expr(f"sequence({a_start} DIV {W}, {a_end} DIV {W})"))
+    )
+    bb = b.withColumn(
+        "_ivl_bkt",
+        F.explode(F.expr(f"sequence({b_start} DIV {W}, ({b_end} - 1) DIV {W})")),
+    )
+    return (
+        ab.join(bb, "_ivl_bkt")
+        .where(
+            (F.col(a_start) < F.col(b_end))
+            & (F.col(a_end) >= F.col(b_start))
+            & (F.col("_ivl_bkt") == F.expr(f"greatest({a_start}, {b_start}) DIV {W}"))
+        )
+        .drop("_ivl_bkt")
+    )

@@ -154,30 +154,26 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (no native Spark op): for each purchase, the most recent
-    view at-or-before it, per user. Composite: equi-join on user +
-    backward inequality + row_number()=1 winner per left row.
+    view at-or-before it, per user — the generic ``operators.temporal.
+    asof_join`` (equi-join on user + backward inequality + row_number()=1
+    winner per left row) applied to the events fixture.
 
     The oracle uses the equivalent window SQL rather than DuckDB's ASOF
     JOIN, whose tie-breaking among equal timestamps is unspecified.
     """
+    from kafka_hadoop_consumer_spark.operators.temporal import asof_join
+
     e = load_table(spark, sf_dir, "events")
     p = e.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
     )
     v = e.where(F.col("event_type") == "view").select(
-        F.col("event_id").alias("view_id"),
-        F.col("user_id").alias("v_user_id"),
-        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
     )
-    w = Window.partitionBy("purchase_id").orderBy(
-        F.col("v_ts").desc(), F.col("view_id").desc()
-    )
-    return (
-        p.join(v, (p.user_id == v.v_user_id) & (v.v_ts <= p.p_ts))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("purchase_id", "view_id", "user_id")
-    )
+    return asof_join(
+        p, v, by="user_id", left_ts="p_ts", right_ts="v_ts",
+        left_key="purchase_id", direction="backward", tie_break="view_id",
+    ).select("purchase_id", "view_id", "user_id")
 
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
@@ -793,26 +789,16 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(IVL_BASE_US) + F.col("id") * IVL_STEP_US + IVL_LEN_US).alias("we"),
         )
     )
-    W = IVL_BUCKET_US
-    sb = iv.withColumn(
-        "bkt", F.explode(F.expr(f"sequence(s DIV {W}, e DIV {W})"))
-    )
-    cb = camp.withColumn(
-        "bkt", F.explode(F.expr(f"sequence(ws DIV {W}, (we - 1) DIV {W})"))
-    )
-    return (
-        sb.join(cb, "bkt")
-        .where(
-            (F.col("s") < F.col("we"))
-            & (F.col("e") >= F.col("ws"))
-            & (F.col("bkt") == F.expr(f"greatest(s, ws) DIV {W}"))
-        )
-        .select(
-            "user_id",
-            "session_id",
-            "campaign_id",
-            (F.least("e", "we") - F.greatest("s", "ws")).alias("overlap_us"),
-        )
+    from kafka_hadoop_consumer_spark.operators.temporal import interval_overlap_join
+
+    return interval_overlap_join(
+        iv, camp, a_start="s", a_end="e", b_start="ws", b_end="we",
+        bucket_width=IVL_BUCKET_US,
+    ).select(
+        "user_id",
+        "session_id",
+        "campaign_id",
+        (F.least("e", "we") - F.greatest("s", "ws")).alias("overlap_us"),
     )
 
 

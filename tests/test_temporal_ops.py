@@ -1,0 +1,112 @@
+"""Generic temporal-operator API tests (operators/temporal.py): as-of join
+and bucketized interval-overlap join on ad-hoc frames — edge shapes the
+fixture-bound q_join_asof / q_join_interval keys don't reach (tolerance
+bounds, forward direction, left how, multi-bucket spans, zero-length
+intervals, pair uniqueness)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.operators.temporal import (
+    asof_join,
+    interval_overlap_join,
+)
+
+
+def _quotes_and_trades(spark):
+    quotes = spark.createDataFrame(
+        [(1, "A", 100, 10.0), (2, "A", 200, 11.0), (3, "A", 200, 12.0),
+         (4, "B", 150, 20.0)],
+        "quote_id long, sym string, q_ts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [(10, "A", 90), (11, "A", 200), (12, "A", 500), (13, "B", 100),
+         (14, "C", 100)],
+        "trade_id long, sym string, t_ts long",
+    )
+    return quotes, trades
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    quotes, trades = _quotes_and_trades(spark)
+    out = asof_join(
+        trades, quotes, by="sym", left_ts="t_ts", right_ts="q_ts",
+        left_key="trade_id", direction="backward", tie_break="quote_id",
+    )
+    got = {r["trade_id"]: r["quote_id"] for r in out.collect()}
+    # trade 10 (t=90): no quote at/before -> absent (inner)
+    # trade 11 (t=200): quotes 2 and 3 tie at 200 -> max quote_id wins (3)
+    # trade 12 (t=500): latest quote at 200 -> tie -> 3
+    # trade 13 (B,t=100): no B quote at/before 100? quote 4 is at 150 -> absent
+    assert got == {11: 3, 12: 3}
+
+
+def test_asof_forward_with_tolerance_and_left_how(spark):
+    quotes, trades = _quotes_and_trades(spark)
+    out = asof_join(
+        trades, quotes, by="sym", left_ts="t_ts", right_ts="q_ts",
+        left_key="trade_id", direction="forward", tolerance=50,
+        how="left", tie_break="quote_id",
+    )
+    got = {r["trade_id"]: r["quote_id"] for r in out.collect()}
+    # every trade survives (left); forward within +50:
+    # 10 (t=90) -> quote 1 (q_ts=100); 11 (t=200) -> tie at 200 -> min id (2)
+    # 12 (t=500) -> none; 13 (B,t=100) -> quote 4 (150); 14 (C) -> none
+    assert got == {10: 1, 11: 2, 12: None, 13: 4, 14: None}
+
+
+def test_asof_rejects_bad_args(spark):
+    quotes, trades = _quotes_and_trades(spark)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, by="sym", left_ts="t_ts", right_ts="q_ts",
+                  left_key="trade_id", direction="sideways")
+    with pytest.raises(ValueError, match="disjoint"):
+        asof_join(trades, trades.withColumnRenamed("trade_id", "x"),
+                  by="sym", left_ts="t_ts", right_ts="t_ts", left_key="x")
+
+
+def _intervals(spark):
+    # a-side: spans 0-3 buckets wide (bucket width 100), incl. zero-length
+    a = spark.createDataFrame(
+        [(1, 0, 50), (2, 90, 210), (3, 150, 150), (4, 380, 700), (5, 800, 801)],
+        "a_id long, s long, e long",
+    )
+    # b-side: half-open windows
+    b = spark.createDataFrame(
+        [(10, 40, 100), (11, 100, 200), (12, 199, 420), (13, 900, 1000)],
+        "b_id long, ws long, we long",
+    )
+    return a, b
+
+
+def _naive_pairs(a, b):
+    return {
+        (r["a_id"], r["b_id"])
+        for r in a.crossJoin(b)
+        .where((F.col("s") < F.col("we")) & (F.col("e") >= F.col("ws")))
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("width", [10, 100, 1000])
+def test_interval_join_matches_naive_theta_at_any_bucket_width(spark, width):
+    a, b = _intervals(spark)
+    got = [
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            a, b, a_start="s", a_end="e", b_start="ws", b_end="we",
+            bucket_width=width,
+        ).collect()
+    ]
+    # exactly the theta-join pairs, each exactly once (multi-bucket spans
+    # must not duplicate)
+    assert len(got) == len(set(got))
+    assert set(got) == _naive_pairs(a, b)
+
+
+def test_interval_join_rejects_column_collisions(spark):
+    a, _ = _intervals(spark)
+    with pytest.raises(ValueError, match="disjoint"):
+        interval_overlap_join(a, a, "s", "e", "s", "e", bucket_width=100)
