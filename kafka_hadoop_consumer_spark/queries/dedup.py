@@ -608,3 +608,57 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select("doc1", "doc2", containment.alias("containment"))
         .where(F.col("containment") > CONTAINMENT_THRESHOLD)
     )
+
+
+BOILER_MIN_DF = 3   # shingle must appear in >= this many docs
+BOILER_TOP = 50     # report the hottest N
+
+
+@query(
+    "q_text_boilerplate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM tok,
+           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s))
+    SELECT s AS shingle, df, sample_docs FROM (
+      SELECT s, CAST(count(*) AS BIGINT) AS df,
+             list_sort(list(doc_id))[1:3] AS sample_docs,
+             row_number() OVER (ORDER BY count(*) DESC, s) AS rn
+      FROM sh GROUP BY s
+      HAVING count(*) >= {BOILER_MIN_DF})
+    WHERE rn <= {BOILER_TOP}
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate n-gram mining: the {N_SHINGLE}-gram shingles shared by
+    >= {BOILER_MIN_DF} documents, hottest {BOILER_TOP} first with 3 sample
+    doc ids each — the mining pass behind headers/footers/license-block
+    removal in corpus cleaning, and the explicit complement of the dedup
+    family's df-cap (the shingles THAT cap drops are exactly the ones
+    reported here).
+
+    Scale shape: one map-side-combinable hash agg over (shingle, doc) —
+    the same posting aggregation the Jaccard family pays — then
+    TakeOrderedAndProject for the top-{BOILER_TOP} (no global sort). The
+    3-element sample bounds per-row payload: collect_list is capped via
+    slice AFTER sort, and a hot shingle's full posting list never leaves
+    the executors un-truncated... except inside the agg buffer itself;
+    at true 100 TB swap collect_list for a bounded min-k sketch
+    (aggregate expression) — noted, not needed at fixture df <= 6.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d)
+    return (
+        sh.groupBy("sh")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 3).alias("sample_docs"),
+        )
+        .where(F.col("df") >= BOILER_MIN_DF)
+        .orderBy(F.col("df").desc(), F.col("sh"))
+        .limit(BOILER_TOP)
+        .select(F.col("sh").alias("shingle"), "df", "sample_docs")
+    )

@@ -520,3 +520,74 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
         F.round(F.array_min(dists), 6).alias("dist2"),
     )
+
+
+INTRA_SAMPLE = 16  # per-label sample size bounding the pairwise cost
+
+
+@query(
+    "q_sim_intra_label",
+    oracle=_ORACLE_E
+    + f"""
+    , sampled AS (
+      SELECT label, vec_id, v, nrm FROM (
+        SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM e)
+      WHERE rn <= {INTRA_SAMPLE}),
+    pairs AS (
+      SELECT a.label,
+             list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+               / (a.nrm * b.nrm) AS cos
+      FROM sampled a JOIN sampled b
+        ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(cos), 4) AS avg_cos,
+           round(min(cos), 4) AS min_cos,
+           round(max(cos), 4) AS max_cos
+    FROM pairs GROUP BY label
+    """,
+)
+def q_sim_intra_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cohesion audit: average / extreme pairwise
+    cosine within each label, over a bounded deterministic sample of
+    {INTRA_SAMPLE} vectors per label (smallest vec_ids) — the cluster-
+    quality check run after labeling or clustering a corpus.
+
+    Sampling is what makes this scale-safe: per-label pairwise cost is
+    capped at C({INTRA_SAMPLE},2) pairs regardless of cluster size, so a
+    billion-vector label costs the same as a thousand-vector one (the
+    unsampled variant is quadratic in the hottest label — the same skew
+    bomb the dedup family's df-cap kills). One shuffle samples per label
+    (window rank), one equi-join on label pairs the samples; both ride
+    the same label partitioning.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select(
+        "label",
+        "vec_id",
+        _vec_double().alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    w = Window.partitionBy("label").orderBy("vec_id")
+    s = (
+        ed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= INTRA_SAMPLE)
+        .drop("rn")
+    )
+    a = s.select("label", F.col("vec_id").alias("id_a"),
+                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = s.select("label", F.col("vec_id").alias("id_b"),
+                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("label", cos.alias("cos"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("cos"), 4).alias("avg_cos"),
+            F.round(F.min("cos"), 4).alias("min_cos"),
+            F.round(F.max("cos"), 4).alias("max_cos"),
+        )
+    )

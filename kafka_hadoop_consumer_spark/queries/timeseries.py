@@ -915,3 +915,71 @@ def q_time_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("value_interp"),
         F.col("v").isNull().cast("int").alias("is_gap"),
     )
+
+
+@query(
+    "q_win_path",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    lagd AS (
+      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM e),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM lagd),
+    sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           CAST(regexp_matches(string_agg(event_type, '>' ORDER BY ts, event_id),
+                               'view.*purchase') AS INT) AS converted
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_win_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session event-path extraction (MATCH_RECOGNIZE-style pattern
+    detection as a composition): sessionize, concatenate each session's
+    event types in time order into a path string, and flag sessions whose
+    path matches view->...->purchase — the clickstream path-analysis /
+    conversion-pattern staple.
+
+    One shuffle on user_id drives sessionization AND the path aggregate
+    (same partitioning). The in-order concat is deterministic: events
+    collect as (ts, event_id, type) structs, array_sort orders them
+    (struct ordering is field-lexicographic: ts, then the unique
+    event_id), then the types join into the path — the batch equivalent
+    of an ordered string_agg. Per-session payload is bounded by session
+    length (30-min gap cap), not corpus size.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = us(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull() | (us(F.col("ts")) - prev_us > SESSION_GAP_US), 1
+    ).otherwise(0)
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    return (
+        e.withColumn("session_id", F.sum(is_new).over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            path.alias("path"),
+        )
+        .withColumn("converted", F.col("path").rlike("view.*purchase").cast("int"))
+    )
