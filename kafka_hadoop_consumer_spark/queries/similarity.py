@@ -591,3 +591,61 @@ def q_sim_intra_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cos"), 4).alias("max_cos"),
         )
     )
+
+
+SEM_TOP_K = 5
+
+
+@query(
+    "q_e2e_semsearch",
+    oracle=_ORACLE_E
+    + f"""
+    , hits AS (
+      SELECT q_id, vec_id, cos_sim FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+               round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                     / (a.nrm * b.nrm), 4) AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                          / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id)
+      WHERE rn <= {SEM_TOP_K})
+    SELECT h.q_id, h.vec_id, h.cos_sim, d.lang, d.source, d.n_chars
+    FROM hits h JOIN documents d ON d.doc_id = h.vec_id
+    """,
+)
+def q_e2e_semsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic search: exact cosine top-{SEM_TOP_K} per query
+    vector, then hydrate each hit with its document metadata (vec_id and
+    doc_id share the id space in this corpus) — retrieval plus metadata
+    enrichment as one declarative plan, the serving-side shape of the
+    similarity family.
+
+    Plan shape: the {N_QUERY}-row query side broadcasts into the scoring
+    pass (corpus never shuffles — same as q_sim_cosine_topk); the
+    surviving top-k hit set ({N_QUERY}x{SEM_TOP_K} rows) is tiny, so the
+    metadata hydration join broadcasts the HITS against the documents
+    scan, never the reverse. At 100 TB the hydration is a broadcast of
+    O(queries x k) rows whatever the corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", _vec_double().alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    q = ed.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    raw_cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("raw").desc(), F.col("vec_id"))
+    hits = (
+        ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", raw_cos.alias("raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SEM_TOP_K)
+        .select("q_id", "vec_id", F.round("raw", 4).alias("cos_sim"))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return F.broadcast(hits).join(
+        d, hits.vec_id == d.doc_id
+    ).select("q_id", "vec_id", "cos_sim", "lang", "source", "n_chars")

@@ -983,3 +983,58 @@ def q_win_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("converted", F.col("path").rlike("view.*purchase").cast("int"))
     )
+
+
+DOWNSAMPLE_BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour buckets
+
+
+@query(
+    "q_time_downsample",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, value,
+                      epoch_us(CAST(ts AS TIMESTAMP)) // {DOWNSAMPLE_BUCKET_US} AS bucket_id
+               FROM events),
+    stats AS (
+      SELECT user_id, bucket_id,
+             round(avg(value), 6) AS av, count(*) AS n
+      FROM e GROUP BY 1, 2),
+    r AS (
+      SELECT e.*, s.n, round(abs(e.value - s.av), 6) AS dev
+      FROM e JOIN stats s USING (user_id, bucket_id))
+    SELECT user_id, bucket_id, event_id, value,
+           CAST(n AS BIGINT) AS n_in_bucket
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket_id
+                                       ORDER BY dev DESC, event_id) AS rn
+          FROM r)
+    WHERE rn = 1
+    """,
+)
+def q_time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-point downsampling: per (user, 6-hour bucket) keep
+    the single event deviating most from the bucket mean — the
+    shape-preserving reduction behind dashboard rendering and LTTB-style
+    plots (this variant is order-free, so it distributes; true LTTB's
+    previous-selection dependency does not).
+
+    ONE shuffle: bucket stats (avg, count) come from whole-partition
+    window aggregates and the winner from a ranking window over the SAME
+    (user, bucket) partitioning — no agg-then-join-back second shuffle.
+    The deviation is ranked after rounding (mean 6dp, deviation 6dp, both
+    engines) so accumulation-order ulps can't flip near-tied winners.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wp = Window.partitionBy("user_id", "bucket_id")
+    withstats = (
+        e.select("event_id", "user_id", "value", us.alias("us"))
+        .withColumn("bucket_id", F.expr(f"us DIV {DOWNSAMPLE_BUCKET_US}"))
+        .withColumn("av", F.round(F.avg("value").over(wp), 6))
+        .withColumn("n_in_bucket", F.count(F.lit(1)).over(wp))
+        .withColumn("dev", F.round(F.abs(F.col("value") - F.col("av")), 6))
+    )
+    wr = wp.orderBy(F.col("dev").desc(), "event_id")
+    return (
+        withstats.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("user_id", "bucket_id", "event_id", "value", "n_in_bucket")
+    )

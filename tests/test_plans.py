@@ -367,3 +367,11 @@ def test_skewed_join_spreads_key_over_salts(spark):
     plan = formatted_plan(QUERIES["q_join_skewed"](spark, SF_DIR))
     assert "_salt" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_downsample_single_shuffle(spark):
+    """q_time_downsample computes bucket stats and picks the winner on ONE
+    (user, bucket) partitioning — no agg-then-join-back second shuffle."""
+    from kafka_hadoop_consumer_spark.plans import n_shuffle_exchanges
+
+    assert n_shuffle_exchanges(QUERIES["q_time_downsample"](spark, SF_DIR)) == 1

@@ -568,3 +568,60 @@ def test_stream_corrupt_record_quarantine(spark, tmp_path):
     assert good_back.where(F.col("event_id").isNull()).count() == 0
     bad_back = [r["_bad"] for r in spark.read.parquet(quarantine).collect()]
     assert sorted(bad_back) == sorted(bad), bad_back
+
+
+def test_stream_asof_enrich_foreachbatch(spark, events_dir, tmp_path):
+    """Stream-side as-of enrichment: each micro-batch of purchases is
+    enriched with the latest at-or-before view via the generic
+    operators.temporal.asof_join inside foreachBatch — the streaming
+    serving shape for slowly-changing reference data — and the streamed
+    union must equal the one-shot batch as-of join (exactly-once per
+    batch, no cross-batch duplication of winners).
+
+    (Winner-per-left-row is batch-local state-free here because the
+    static right side is complete; a TRUE stream-stream as-of needs
+    watermarked state, which s_stream_join covers.)"""
+    from kafka_hadoop_consumer_spark.operators.temporal import asof_join
+
+    views = (
+        _events_batch(spark)
+        .where(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), "user_id",
+                F.col("ts").alias("v_ts"))
+    )
+    out_dir = str(tmp_path / "asof_out")
+    ck = str(tmp_path / "asof_ck")
+
+    def enrich(batch_df, _epoch):
+        p = batch_df.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        asof_join(
+            p, views, by="user_id", left_ts="p_ts", right_ts="v_ts",
+            left_key="purchase_id", direction="backward", tie_break="view_id",
+        ).select("purchase_id", "view_id", "user_id").write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    (
+        _stream_events(spark, events_dir)
+        .writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    got = spark.read.parquet(out_dir)
+    p = _events_batch(spark).where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    want = asof_join(
+        p, views, by="user_id", left_ts="p_ts", right_ts="v_ts",
+        left_key="purchase_id", direction="backward", tie_break="view_id",
+    ).select("purchase_id", "view_id", "user_id")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
