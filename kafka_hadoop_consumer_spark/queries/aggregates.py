@@ -523,3 +523,40 @@ def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_tax") > 0.05).alias("n_high_tax"),
         F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("n_finished"),
     )
+
+
+@query(
+    "q_agg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_quantity), 2) AS w_total,
+           round(sum(l_quantity * l_extendedprice) / sum(l_quantity), 4)
+             AS w_mean,
+           round(sum(l_quantity * l_extendedprice * l_extendedprice)
+                   / sum(l_quantity)
+                 - pow(sum(l_quantity * l_extendedprice) / sum(l_quantity), 2), 2)
+             AS w_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted aggregate family: quantity-weighted mean and (frequency-
+    weight, population) variance of price per return flag, from plain
+    power sums — Spark has no weighted_avg/var built-in, but the moment
+    sums ARE map-side-combinable partial aggregates, so the composition
+    distributes exactly like sum/avg (one shuffle of 3 doubles per
+    group), unlike a naive two-pass mean-then-deviation formulation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w, x = F.col("l_quantity"), F.col("l_extendedprice")
+    s1 = F.sum(w)
+    sx = F.sum(w * x)
+    sxx = F.sum(w * x * x)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(s1, 2).alias("w_total"),
+        F.round(sx / s1, 4).alias("w_mean"),
+        F.round(sxx / s1 - F.pow(sx / s1, F.lit(2)), 2).alias("w_var"),
+    )

@@ -85,3 +85,31 @@ def q_subq_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB (comma-LATERAL — the one spelling both parsers accept;
     Spark also rejects DuckDB's `JOIN LATERAL ... ON true`)."""
     return _sql(spark, sf_dir, ("customer", "orders"), _LATERAL)
+
+
+_NOTIN_NULL = """
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT nullif(user_id, 42) FROM events))
+        AS cnt_notin,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM events e
+                         WHERE nullif(e.user_id, 42) = c.c_custkey))
+        AS cnt_notexists
+"""
+
+
+@query("q_subq_notin_null", oracle=_NOTIN_NULL)
+def q_subq_notin_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
+    trap, pinned as a query: the subquery plants a NULL (nullif on a
+    present key), so ANSI NOT IN yields UNKNOWN for every candidate
+    (cnt_notin = 0) while NOT EXISTS ignores the NULL row and counts
+    correctly. Identical SQL text runs on both engines.
+
+    Physically Spark plans the single-column NOT IN as a NULL-aware
+    anti join (one extra null-existence check over a plain LeftAnti,
+    not a nested-loop per row), and the NOT EXISTS as an ordinary hash
+    LeftAnti — both scale as hash joins on the key.
+    """
+    return _sql(spark, sf_dir, ("customer", "events"), _NOTIN_NULL)

@@ -199,6 +199,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_e2e_q22",         # crossJoin of a broadcast 1-row avg threshold
         "q_sim_cosine_topk", # corpus streams past 5 broadcast query rows
         "q_sim_ivf_topk",    # every vector × broadcast centroid table
+        "q_e2e_semsearch",   # same scoring pass as q_sim_cosine_topk
     }
     offenders = {}
     for name, fn in QUERIES.items():
