@@ -201,3 +201,146 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_tokens.groupBy("lang").applyInPandas(
         _ffd_pack, schema=_PACK_BINS_SCHEMA
     )
+
+
+N_QUERY_VEC = 5  # vec_id < 5 are the query vectors (similarity family)
+
+
+@query(
+    "q_udf_vector_score",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+               FROM embeddings),
+    scored AS (
+      SELECT b.vec_id, q.vec_id AS q_id,
+             round(list_sum(list_transform(list_zip(q.v, b.v), p -> p[1] * p[2]))
+                   / (q.nrm * b.nrm), 4) AS score
+      FROM e b JOIN e q ON q.vec_id < {N_QUERY_VEC})
+    SELECT vec_id, CAST(best_q AS INT) AS best_q, score FROM (
+      SELECT vec_id, q_id AS best_q, score,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, q_id) AS rn
+      FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q_udf_vector_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized linear algebra in a pandas UDF: every corpus vector
+    scored against the {N_QUERY_VEC}-row query matrix in ONE NumPy matmul
+    per Arrow batch (queries broadcast via closure capture), returning
+    the best query id + cosine as a struct column.
+
+    This is the high-dimension counterpart of the JVM expression path
+    used by q_sim_cosine_topk: at dim 64 the built-in aggregate/zip_with
+    wins, but matmul cost per element shrinks with BLAS batching while
+    the codegen'd fold stays per-element — past ~256 dims the Arrow
+    round-trip pays for itself. Ties and accumulation order are pinned:
+    scores round to 4dp before argmax, argmax takes the lowest q_id.
+    """
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        e.where(F.col("vec_id") < N_QUERY_VEC)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_t = T.StructType(
+        [T.StructField("best_q", T.IntegerType()),
+         T.StructField("score", T.DoubleType())]
+    )
+
+    @F.pandas_udf(out_t)
+    def _best_query(emb: pd.Series) -> pd.DataFrame:
+        v = np.array(emb.tolist(), dtype=np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        s = np.round(v @ qm.T, 4)
+        best = s.argmax(axis=1)  # first max = lowest q_id
+        return pd.DataFrame(
+            {"best_q": best.astype("int32"),
+             "score": s[np.arange(len(best)), best]}
+        )
+
+    return e.select(
+        "vec_id", _best_query("embedding").alias("b")
+    ).select("vec_id", "b.best_q", "b.score")
+
+
+_COGROUP_SCHEMA = T.StructType(
+    [
+        T.StructField("purchase_id", T.LongType()),
+        T.StructField("view_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+    ]
+)
+
+
+def _merge_asof_group(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+    """Co-grouped as-of body: pandas merge_asof per user. Right side is
+    sorted (v_ts, view_id) so backward's last-match tie-break = highest
+    view_id among equal timestamps — the same winner as the JVM
+    asof_join's (ts DESC, event_id DESC) ordering."""
+    if l.empty or r.empty:
+        return pd.DataFrame(columns=["purchase_id", "view_id", "user_id"])
+    l = l.sort_values(["p_ts", "purchase_id"], ignore_index=True)
+    r = r.sort_values(["v_ts", "view_id"], ignore_index=True)
+    m = pd.merge_asof(l, r, left_on="p_ts", right_on="v_ts",
+                      direction="backward")
+    m = m.dropna(subset=["view_id"])
+    return pd.DataFrame(
+        {"purchase_id": m["purchase_id"].astype("int64"),
+         "view_id": m["view_id"].astype("int64"),
+         "user_id": m["user_id"].astype("int64")}
+    )
+
+
+@query(
+    "q_udf_cogroup",
+    # same semantics (and oracle) as q_join_asof: latest view at-or-before
+    # each purchase, per user
+    oracle="""
+    SELECT purchase_id, view_id, user_id
+    FROM (SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+                 row_number() OVER (PARTITION BY p.event_id
+                                    ORDER BY CAST(v.ts AS TIMESTAMP) DESC, v.event_id DESC) AS rn
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ON v.user_id = p.user_id AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP))
+    WHERE rn = 1
+    """,
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped applyInPandas (the third grouped-Python surface next to
+    applyInPandas and the UDTF): purchases and views co-partition on
+    user_id, each pair of groups meets as two pandas frames, and
+    pd.merge_asof computes the per-user as-of match — provably identical
+    to the JVM-side operators.temporal.asof_join (same oracle as
+    q_join_asof).
+
+    One co-partitioning shuffle on user_id for both inputs; per-user
+    groups are bounded, and the Python work is pandas' O(n+m) ordered
+    merge per group — no per-row Python.
+    """
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").cast("timestamp").alias("v_ts"),
+    )
+    return (
+        p.groupBy("user_id")
+        .cogroup(v.groupBy("v_user_id"))
+        .applyInPandas(
+            lambda l, r: _merge_asof_group(l, r.drop(columns=["v_user_id"])),
+            schema=_COGROUP_SCHEMA,
+        )
+    )

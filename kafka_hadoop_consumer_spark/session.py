@@ -60,3 +60,38 @@ def get_spark(app_name: str = "kafka_hadoop_consumer_spark",
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_profile(total_cores: int = 8000,
+                    target_partition_mb: int = 128) -> dict[str, str]:
+    """Config overlay for a real multi-executor cluster at the ~100 TB
+    design point — the deploy-time counterpart of get_spark()'s local
+    defaults (pass to SparkSession.builder.config(map=...) or spark-submit
+    --conf). Values are derivations, not magic numbers:
+
+    - shuffle partitions: 2x total cores, sized so a ~100 TB shuffle
+      lands ~GB-scale partitions BEFORE AQE; AQE coalesces small ones
+      and splits skewed ones at runtime, so over-provisioning is the
+      safe direction.
+    - maxPartitionBytes / advisoryPartitionSizeInBytes: bound scan and
+      post-shuffle partitions to fit executor memory with headroom
+      (spill-aware; SURVEY.md §4.2).
+    - autoBroadcastJoinThreshold raised to 64 MB: every dim table in the
+      star schema broadcasts even at sf1000-equivalents, keeping the
+      fact table shuffle-free in the join families.
+    - runtime bloom filter: row-level semi-join pruning on selective
+      fact-dim joins (exercised in tests/test_scale_patterns.py).
+    """
+    mb = 1024 * 1024
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(total_cores * 2),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * mb),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(target_partition_mb * mb),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * mb),
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }

@@ -245,3 +245,17 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r["id"]: (r["name"], r["score"]) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 1.5)}
+
+
+def test_cluster_profile_derivations():
+    """The 100 TB config overlay derives its sizes instead of hard-coding:
+    partitions scale with cores, partition bytes with the memory budget,
+    and the determinism pins (UTC, Arrow) survive into the overlay."""
+    from kafka_hadoop_consumer_spark.session import cluster_profile
+
+    p = cluster_profile(total_cores=1000, target_partition_mb=256)
+    assert p["spark.sql.shuffle.partitions"] == "2000"
+    assert p["spark.sql.files.maxPartitionBytes"] == str(256 * 1024 * 1024)
+    assert p["spark.sql.adaptive.enabled"] == "true"
+    assert p["spark.sql.session.timeZone"] == "UTC"
+    assert int(p["spark.sql.autoBroadcastJoinThreshold"]) >= 10 * 1024 * 1024
