@@ -560,3 +560,81 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sx / s1, 4).alias("w_mean"),
         F.round(sxx / s1 - F.pow(sx / s1, F.lit(2)), 2).alias("w_var"),
     )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap words: user ids map to
+    (word = id DIV 64, bit = id MOD 64), bit_or folds each word per
+    group, bit_count + sum totals the population — the bitmap-index
+    pattern behind exact-distinct at scale.
+
+    Why not count_distinct? That shuffles every distinct VALUE per group
+    (or a hash set of them); the bitmap shuffles at most
+    |id_domain|/64 constant-size longs per group — for a dense integer
+    domain (user ids here) partial states are ~1000x smaller, and the
+    two hash aggs are both map-side combinable (bit_or partials merge
+    associatively, like HLL partials but exact). The oracle is plain
+    COUNT(DISTINCT) — identical result, different shuffle economics.
+    """
+    e = load_table(spark, sf_dir, "events")
+    words = (
+        e.select(
+            "event_type",
+            F.expr("user_id DIV 64").alias("word"),
+            F.expr("shiftleft(1L, CAST(user_id % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_users")
+    )
+
+
+@query(
+    "q_agg_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med_v
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med_v) AS adev
+      FROM events e JOIN med m ON m.event_type = e.event_type)
+    SELECT event_type,
+           round(any_value(med_v), 4) AS median_v,
+           round(quantile_cont(adev, 0.5), 4) AS mad
+    FROM dev JOIN med USING (event_type)
+    GROUP BY event_type
+    """,
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    estimator (outlier-resistant alternative to stddev, the basis of
+    robust z-scores). Two exact-percentile passes by construction: group
+    medians, then medians of absolute deviations.
+
+    Scale shape: pass 1 is a grouped percentile (one shuffle on the
+    group key); its tiny result broadcasts back onto the fact table
+    (explicit hint), so pass 2 re-shuffles on the SAME key — two
+    shuffles total, no fact-fact join. Exact percentiles are the point
+    (matching quantile_cont); swap in approx_percentile partials at
+    100 TB if 1e-3 error is acceptable (q_agg_approx_percentile).
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med_v")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med_v", F.abs(F.col("value") - F.col("med_v")).alias("adev")
+    )
+    return dev.groupBy("event_type").agg(
+        F.round(F.first("med_v"), 4).alias("median_v"),
+        F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad"),
+    )

@@ -241,3 +241,53 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("a_key").desc(), F.col("doc_id"))
         .limit(100)
     )
+
+
+@query(
+    "q_sample_balanced",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS rn
+      FROM documents),
+    floor_n AS (SELECT min(c) AS n_keep FROM (
+      SELECT count(*) AS c FROM documents GROUP BY lang))
+    SELECT doc_id, lang, n_chars
+    FROM ranked, floor_n
+    WHERE rn <= n_keep
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced undersampling: every language keeps exactly
+    min-class-count documents, chosen by deterministic hash order (md5 of
+    the key — a reproducible shuffle, not rand(), and not doc_id order,
+    which would bias toward old documents) — the class-balancing prep
+    before training on skewed label distributions.
+
+    Scale shape: one window shuffle on the class key ranks each class in
+    hash order; the floor count is a map-side-combinable agg reduced to
+    one broadcast row. Because the quota is DATA-DEPENDENT (a column,
+    not a literal), Spark cannot apply its WindowGroupLimit partial
+    top-k — at 100 TB, resolve the floor first (tiny agg) and re-plan
+    with the literal quota (q_sample_quota's shape) so hot classes
+    forward only ~n_keep rows per map task.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), F.col("doc_id")
+    )
+    floor_n = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("n_keep"))
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(floor_n))
+        .where(F.col("rn") <= F.col("n_keep"))
+        .select("doc_id", "lang", "n_chars")
+    )

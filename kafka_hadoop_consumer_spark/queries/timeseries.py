@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
 
 
 @query(
@@ -1037,4 +1037,115 @@ def q_time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         withstats.withColumn("rn", F.row_number().over(wr))
         .where(F.col("rn") == 1)
         .select("user_id", "bucket_id", "event_id", "value", "n_in_bucket")
+    )
+
+
+DAY_US = 86_400_000_000
+
+
+@query(
+    "q_time_concurrency",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    lagd AS (
+      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM e),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM lagd),
+    sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    iv AS (
+      SELECT user_id, session_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+      FROM sess GROUP BY 1, 2),
+    edges AS (
+      SELECT s AS ts_us, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e + 1 AS ts_us, -1 AS delta FROM iv),
+    carry AS (
+      SELECT u.d AS day_id, count(*) AS carry_in
+      FROM iv, UNNEST(range(iv.s // {DAY_US} + 1, iv.e // {DAY_US} + 1)) AS u(d)
+      GROUP BY 1),
+    run AS (
+      SELECT ts_us // {DAY_US} AS day_id,
+             sum(delta) OVER (PARTITION BY ts_us // {DAY_US}
+                              ORDER BY ts_us, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM edges)
+    SELECT r.day_id,
+           CAST(max(r.running) + coalesce(any_value(c.carry_in), 0) AS BIGINT)
+             AS max_concurrent
+    FROM run r LEFT JOIN carry c ON c.day_id = r.day_id
+    GROUP BY r.day_id
+    """,
+)
+def q_time_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency per day — the sweep-line staple (capacity
+    planning, license-seat counting): +1/-1 edges at session start/end,
+    running sum, daily max.
+
+    The naive sweep is a GLOBAL ordered cumsum — a single-partition
+    window that dies at scale. This plan shards the sweep by day:
+    within-day edges cumsum inside per-day partitions, and sessions that
+    were already open at a day's start contribute a carry-in computed by
+    EXPLODING each session into the days it spans past its first
+    (sequence + explode + count — no join, no global order). Daily max =
+    within-day peak + carry-in. End edges are at e+1us (closed session
+    intervals); simultaneous starts/ends order starts-first (delta DESC)
+    identically on both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = us(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull() | (us(F.col("ts")) - prev_us > SESSION_GAP_US), 1
+    ).otherwise(0)
+    iv = persist_tracked(
+        e.withColumn("session_id", F.sum(is_new).over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(us(F.min("ts")).alias("s"), us(F.max("ts")).alias("e"))
+    )
+    edges = iv.select(F.col("s").alias("ts_us"), F.lit(1).alias("delta")).unionAll(
+        iv.select((F.col("e") + 1).alias("ts_us"), F.lit(-1).alias("delta"))
+    )
+    # guard the generator: Spark's sequence(a, b) with a > b yields a
+    # DESCENDING array (not empty — the ADVICE.md short-doc trap), so
+    # single-day sessions must produce NO carry days explicitly
+    carry = (
+        iv.select(
+            F.explode(
+                F.expr(
+                    f"if(e DIV {DAY_US} > s DIV {DAY_US},"
+                    f" sequence(s DIV {DAY_US} + 1, e DIV {DAY_US}), array())"
+                )
+            ).alias("day_id")
+        )
+        .groupBy("day_id")
+        .agg(F.count(F.lit(1)).alias("carry_in"))
+    )
+    wd = (
+        Window.partitionBy("day_id")
+        .orderBy(F.col("ts_us"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = edges.withColumn("day_id", F.expr(f"ts_us DIV {DAY_US}")).withColumn(
+        "running", F.sum("delta").over(wd)
+    )
+    return (
+        run.groupBy("day_id")
+        .agg(F.max("running").alias("peak"))
+        .join(carry, "day_id", "left")
+        .select(
+            "day_id",
+            (F.col("peak") + F.coalesce(F.col("carry_in"), F.lit(0))).alias(
+                "max_concurrent"
+            ),
+        )
     )

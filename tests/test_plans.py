@@ -200,6 +200,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_sim_cosine_topk", # corpus streams past 5 broadcast query rows
         "q_sim_ivf_topk",    # every vector × broadcast centroid table
         "q_e2e_semsearch",   # same scoring pass as q_sim_cosine_topk
+        "q_sample_balanced", # crossJoin of the broadcast 1-row class floor
     }
     offenders = {}
     for name, fn in QUERIES.items():
@@ -376,3 +377,24 @@ def test_downsample_single_shuffle(spark):
     from kafka_hadoop_consumer_spark.plans import n_shuffle_exchanges
 
     assert n_shuffle_exchanges(QUERIES["q_time_downsample"](spark, SF_DIR)) == 1
+
+
+def test_bitmap_and_mad_shuffle_budgets(spark):
+    """Docstring shuffle-count claims, pinned: the bitmap-distinct pays
+    two map-side-combinable hash aggs (word level, then group level); MAD
+    pays two grouped percentile passes with the tiny median table
+    broadcast back (never a fact-fact join)."""
+    from kafka_hadoop_consumer_spark.plans import n_shuffle_exchanges
+
+    assert n_shuffle_exchanges(QUERIES["q_agg_bitmap_distinct"](spark, SF_DIR)) == 2
+    assert n_shuffle_exchanges(QUERIES["q_agg_mad"](spark, SF_DIR)) == 2
+
+
+def test_concurrency_sweep_is_sharded(spark):
+    """The sweep-line cumsum must run inside per-day partitions — a global
+    ordered window would serialize on one task (Exchange SinglePartition)
+    and die at scale."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_time_concurrency"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
