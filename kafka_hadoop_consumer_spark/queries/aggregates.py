@@ -638,3 +638,55 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("med_v"), 4).alias("median_v"),
         F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad"),
     )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+    WITH j AS (
+      SELECT n.n_name, o.o_totalprice AS x, o.o_orderkey
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    r AS (
+      SELECT n_name, x,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY x, o_orderkey) AS i
+      FROM j)
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round((2.0 * sum(i * x)) / (count(*) * sum(x))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r GROUP BY n_name
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per nation — the inequality /
+    concentration measure (revenue concentration, data-contribution
+    skew), from the rank formulation G = 2*sum(i*x_i)/(n*sum(x)) -
+    (n+1)/n over ascending-sorted values.
+
+    Scale shape: dims broadcast onto the fact scan, then ONE shuffle on
+    the group key serves both the rank window and the final aggregate
+    (same partitioning). The rank's (value, orderkey) tie-break makes
+    the sort — and therefore sum(i*x) on tied values — identical on
+    both engines; the ratio rounds at 6dp.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.col("o_totalprice").alias("x"), "o_orderkey")
+    )
+    w = Window.partitionBy("n_name").orderBy("x", "o_orderkey")
+    r = j.withColumn("i", F.row_number().over(w))
+    return r.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("x"))) / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

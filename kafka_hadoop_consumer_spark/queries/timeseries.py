@@ -1149,3 +1149,84 @@ def q_time_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_join_scd2_lookup",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev_type
+      FROM events),
+    v AS (
+      SELECT *, CAST(sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                              THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM w),
+    runs AS (
+      SELECT user_id, version, event_type,
+             CAST(epoch_us(min(ts)) AS BIGINT) AS valid_from_us
+      FROM v GROUP BY user_id, version, event_type),
+    dim AS (
+      SELECT user_id, version, event_type AS state_at, valid_from_us,
+             lead(valid_from_us) OVER
+               (PARTITION BY user_id ORDER BY version) AS valid_to_us
+      FROM runs),
+    fact AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.ts_us, d.version, d.state_at
+    FROM fact f JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from_us <= f.ts_us
+     AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)
+    """,
+)
+def q_join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 history built by
+    q_cdc_scd2: each purchase event joins to the state version valid AT
+    its timestamp ([valid_from, valid_to) containment) — the build
+    operator's consumer half, i.e. what every warehouse query does with
+    a slowly-changing dimension.
+
+    Scale shape: the temporal containment is a RESIDUAL on a plain
+    equi-join on user_id (versions per user are few), so this is one
+    key shuffle like any fact-dim join — no interval bucketing needed
+    when an equi key exists (contrast q_join_interval, where there is
+    none). Every fact row matches exactly one version by construction
+    (versions partition each user's timeline from first event on).
+    """
+    e = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("event_type").over(w)
+    changed = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    runs = (
+        e.withColumn("version", F.sum(changed).over(wrun))
+        .groupBy("user_id", "version", "event_type")
+        .agg(us(F.min("ts")).alias("valid_from_us"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    dim = runs.select(
+        F.col("user_id").alias("d_user_id"),
+        "version",
+        F.col("event_type").alias("state_at"),
+        "valid_from_us",
+        F.lead("valid_from_us").over(wv).alias("valid_to_us"),
+    )
+    fact = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us(F.col("ts")).alias("ts_us")
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("d_user_id") == F.col("user_id"))
+            & (F.col("valid_from_us") <= F.col("ts_us"))
+            & (F.col("valid_to_us").isNull() | (F.col("ts_us") < F.col("valid_to_us"))),
+        )
+        .select("event_id", "user_id", "ts_us", "version", "state_at")
+    )
