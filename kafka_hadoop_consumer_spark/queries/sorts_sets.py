@@ -157,3 +157,44 @@ def q_set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     return old_feed.unionByName(new_feed, allowMissingColumns=True)
+
+
+@query(
+    "q_set_symmetric_diff",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE year(o_orderdate) <= 1994),
+    b AS (SELECT DISTINCT o_custkey AS k FROM orders
+          WHERE year(o_orderdate) >= 1997)
+    SELECT coalesce(a.k, b.k) AS o_custkey,
+           CASE WHEN b.k IS NULL THEN 'early_only' ELSE 'late_only' END AS side
+    FROM a FULL JOIN b ON a.k = b.k
+    WHERE a.k IS NULL OR b.k IS NULL
+    """,
+)
+def q_set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference of two keyed sets (customers active only in
+    the early vs only in the late period) — churn/new-cohort analysis as
+    a set operation.
+
+    Computed as ONE full-outer join with null-side filtering instead of
+    the literal (A UNION B) EXCEPT (A INTERSECT B), which costs three
+    distinct-shuffles plus two set-op shuffles over the same keys; here
+    both deduped sides co-shuffle once on the key and AQE can still
+    broadcast the smaller side. The side label comes free from the null
+    pattern.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    a = o.where(yr <= 1994).select(F.col("o_custkey").alias("ka")).distinct()
+    b = o.where(yr >= 1997).select(F.col("o_custkey").alias("kb")).distinct()
+    return (
+        a.join(b, a.ka == b.kb, "full")
+        .where(F.col("ka").isNull() | F.col("kb").isNull())
+        .select(
+            F.coalesce("ka", "kb").alias("o_custkey"),
+            F.when(F.col("kb").isNull(), "early_only")
+            .otherwise("late_only")
+            .alias("side"),
+        )
+    )
