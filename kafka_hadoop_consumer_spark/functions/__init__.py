@@ -19,3 +19,22 @@ def cosine_similarity(a, b):
 
 
 __all__ = ["dot_product", "l2_norm", "as_double_array", "cosine_similarity"]
+
+
+def zorder_key(x_col: str, y_col: str, bits: int = 10):
+    """Z-order (Morton) interleave of the low ``bits`` bits of two
+    non-negative integral columns — sort by this before writing and
+    parquet min/max stats prune on BOTH dimensions (see q_fn_zorder).
+    Codegen'd SQL fold; column arguments are NAMES (the shift amounts are
+    lambda-index expressions, which the Python shiftleft builtin cannot
+    express)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc"
+        f" + (shiftright({x_col}, i) & 1L) * shiftleft(1L, 2 * i)"
+        f" + (shiftright({y_col}, i) & 1L) * shiftleft(1L, 2 * i + 1))"
+    )
+
+
+__all__.append("zorder_key")

@@ -95,6 +95,11 @@ def interval_overlap_join(
     ``a_start < b_end AND a_end >= b_start``. Interval bounds must be
     integers (e.g. epoch micros); column names must be disjoint.
 
+    Intervals must satisfy start <= end (a-side) / start < end (b-side);
+    inverted intervals are caller error — the bucket cover degenerates to
+    a superset and the residual alone decides, which may not match a
+    strict mathematical "empty interval" reading.
+
     Scale shape (see module docstring): both sides explode into
     ``bucket_width``-sized time buckets, pair via an equi-join on the
     bucket, and each pair is emitted only in the bucket containing

@@ -267,3 +267,98 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").isNotNull().cast("string").alias("has_k"),
         F.to_json(F.struct((k_int * 2).alias("k2"))).alias("rebuilt"),
     )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             concat('https://', source, '.example.com/docs/', doc_id,
+                    '?lang=', lang, '&v=2') AS url
+      FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)/', 1),
+                          '([^.]+\\.[^.]+)$', 1) AS reg_domain
+    FROM u
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: protocol/host/path/query extraction, query-
+    parameter lookup, and registered-domain derivation (last two host
+    labels) — the normalization pass before URL-keyed dedup or per-domain
+    quota sampling in a crawl pipeline. The fixture corpus has no URL
+    column, so a deterministic synthetic URL is derived per document
+    first.
+
+    Spark side uses the native parse_url (codegen'd) for
+    proto/host/path/query and parameter lookup; the oracle expresses the
+    same extractions as anchored regexes (DuckDB has no parse_url).
+    Registered-domain is regex on both sides (no public-suffix list
+    offline; two-label fallback documented).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&v=2"),
+    )
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return (
+        d.select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("proto"),
+            host.alias("host"),
+            F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+            F.parse_url(F.col("url"), F.lit("QUERY")).alias("query"),
+            F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+            F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("reg_domain"),
+        )
+    )
+
+
+ZBITS = 10  # bits per dimension in the Z-order key
+
+
+@query(
+    "q_fn_zorder",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % {1 << ZBITS} AS BIGINT) AS xa,
+             CAST(epoch(o_orderdate) / 86400 AS BIGINT) % {1 << ZBITS} AS ya
+      FROM orders)
+    SELECT o_orderkey, xa, ya,
+           CAST(list_sum(list_transform(range(0, {ZBITS}),
+                i -> ((xa >> i) & 1) * power(2, 2 * i)
+                   + ((ya >> i) & 1) * power(2, 2 * i + 1))) AS BIGINT) AS zkey
+    FROM d
+    """,
+)
+def q_fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key derivation: interleave the low {ZBITS} bits of
+    two clustering dimensions (customer, order day) into one sort key —
+    the multi-dimensional-locality layout trick behind Z-ordered table
+    writes (sort by zkey before writing and min/max stats prune BOTH
+    dimensions, not just the leading sort column).
+
+    Pure integer bit arithmetic in one codegen'd projection (aggregate
+    over a literal bit range unrolls; no shuffle, no UDF). The oracle
+    computes the identical interleave with DuckDB bit ops.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    xa = (F.col("o_custkey") % (1 << ZBITS)).cast("long")
+    ya = (F.unix_date(F.col("o_orderdate").cast("date")) % (1 << ZBITS)).cast("long")
+    d = o.select("o_orderkey", xa.alias("xa"), ya.alias("ya"))
+    from kafka_hadoop_consumer_spark.functions import zorder_key
+
+    return d.select(
+        "o_orderkey", "xa", "ya", zorder_key("xa", "ya", ZBITS).alias("zkey")
+    )
