@@ -91,6 +91,114 @@ def time_ingest(spark, sf_dir: str) -> tuple[float, int]:
     return statistics.median(runs), n_rows
 
 
+# ---------------------------------------------------------------------------
+# Similarity/dedup scaling probe: the "bucketed, not all-pairs" claim as a
+# MEASURED curve, not just a plan assertion. Both the LSH ANN and the
+# embedding near-dup cascade run on a 1x and a 10x synthetic gaussian
+# corpus (same generator, same distribution); per the operators' scale
+# contract, bits-per-table grow ~log2(n) between the two sizes so bucket
+# sizes stay bounded. All-pairs behavior would show ~100x wall-clock at
+# 10x rows; the bucketed cascades should stay near ~10x (linear in
+# candidates). Results go to a separate "scaling" field — not part of the
+# headline total, so the anchor comparison stays like-for-like.
+SCALE_N1 = 2_000
+SCALE_FACTOR = 10
+SCALE_DEDUP_TABLES = 12
+# Candidate count per bucket is QUADRATIC in bucket size, so constant-ish
+# bucket size (~62-78 rows) is what makes total candidates linear in n:
+# 1x: 12 tables x 32 buckets x C(62,2)  ~ 0.7M pairs
+# 10x: 12 tables x 256 buckets x C(78,2) ~ 9.2M pairs (~12x, not 100x)
+SCALE_DEDUP_BITS_1X = 5
+SCALE_DEDUP_BITS_10X = 8
+
+
+def _synth_embeddings(spark, n: int, out_dir: str) -> None:
+    """Deterministic gaussian corpus shaped like the embeddings fixture
+    (vec_id int64, label int32, embedding array<float>)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(2024)
+    V = rng.randn(n, 64).astype("float32")
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "label": (np.arange(n) % 10).astype("int32"),
+            "embedding": list(V),
+        }
+    )
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
+def _time_scaling(spark) -> dict:
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kafka_hadoop_consumer_spark.queries.similarity import (
+        _vec_double,
+        embedding_near_dup_pairs,
+        lsh_topk,
+    )
+
+    def load_ed(d):
+        return spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
+            "vec_id", _vec_double().alias("v")
+        )
+
+    def timed(build):
+        materialize(build())  # warm-up
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(build())
+            runs.append(time.perf_counter() - t0)
+        return round(statistics.median(runs), 3)
+
+    out = {}
+    d1, d10 = (tempfile.mkdtemp(prefix=f"bench_scale_{s}_") for s in ("1x", "10x"))
+    try:
+        _synth_embeddings(spark, SCALE_N1, d1)
+        _synth_embeddings(spark, SCALE_N1 * SCALE_FACTOR, d10)
+
+        def lsh(d):
+            ed = load_ed(d)
+            q = ed.where(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+            )
+            return lsh_topk(ed, q)
+
+        def dedup(d, bits):
+            planes = (
+                np.random.RandomState(7)
+                .randn(SCALE_DEDUP_TABLES, bits, 64)
+                .tolist()
+            )
+            return embedding_near_dup_pairs(load_ed(d), planes)
+
+        for name, b1, b10 in (
+            ("q_sim_lsh_topk", lambda: lsh(d1), lambda: lsh(d10)),
+            (
+                "q_dedup_embedding",
+                lambda: dedup(d1, SCALE_DEDUP_BITS_1X),
+                lambda: dedup(d10, SCALE_DEDUP_BITS_10X),
+            ),
+        ):
+            t1, t10 = timed(b1), timed(b10)
+            out[name] = {
+                "n_1x": SCALE_N1,
+                "n_10x": SCALE_N1 * SCALE_FACTOR,
+                "sec_1x": t1,
+                "sec_10x": t10,
+                "ratio": round(t10 / t1, 2) if t1 else None,
+            }
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d10, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -116,6 +224,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "ingest_rows_per_sec": round(ingest_rows / ingest_sec),
+        "scaling_10x": _time_scaling(spark),
         "sf": float(sf),
     }
     print(json.dumps(result))

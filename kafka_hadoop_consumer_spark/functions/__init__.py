@@ -27,9 +27,22 @@ def zorder_key(x_col: str, y_col: str, bits: int = 10):
     parquet min/max stats prune on BOTH dimensions (see q_fn_zorder).
     Codegen'd SQL fold; column arguments are NAMES (the shift amounts are
     lambda-index expressions, which the Python shiftleft builtin cannot
-    express)."""
+    express) and are spliced verbatim into SQL text — pass plain column
+    names only, never expressions or untrusted strings.
+
+    ``bits`` must be in [1, 31]: bits=0 would build sequence(0, -1), which
+    Spark evaluates as a DESCENDING 2-element array (the documented
+    sequence trap), silently folding a wrong key; >31 overflows the
+    interleaved 64-bit result."""
     from pyspark.sql import functions as F
 
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    if not (x_col.isidentifier() and y_col.isidentifier()):
+        raise ValueError(
+            "x_col/y_col must be plain column names (spliced into SQL text), "
+            f"got {x_col!r}, {y_col!r}"
+        )
     return F.expr(
         f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc"
         f" + (shiftright({x_col}, i) & 1L) * shiftleft(1L, 2 * i)"

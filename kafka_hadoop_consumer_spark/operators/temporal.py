@@ -7,8 +7,10 @@ q_join_interval keys are fixture-bound instances of these).
 Both are equi-join-shaped on purpose:
 
 - ``asof_join`` is an equi-join on the ``by`` key with a one-sided time
-  residual, then a per-left-row window picks the single winner — one
-  shuffle on the key, never a cross product.
+  residual, then a per-left-row window picks the single winner — never a
+  cross product. Two exchanges total: the join shuffles on the ``by``
+  key, and the winner window re-shuffles on ``left_key`` (they differ
+  whenever ``left_key`` is finer than ``by``, the common case).
 - ``interval_overlap_join`` never evaluates raw range-vs-range pairing:
   each interval explodes into the fixed-width time buckets it covers and
   the pairing is an EQUI-join on the bucket id, with the true overlap
@@ -38,8 +40,13 @@ def asof_join(
     """For each left row, attach the single closest right row at-or-before
     (``backward``) / at-or-after (``forward``) its timestamp, per ``by`` key.
 
-    ``left_key`` must uniquely identify left rows (the winner window
-    partitions on it). ``tolerance`` (same units as the timestamp columns)
+    ``left_key`` must uniquely identify left rows AND be non-null (the
+    winner window partitions on it): a NULL key would collapse every
+    null-key left row into ONE window partition, of which only the
+    row_number()==1 winner survives — silently violating the
+    one-output-row-per-left-row contract rather than erroring. Filter or
+    surrogate-key null ids before calling. ``tolerance`` (same units as
+    the timestamp columns)
     bounds how far back/forward a match may be. ``how='left'`` keeps
     unmatched left rows null-extended. Equal right timestamps are broken
     by ``tie_break`` (a unique right column, ordered in the same direction

@@ -16,7 +16,6 @@ probe with Hamming-1 multiprobe) — sublinear per-query work at 100 TB.
 
 from __future__ import annotations
 
-import math
 import sys
 
 import numpy as np
@@ -44,9 +43,20 @@ EMB_DIM = 64
 # (k+1)/2^k → at n=10⁹ (k≈25) a query touches ~10⁻⁵ of the corpus; at
 # tiny test corpora k floors at 4 and coverage approaches 100% — the
 # correct degeneration (a 500-vector corpus needs no ANN).
+#
+# k selection is by INTEGER thresholds (n ≥ ceil(32·2^(k-1/2))), not a
+# runtime log2: the thresholds below are the exact integer solutions of
+# round(log2(n/32)) = k, precomputed once, so the Python engine and the
+# DuckDB oracle pick identical k by integer comparison — no cross-engine
+# libm-rounding risk at a floor boundary. MAX_BITS caps k at the depth of
+# the seeded hyperplane bank; it is a test-profile setting — at real scale
+# regenerate a deeper bank (seeded, free) and raise the cap with it.
 SIM_LSH_TABLES = 8
 SIM_LSH_TARGET_BUCKET = 32
 SIM_LSH_MIN_BITS = 4
+SIM_LSH_MAX_BITS = 8
+# n-thresholds at which k steps to 5, 6, 7, 8 (= ceil(32 * 2**(k - 0.5)))
+_SIM_K_THRESHOLDS = [725, 1449, 2897, 5793]
 
 # Multi-table LSH for near-dup candidate generation (q_dedup_embedding).
 # k bits/table bounds per-table bucket count (2^k); L tables drive recall:
@@ -190,6 +200,50 @@ def exact_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_near_dup_pairs(
+    ed: DataFrame,
+    planes: list[list[list[float]]],
+    threshold: float = DEDUP_COS_THRESHOLD,
+) -> DataFrame:
+    """Multi-table sign-bit LSH near-dup cascade over any (vec_id,
+    v: array<double>) corpus — the library core behind q_dedup_embedding.
+    ``planes[l][j]`` is hyperplane j of table l; bits-per-table should
+    grow ~log2(n/target_bucket) with corpus size so bucket sizes (and
+    with them candidate counts) stay bounded — the scaling bench in
+    bench.py measures exactly that contract at 1× vs 10×."""
+    edn = ed.withColumn("nrm", _norm(F.col("v")))
+    bucketed = edn.select(
+        "vec_id",
+        F.posexplode(F.array(*_table_buckets(F.col("v"), planes))).alias(
+            "l", "bucket"
+        ),
+    )
+    cand = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.l") == F.col("b.l"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2"))
+        .distinct()
+    )
+    a = edn.select(
+        F.col("vec_id").alias("vec1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
+    )
+    b = edn.select(
+        F.col("vec_id").alias("vec2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")
+    )
+    cos = F.round(_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 4)
+    return (
+        cand.join(a, "vec1")
+        .join(b, "vec2")
+        .select("vec1", "vec2", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") > threshold)
+    )
+
+
 @query("q_dedup_embedding", oracle=_dedup_embedding_oracle())
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table sign-bit LSH:
@@ -210,41 +264,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²).
     """
     e = load_table(spark, sf_dir, "embeddings")
-    ed = e.select(
-        "vec_id", _vec_double().alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
-    bucketed = ed.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*_table_buckets(F.col("v"), _dedup_planes()))
-        ).alias("l", "bucket"),
-    )
-    cand = (
-        bucketed.alias("a")
-        .join(
-            bucketed.alias("b"),
-            (F.col("a.l") == F.col("b.l"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec1"), F.col("b.vec_id").alias("vec2")
-        )
-        .distinct()
-    )
-    a = ed.select(
-        F.col("vec_id").alias("vec1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
-    )
-    b = ed.select(
-        F.col("vec_id").alias("vec2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")
-    )
-    cos = F.round(_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 4)
-    return (
-        cand.join(a, "vec1")
-        .join(b, "vec2")
-        .select("vec1", "vec2", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") > DEDUP_COS_THRESHOLD)
-    )
+    ed = e.select("vec_id", _vec_double().alias("v"))
+    return embedding_near_dup_pairs(ed, _dedup_planes())
 
 
 def _table_buckets(vcol, planes: list[list[list[float]]]):
@@ -264,17 +285,28 @@ def _table_buckets(vcol, planes: list[list[list[float]]]):
 
 
 def _sim_lsh_bits(n: int) -> int:
-    """Bits per table for an n-vector corpus: bucket ≈ TARGET_BUCKET rows."""
-    return max(
-        SIM_LSH_MIN_BITS,
-        int(round(math.log2(max(n, 1) / SIM_LSH_TARGET_BUCKET))),
-    )
+    """Bits per table for an n-vector corpus: bucket ≈ TARGET_BUCKET rows.
+    Integer-threshold form of round(log2(n / TARGET)), clamped to
+    [MIN_BITS, MAX_BITS] — mirrored verbatim in the oracle SQL CASE."""
+    k = SIM_LSH_MIN_BITS
+    for t in _SIM_K_THRESHOLDS:
+        if n >= t:
+            k += 1
+    return min(k, SIM_LSH_MAX_BITS)
+
+
+def _sim_plane_bank() -> np.ndarray:
+    """Deterministic hyperplane bank (seed 42), shape
+    (L, MAX_BITS, dim) — k-INDEPENDENT so the oracle can ship the full
+    bank as literals while k is chosen at runtime; table l at depth k
+    uses rows bank[l, :k, :]."""
+    rng = np.random.RandomState(42)
+    return rng.randn(SIM_LSH_TABLES, SIM_LSH_MAX_BITS, EMB_DIM)
 
 
 def _sim_planes(k: int) -> list[list[list[float]]]:
-    """Deterministic hyperplanes (seed 42) for the ANN tables: (L, k, dim)."""
-    rng = np.random.RandomState(42)
-    return rng.randn(SIM_LSH_TABLES, k, EMB_DIM).tolist()
+    """First k hyperplanes of each ANN table from the seeded bank."""
+    return _sim_plane_bank()[:, :k, :].tolist()
 
 
 def lsh_topk(ed: DataFrame, queries: DataFrame, top_k: int = TOP_K) -> DataFrame:
@@ -354,21 +386,84 @@ def lsh_topk(ed: DataFrame, queries: DataFrame, top_k: int = TOP_K) -> DataFrame
     )
 
 
-@query("q_sim_ivf_topk")  # no oracle: approximate by design (SURVEY.md §7 R4)
+IVF_NPROBE = 3
+
+
+def _sim_ivf_oracle() -> str:
+    """Oracle running the IDENTICAL IVF cascade in DuckDB: centroids are
+    computed (avg per (cell, dim)) and rounded 6dp on both engines — the
+    q_embed_centroid precedent — so assignment/probe similarity arithmetic
+    is a sequential double fold over identical inputs on both sides."""
+    return (
+        _ORACLE_E
+        + f""",
+    cx AS (
+      SELECT label AS cell, pos, round(avg(x), 6) AS cx
+      FROM (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+            FROM e)
+      GROUP BY label, pos),
+    cent AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM cx GROUP BY cell),
+    centn AS (
+      SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+      FROM cent),
+    assigned AS (
+      SELECT vec_id, v, nrm, cell FROM (
+        SELECT e.vec_id, e.v, e.nrm, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(list_zip(e.v, c.cv),
+                                                  p -> p[1] * p[2]))
+                          / (e.nrm * c.cnrm) DESC, c.cell) AS rn
+        FROM e, centn c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT q_id, qv, qnrm, cell FROM (
+        SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qnrm, c.cell,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_sum(list_transform(list_zip(a.v, c.cv),
+                                                  p -> p[1] * p[2]))
+                          / (a.nrm * c.cnrm) DESC, c.cell) AS rn
+        FROM assigned a, centn c
+        WHERE a.vec_id < {N_QUERY})
+      WHERE rn <= {IVF_NPROBE})
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT p.q_id, s.vec_id,
+             round(list_sum(list_transform(list_zip(p.qv, s.v), z -> z[1] * z[2]))
+                   / (p.qnrm * s.nrm), 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.q_id
+               ORDER BY list_sum(list_transform(list_zip(p.qv, s.v),
+                                                z -> z[1] * z[2]))
+                        / (p.qnrm * s.nrm) DESC, s.vec_id) AS rn
+      FROM assigned s JOIN probes p ON s.cell = p.cell
+      WHERE s.vec_id <> p.q_id
+    ) WHERE rn <= {TOP_K}
+    """
+    )
+
+
+@query("q_sim_ivf_topk", oracle=_sim_ivf_oracle())
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k ANN via IVF (inverted-file) coarse quantization.
 
     Real IVF mechanics on DataFrame ops: (1) centroid table — element-wise
     mean embedding per coarse cell (the fixture's ``label`` stands in for
-    a k-means trainer; the centroid VECTORS are computed, not assumed);
+    a k-means trainer; the centroid VECTORS are computed, not assumed),
+    rounded 6dp on both engines so accumulation order can't leak;
     (2) every vector assigned to its nearest centroid → inverted lists;
-    (3) queries probe the nprobe=3 nearest lists and brute-force only
-    those candidates. At 100 TB: centroid table is tiny (broadcast), each
-    query touches nprobe/n_cells of the corpus, and the inverted lists
-    are a partitioning of the data — this is the standard
+    (3) queries probe the nprobe={IVF_NPROBE} nearest lists and
+    brute-force only those candidates. At 100 TB: centroid table is tiny
+    (broadcast), each query touches nprobe/n_cells of the corpus, and the
+    inverted lists are a partitioning of the data — this is the standard
     billion-vector layout.
+
+    SQL-oracled since r3 (was rows-only): the oracle replays the whole
+    cascade — computed-and-rounded centroids, nearest-cell assignment,
+    nprobe probing, candidate verify — so the driver hash checks the full
+    pipeline end-to-end.
     """
-    nprobe = 3
+    nprobe = IVF_NPROBE
     e = load_table(spark, sf_dir, "embeddings")
     ed = e.select("vec_id", "label", _vec_double().alias("v")).withColumn(
         "nrm", _norm(F.col("v"))
@@ -379,7 +474,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         ed.select("label", F.posexplode("v").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.avg("x").alias("cx"))
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
         .groupBy("label")
         .agg(
             F.transform(
@@ -433,7 +528,74 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_lsh_topk")  # no oracle: approximate by design (SURVEY.md §7 R4)
+def _sim_lsh_oracle() -> str:
+    """Oracle replaying the FULL adaptive-k multiprobe LSH cascade in
+    DuckDB: the whole seeded hyperplane bank ships as literals
+    (k-independent by construction), k is re-derived from count(*) via
+    the same integer thresholds the engine uses, probing is own-bucket
+    plus the k Hamming-1 neighbors, and the verify is exact cosine.
+
+    The one cross-engine arithmetic asymmetry is the SIGN of the
+    hyperplane dot (engine: one numpy matmul per Arrow batch; oracle:
+    sequential list_sum fold). A sign flip needs |dot| within ~1e-13 of
+    zero — probability ~1e-13 per dot, ~1e-8 over the whole fixture —
+    and both engines are deterministic on fixed parquet, so local
+    parity at sf0.01/sf0.1 (tests/test_oracle.py) implies driver parity.
+    """
+    bank = _sim_plane_bank()
+    rows = []
+    for l in range(SIM_LSH_TABLES):
+        for j in range(SIM_LSH_MAX_BITS):
+            lit = "[" + ", ".join(repr(float(x)) for x in bank[l, j]) + "]"
+            rows.append(f"({l}, {j}, {lit}::DOUBLE[])")
+    values = ",\n      ".join(rows)
+    t5, t6, t7, t8 = _SIM_K_THRESHOLDS
+    k_case = (
+        f"CASE WHEN n >= {t8} THEN 8 WHEN n >= {t7} THEN 7 "
+        f"WHEN n >= {t6} THEN 6 WHEN n >= {t5} THEN 5 "
+        f"ELSE {SIM_LSH_MIN_BITS} END"
+    )
+    return (
+        _ORACLE_E
+        + f""",
+    params AS (SELECT {k_case} AS k FROM (SELECT count(*) AS n FROM e)),
+    bank AS (SELECT * FROM (VALUES
+      {values}) AS p(l, j, h)),
+    planes AS (SELECT l, j, h FROM bank WHERE j < (SELECT k FROM params)),
+    buckets AS (
+      SELECT e.vec_id, p.l,
+             CAST(sum(CASE WHEN list_sum(list_transform(list_zip(e.v, p.h),
+                                                        q -> q[1] * q[2])) > 0
+                           THEN 1 << p.j ELSE 0 END) AS INT) AS bucket
+      FROM e, planes p
+      GROUP BY e.vec_id, p.l),
+    qb AS (SELECT vec_id AS q_id, l, bucket FROM buckets
+           WHERE vec_id < {N_QUERY}),
+    probes AS (
+      SELECT q_id, l, bucket FROM qb
+      UNION ALL
+      SELECT q_id, l, CAST(xor(bucket, 1 << CAST(j.j AS INT)) AS INT) AS bucket
+      FROM qb, (SELECT unnest(range((SELECT k FROM params))) AS j) j),
+    cand AS (
+      SELECT DISTINCT p.q_id, b.vec_id
+      FROM probes p JOIN buckets b ON b.l = p.l AND b.bucket = p.bucket
+      WHERE b.vec_id <> p.q_id)
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT c.q_id, c.vec_id,
+             round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                   / (a.nrm * b.nrm), 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY c.q_id
+               ORDER BY list_sum(list_transform(list_zip(a.v, b.v),
+                                                p -> p[1] * p[2]))
+                        / (a.nrm * b.nrm) DESC, c.vec_id) AS rn
+      FROM cand c JOIN e a ON a.vec_id = c.q_id JOIN e b ON b.vec_id = c.vec_id
+    ) WHERE rn <= {TOP_K}
+    """
+    )
+
+
+@query("q_sim_lsh_topk", oracle=_sim_lsh_oracle())
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k ANN via multi-table random-hyperplane LSH with
     Hamming-1 multiprobe ({SIM_LSH_TABLES} tables; bits/table adapt to
@@ -444,6 +606,10 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with planted high-cos neighbors); k ≈ log2(n/{SIM_LSH_TARGET_BUCKET})
     keeps per-query candidate sets sublinear at scale — at n=10⁹, k≈25
     and a query touches ~10⁻⁵ of the corpus across all tables.
+
+    SQL-oracled since r3 (was rows-only): the hyperplane BANK is
+    k-independent (seeded, sliced to depth k at runtime) so the oracle
+    replays the identical cascade — see _sim_lsh_oracle.
     """
     e = load_table(spark, sf_dir, "embeddings")
     ed = e.select("vec_id", _vec_double().alias("v"))

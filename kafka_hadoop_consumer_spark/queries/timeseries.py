@@ -1066,7 +1066,11 @@ DAY_US = 86_400_000_000
     edges AS (
       SELECT s AS ts_us, 1 AS delta FROM iv
       UNION ALL
-      SELECT e + 1 AS ts_us, -1 AS delta FROM iv),
+      -- -1 edge clamped to the session's LAST day: at e + 1 it could cross
+      -- midnight into a day where it has no matching +1 and no carry-in
+      -- (carry spans only through e // DAY), undercounting that day's peak.
+      SELECT least(e + 1, (e // {DAY_US} + 1) * {DAY_US} - 1) AS ts_us,
+             -1 AS delta FROM iv),
     carry AS (
       SELECT u.d AS day_id, count(*) AS carry_in
       FROM iv, UNNEST(range(iv.s // {DAY_US} + 1, iv.e // {DAY_US} + 1)) AS u(d)
@@ -1112,8 +1116,17 @@ def q_time_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(us(F.min("ts")).alias("s"), us(F.max("ts")).alias("e"))
     )
+    # -1 edge clamped into the session's last day (mirrors the oracle): a
+    # session ending on a day's final microsecond would otherwise emit its
+    # -1 at e+1 = next midnight, where no +1 and no carry-in offset it —
+    # that day's running sum starts 1 low (a -1-only day could even report
+    # a negative peak). At ts collisions starts sort first (delta DESC), so
+    # the clamped edge still lets the peak observe the session at instant e.
+    end_edge = F.least(
+        F.col("e") + 1, F.expr(f"(e DIV {DAY_US} + 1) * {DAY_US} - 1")
+    )
     edges = iv.select(F.col("s").alias("ts_us"), F.lit(1).alias("delta")).unionAll(
-        iv.select((F.col("e") + 1).alias("ts_us"), F.lit(-1).alias("delta"))
+        iv.select(end_edge.alias("ts_us"), F.lit(-1).alias("delta"))
     )
     # guard the generator: Spark's sequence(a, b) with a > b yields a
     # DESCENDING array (not empty — the ADVICE.md short-doc trap), so

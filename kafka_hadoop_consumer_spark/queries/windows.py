@@ -7,7 +7,9 @@ Spark incrementally — different association order (§7 R2).
 
 Scale note: all windows here are partitioned (by nation / customer / user),
 so state is distributed; the one global window (q_win_ntile) is inherently
-a single-partition sort and is documented as such.
+a single-partition sort, kept for literal-semantics parity — its scale
+path is q_win_ntile_scalable (range-partitioned two-pass global rank, no
+SinglePartition anywhere, plan-asserted).
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
 
 
 @query(
@@ -165,9 +167,9 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over a global order.
 
-    A global window is a single-partition sort by construction; at 100 TB
-    use q_win_topk_group-style partitioned windows or approx percentiles
-    instead (documented limitation, not a default pattern).
+    A global window is a single-partition sort by construction; kept as
+    the literal-semantics key, with q_win_ntile_scalable as the 100 TB
+    execution of the SAME result (range-partitioned two-pass rank).
     """
     o = load_table(spark, sf_dir, "orders")
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -177,6 +179,89 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# Range-partition fan-out for the scalable global rank. On a real cluster
+# set this to ~2x total cores; rank arithmetic is boundary-agnostic (see
+# q_win_ntile_scalable) so the value affects only parallelism, not results.
+NTILE_RANGE_PARTS = 32
+
+
+@query(
+    "q_win_ntile_scalable",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_win_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile / percent_rank / cume_dist WITHOUT a global sort — the
+    distributed two-pass rank recipe (same result as q_win_ntile, whose
+    single-partition window is the thing this replaces at scale):
+
+    1. ``repartitionByRange`` on the full ordering key → non-overlapping
+       sorted ranges across NTILE_RANGE_PARTS tasks (sampled boundaries;
+       rank arithmetic never depends on where the boundaries land because
+       the key, with its unique tie-break, is a total order).
+    2. Per-partition row counts → cumulative offsets. The collect is a
+       bounded scalar fetch (≤ NTILE_RANGE_PARTS longs — the same
+       legitimacy class as the k-means centroid collect), broadcast back
+       as a literal map.
+    3. Local row_number within each range partition + the partition's
+       offset = exact global rank; ntile/percent_rank/cume_dist are then
+       closed-form functions of (rank, n) because the unique tie-break
+       key makes every row its own peer group.
+
+    Both exchanges (range partition, pid hash for the window) are
+    distributed — no SinglePartition node, plan-asserted in
+    tests/test_plans.py.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranged = persist_tracked(
+        o.repartitionByRange(
+            NTILE_RANGE_PARTS, F.col("o_totalprice").desc(), F.col("o_orderkey")
+        ).withColumn("pid", F.spark_partition_id())
+    )
+    counts = sorted(
+        (r["pid"], r["n"])
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    total = sum(n for _, n in counts)
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
+        F.col("pid"),
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = ranged.withColumn("rn", off_expr + F.row_number().over(w))
+    # ntile(4): first (total mod 4) tiles get one extra row; integer-exact
+    # ceil-division so both branches stay in long arithmetic.
+    q, rem = divmod(total, 4)
+    if q == 0:  # fewer rows than tiles: tile == rank
+        tile = F.col("rn")
+    else:
+        cut = rem * (q + 1)
+        tile = F.expr(
+            f"if(rn <= {cut}, (rn + {q}) DIV {q + 1},"
+            f" {rem} + (rn - {cut} + {q - 1}) DIV {q})"
+        )
+    denom = float(max(total - 1, 1))
+    return ranked.select(
+        "o_orderkey",
+        "o_totalprice",
+        tile.cast("long").alias("quartile"),
+        ((F.col("rn") - F.lit(1)) / F.lit(denom)).alias("pct_rank"),
+        (F.col("rn") / F.lit(float(total))).alias("cume"),
     )
 
 

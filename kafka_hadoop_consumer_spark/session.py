@@ -17,6 +17,11 @@ from pyspark.sql import SparkSession
 # shuffle partitions to O(cores*2) and let AQE coalesce down.
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
+# local[*] runs driver+executors in ONE JVM; Spark's 1g default heap is a
+# laptop setting, not a 32-core/125 GB host setting — a candidate-verify
+# shuffle that any real executor absorbs OOMs at 1g. Only effective when
+# this process launches the JVM (no-op on an externally built session).
+DEFAULT_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
 
 
 def ensure_session_defaults(spark: SparkSession) -> None:
@@ -46,6 +51,7 @@ def get_spark(app_name: str = "kafka_hadoop_consumer_spark",
         .appName(app_name)
         # AQE: runtime re-planning (coalesce post-shuffle partitions,
         # broadcast-convert joins, split skewed partitions).
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEM)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

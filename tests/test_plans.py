@@ -398,3 +398,13 @@ def test_concurrency_sweep_is_sharded(spark):
 
     plan = formatted_plan(QUERIES["q_time_concurrency"](spark, SF_DIR))
     assert "SinglePartition" not in plan
+
+
+def test_ntile_scalable_has_no_single_partition(spark):
+    """The scalable global-rank variant must never plan an Exchange
+    SinglePartition (that is exactly the q_win_ntile wall it replaces);
+    both its exchanges are distributed (range + pid hash)."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_win_ntile_scalable"](spark, SF_DIR))
+    assert "SinglePartition" not in plan

@@ -110,3 +110,45 @@ def test_interval_join_rejects_column_collisions(spark):
     a, _ = _intervals(spark)
     with pytest.raises(ValueError, match="disjoint"):
         interval_overlap_join(a, a, "s", "e", "s", "e", bucket_width=100)
+
+
+def test_concurrency_day_boundary_end_edge_clamped(spark, tmp_path):
+    """A session ending on a day's LAST microsecond must not leak its -1
+    edge into the next day (where it has no +1 and no carry-in): before the
+    clamp, day N+1's running sum started one low — undercounting its peak —
+    and a day containing only stray -1 edges reported a NEGATIVE
+    max_concurrent. Engine and oracle share the clamp, so also re-prove
+    cross-engine parity on exactly this edge shape."""
+    import duckdb
+    from datetime import datetime
+
+    from kafka_hadoop_consumer_spark.queries import ORACLES, QUERIES
+
+    rows = [
+        # session ending on day0's final microsecond (pre-fix: -1 at day1 00:00)
+        (1, 1, datetime(2024, 1, 1, 23, 59, 59, 999999)),
+        # lone day1 session (pre-fix: day1 peak reported 0, actual 1)
+        (2, 2, datetime(2024, 1, 2, 0, 0, 10)),
+        # session ending on day2's final microsecond with an empty day3
+        # (pre-fix: day3 appeared with max_concurrent = -1)
+        (3, 3, datetime(2024, 1, 3, 23, 59, 59, 999999)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["day_id"]: r["max_concurrent"]
+        for r in QUERIES["q_time_concurrency"](spark, str(tmp_path)).collect()
+    }
+    day0 = datetime(2024, 1, 1).toordinal() - datetime(1970, 1, 1).toordinal()
+    assert out == {day0: 1, day0 + 1: 1, day0 + 2: 1}
+    assert all(v > 0 for v in out.values())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    oracle = {r[0]: r[1] for r in con.execute(ORACLES["q_time_concurrency"]).fetchall()}
+    con.close()
+    assert oracle == out
