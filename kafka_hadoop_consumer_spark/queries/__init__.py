@@ -53,6 +53,14 @@ _DEFER_TO_TAIL = (
     "q_sim_ivf_topk",
     # --- new in round 3 ---
     "q_win_ntile_scalable",
+    "q_stats_ks",
+    "q_stats_chisq",
+    "q_time_autocorr",
+    "q_time_growth",
+    "q_win_attribution",
+    "q_embed_outliers",
+    "q_text_pii",
+    "q_e2e_dataset_card",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

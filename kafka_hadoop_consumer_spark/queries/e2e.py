@@ -570,3 +570,60 @@ def q_e2e_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_e2e_dataset_card",
+    oracle="""
+    SELECT coalesce(lang, 'ALL') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                AS BIGINT) AS p50_chars,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           round(CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS pct_short
+    FROM documents
+    GROUP BY ROLLUP(lang)
+    """,
+)
+def q_e2e_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card corpus profile: the per-language + overall summary a
+    training-data release ships (doc counts, source diversity, size
+    quantiles, token means, short-doc rate) — one ROLLUP pass over the
+    corpus, composing the text-family measures into the release report.
+
+    Scale shape: one hash aggregate with grouping sets (lang, ALL) — the
+    rollup re-aggregates map-side partials, not the raw corpus, and the
+    exact median rides the same single shuffle. count(DISTINCT source) is
+    exact via Spark's expand-distinct rewrite (|langs| x |sources| keys —
+    tiny); avg token count is a row-local split/size, no tokenize
+    re-shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+            .cast("long")
+            .alias("p50_chars"),
+            F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+            F.round(
+                F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("pct_short"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "n_sources",
+            "total_chars",
+            "p50_chars",
+            "avg_tokens",
+            "pct_short",
+        )
+    )

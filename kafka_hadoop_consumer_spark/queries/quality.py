@@ -6,7 +6,7 @@ keys, outlier flags).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
@@ -187,4 +187,168 @@ def q_fn_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_clipped"
             ),
         )
+    )
+
+
+@query(
+    "q_stats_ks",
+    oracle="""
+    WITH split AS (
+      SELECT event_type, value,
+             CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'a' ELSE 'b' END AS grp
+      FROM events),
+    binned AS (
+      SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bin,
+             CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM split GROUP BY event_type, bin),
+    cum AS (
+      SELECT event_type, bin,
+             sum(ca) OVER (PARTITION BY event_type ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS cum_a,
+             sum(cb) OVER (PARTITION BY event_type ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS cum_b,
+             sum(ca) OVER (PARTITION BY event_type) AS tot_a,
+             sum(cb) OVER (PARTITION BY event_type) AS tot_b
+      FROM binned)
+    SELECT event_type,
+           CAST(any_value(tot_a) AS BIGINT) AS n_a,
+           CAST(any_value(tot_b) AS BIGINT) AS n_b,
+           round(max(abs(CAST(cum_a AS DOUBLE) / tot_a
+                         - CAST(cum_b AS DOUBLE) / tot_b)), 6) AS ks_stat
+    FROM cum GROUP BY event_type
+    """,
+)
+def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per event_type between
+    two deterministic hash-split halves of the corpus — the
+    distribution-drift gate a training pipeline runs between snapshots or
+    train/serve populations (here the split is a same-distribution control:
+    small KS values are the expected answer, and both engines must agree
+    on them exactly).
+
+    Scale shape: the ECDFs are BINNED (fixed decimal bins, no prior
+    min/max pass — same engine-neutral trick as q_agg_histogram), so the
+    plan is one hash agg over (type, bin) followed by windows over the
+    bin-level aggregate, partitioned by event_type — cardinality
+    |types| x |bins|, independent of row count, and never a global sort.
+    A raw-value KS would need a per-type total order over all rows; the
+    binned form is how you run this at 100 TB (bin width = measurement
+    resolution).
+    """
+    e = load_table(spark, sf_dir, "events")
+    grp = F.when(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+    binned = (
+        e.select(
+            "event_type",
+            F.floor(F.col("value") * 10).cast("long").alias("bin"),
+            grp.alias("grp"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.when(F.col("grp") == "a", 1)).alias("ca"),
+            F.count(F.when(F.col("grp") == "b", 1)).alias("cb"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = binned.select(
+        "event_type",
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.sum("ca").over(w_tot).alias("tot_a"),
+        F.sum("cb").over(w_tot).alias("tot_b"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.any_value("tot_a").alias("n_a"),
+        F.any_value("tot_b").alias("n_b"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("tot_a")
+                    - F.col("cum_b").cast("double") / F.col("tot_b")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@query(
+    "q_stats_chisq",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) % 7 AS dow
+      FROM events),
+    obs AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+            FROM base GROUP BY event_type, dow),
+    rowt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS rt FROM base
+             GROUP BY event_type),
+    colt AS (SELECT dow, CAST(count(*) AS BIGINT) AS ct FROM base GROUP BY dow),
+    grand AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    grid AS (
+      SELECT r.event_type, c.dow, r.rt, c.ct, g.n, coalesce(o.o, 0) AS o,
+             CAST(r.rt AS DOUBLE) * c.ct / g.n AS e
+      FROM rowt r CROSS JOIN colt c CROSS JOIN grand g
+      LEFT JOIN obs o ON o.event_type = r.event_type AND o.dow = c.dow)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           round(sum((o - e) * (o - e) / e), 6) AS chi2
+    FROM grid
+    """,
+)
+def q_stats_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is event_type distributed uniformly
+    across weekdays? (The categorical-drift / feature-label-dependence
+    check.) Weekday is computed engine-neutrally from the epoch-day index
+    ((day + 3) mod 7 -> Monday=0), never via locale-dependent date parts.
+
+    Scale shape: one hash agg over the raw rows per margin (row, column,
+    grand — each map-side combinable), then the EXPECTED grid is a
+    cross join of the two margin AGGREGATES (|types| x |dow| = 35 rows —
+    the broadcast-tiny-side pattern, whitelisted in the cartesian sweep);
+    observed cells left-join onto the dense grid so zero-observed cells
+    still contribute (o-e)^2/e. No shuffle touches row-level data twice.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.expr("(unix_micros(cast(ts as timestamp)) DIV 86400000000 + 3) % 7").alias(
+            "dow"
+        ),
+    )
+    obs = base.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    rowt = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("rt"))
+    colt = base.groupBy("dow").agg(F.count(F.lit(1)).alias("ct"))
+    grand = base.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        rowt.crossJoin(F.broadcast(colt))
+        .crossJoin(F.broadcast(grand))
+        .join(F.broadcast(obs), ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("rt").cast("double") * F.col("ct") / F.col("n")).alias("e"),
+        )
+    )
+    return grid.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.count_distinct(F.col("event_type")) - 1)
+            * (F.count_distinct(F.col("dow")) - 1)
+        ).alias("dof"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi2"),
     )

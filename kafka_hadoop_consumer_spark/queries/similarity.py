@@ -815,3 +815,94 @@ def q_e2e_semsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(hits).join(
         d, hits.vec_id == d.doc_id
     ).select("q_id", "vec_id", "cos_sim", "lang", "source", "n_chars")
+
+
+OUTLIER_BOTTOM_K = 3
+
+
+@query(
+    "q_embed_outliers",
+    oracle=_ORACLE_E
+    + f"""
+    , cx AS (
+      SELECT label, pos, round(avg(x), 6) AS cx
+      FROM (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+            FROM e)
+      GROUP BY label, pos),
+    cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM cx GROUP BY label),
+    centn AS (
+      SELECT label, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+      FROM cent),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             round(list_sum(list_transform(list_zip(e.v, c.cv),
+                                           p -> p[1] * p[2]))
+                   / (e.nrm * c.cnrm), 4) AS cos_c
+      FROM e JOIN centn c ON c.label = e.label),
+    stats AS (
+      SELECT label, avg(cos_c) AS mu, stddev_samp(cos_c) AS sigma
+      FROM scored GROUP BY label)
+    SELECT label, vec_id, cos_c, z FROM (
+      SELECT s.label, s.vec_id, s.cos_c,
+             round((s.cos_c - t.mu) / t.sigma, 4) AS z,
+             row_number() OVER (PARTITION BY s.label
+                                ORDER BY s.cos_c, s.vec_id) AS rn
+      FROM scored s JOIN stats t ON t.label = s.label)
+    WHERE rn <= {OUTLIER_BOTTOM_K}
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit: the {OUTLIER_BOTTOM_K} vectors
+    farthest from their own label's centroid (lowest cosine), with a
+    per-label z-score — the mislabeled-example / contamination screen run
+    after clustering or labeling a corpus.
+
+    Cross-engine determinism: centroids are rounded 6dp (q_embed_centroid
+    precedent) so the cosine fold is over identical inputs; ranking
+    orders by the 4dp-rounded cosine (z is an affine transform of it, so
+    rank-by-z ≡ rank-by-cos — the unrounded mu/sigma can't reorder rows);
+    z itself is rounded 4dp.
+
+    Scale shape: centroid agg shuffles |labels| x |dims| partials
+    (constant-size); the tiny centroid and stats tables broadcast back
+    onto the corpus — the corpus itself shuffles once for the scoring
+    pass's label partition and rides it through ranking."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select("label", "vec_id", _vec_double().alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    cent = (
+        ed.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s.cx,
+            ).alias("cv")
+        )
+        .withColumn("cnrm", _norm(F.col("cv")))
+    )
+    scored = ed.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.round(
+            _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4
+        ).alias("cos_c"),
+    )
+    stats = scored.groupBy("label").agg(
+        F.avg("cos_c").alias("mu"), F.stddev_samp("cos_c").alias("sigma")
+    )
+    w = Window.partitionBy("label").orderBy("cos_c", "vec_id")
+    return (
+        scored.join(F.broadcast(stats), "label")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= OUTLIER_BOTTOM_K)
+        .select(
+            "label",
+            "vec_id",
+            "cos_c",
+            F.round((F.col("cos_c") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        )
+    )

@@ -533,3 +533,80 @@ def q_text_lmscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("logp_raw") / F.col("n_tokens"), 6).alias("avg_logp"),
         )
     )
+
+
+# PII patterns kept to character classes both regex dialects (Java in
+# Spark, RE2-ish in DuckDB) treat identically.
+_PII_EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+_PII_PHONE_RE = r"555-[0-9]{4}"
+
+
+@query(
+    "q_text_pii",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, lang,
+             concat(substring(text, 1, 40),
+                    ' contact user', doc_id, '@', source, '.net tel 555-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    CASE WHEN doc_id % 3 = 0
+                         THEN concat(' alt x', doc_id, '@backup.org')
+                         ELSE '' END) AS body
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(body, '{_PII_EMAIL_RE}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(body, '{_PII_PHONE_RE}')) AS INT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(body, '{_PII_EMAIL_RE}', '[EMAIL]',
+                                             'g'),
+                              '{_PII_PHONE_RE}', '[PHONE]', 'g')) AS scrub_md5
+    FROM planted
+    """,
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing: count and redact email/phone patterns per
+    document — the privacy pass every training-data pipeline runs before
+    release. The fixture corpus contains no PII (word-salad text,
+    FIXTURES.md), so deterministic synthetic PII is PLANTED inside the
+    query from doc_id/source (identically on both engines) and the
+    operator under test is the detect/redact stage over it; the md5 of
+    the scrubbed body proves byte-identical redaction cross-engine.
+
+    Scale shape: pure narrow row-local string work — zero shuffles, full
+    pushdown; regexes are Java-compiled per task and stream through
+    whole-stage codegen, no Python in the row path."""
+    d = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".net tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" alt x"), F.col("doc_id").cast("string"),
+                F.lit("@backup.org"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    planted = d.select("doc_id", "lang", body.alias("body"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("body", _PII_EMAIL_RE, "[EMAIL]"),
+        _PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return planted.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all("body", F.lit(_PII_EMAIL_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("body", F.lit(_PII_PHONE_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )

@@ -1243,3 +1243,111 @@ def q_join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "ts_us", "version", "state_at")
     )
+
+
+@query(
+    "q_time_autocorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {DAY_US} AS day_id,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, day_id),
+    lagged AS (
+      SELECT event_type, cnt,
+             lag(cnt, 1) OVER w AS prev1,
+             lag(cnt, 7) OVER w AS prev7
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day_id))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(corr(cnt, prev1), 6) AS ac1,
+           round(corr(cnt, prev7), 6) AS ac7
+    FROM lagged GROUP BY event_type
+    """,
+)
+def q_time_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 and lag-7 autocorrelation of the daily event-count series per
+    event_type — the seasonality/trend screen run before forecasting or
+    anomaly thresholds (weekly rhythm shows up as high ac7). Lags index
+    the OBSERVED daily series (the fixture is dense; for gappy series run
+    q_time_gapfill first — documented precondition, not hidden densify).
+
+    Scale shape: the raw scan collapses to |types| x |days| rows in one
+    map-side-combinable hash agg; the lag window and the corr aggregate
+    both ride a single event_type partitioning of that tiny aggregate.
+    corr is a single-pass co-moment aggregate on both engines, rounded
+    6dp (q_agg_corr precedent)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.expr(f"unix_micros(cast(ts as timestamp)) DIV {DAY_US}").alias(
+                "day_id"
+            ),
+        )
+        .groupBy("event_type", "day_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day_id")
+    lagged = daily.select(
+        "event_type",
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("prev1"),
+        F.lag("cnt", 7).over(w).alias("prev7"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.corr("cnt", "prev1"), 6).alias("ac1"),
+        F.round(F.corr("cnt", "prev7"), 6).alias("ac7"),
+    )
+
+
+@query(
+    "q_time_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT n.n_name, date_trunc('month', o.o_orderdate) AS month,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, month)
+    SELECT n_name, month, revenue,
+           round((revenue - prev) / prev * 100, 4) AS growth_pct
+    FROM (SELECT *, lag(revenue) OVER (PARTITION BY n_name ORDER BY month)
+                    AS prev
+          FROM monthly)
+    """,
+)
+def q_time_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation — the period-over-period
+    reporting staple (MoM/YoY): grouped rollup to (nation, month), then a
+    lag window and a percentage delta; first month is null-growth by
+    construction.
+
+    Scale shape: dims broadcast (nation always, customer by hint-class
+    size), so the fact table shuffles once for the monthly rollup; the
+    lag window rides a per-nation partitioning of the |nations| x
+    |months| aggregate. growth is computed from the 2dp-ROUNDED revenue
+    on both engines, so the division is over identical doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("month")
+    return monthly.select(
+        "n_name",
+        "month",
+        "revenue",
+        F.round(
+            (F.col("revenue") - F.lag("revenue").over(w))
+            / F.lag("revenue").over(w)
+            * 100,
+            4,
+        ).alias("growth_pct"),
+    )

@@ -377,3 +377,81 @@ def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("island_len") >= ISLAND_MIN_LEN)
         .drop("grp")
     )
+
+
+ATTRIBUTION_WINDOW_SEC = 7 * 86_400
+
+
+@query(
+    "q_win_attribution",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    touched AS (
+      SELECT *,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_id END IGNORE NULLS) OVER w AS touch_event_id,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS) OVER w AS touch_ts
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_id AS purchase_id, user_id, touch_event_id, touch_type,
+           (epoch_us(ts) - epoch_us(touch_ts)) // 1000000 AS gap_sec
+    FROM touched
+    WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
+      AND (epoch_us(ts) - epoch_us(touch_ts)) // 1000000 <= {ATTRIBUTION_WINDOW_SEC}
+    """,
+)
+def q_win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's most
+    recent preceding marketing touch (click or view) within a 7-day
+    lookback — the conversion-credit staple behind every marketing
+    dashboard. Implemented as last_value(... IGNORE NULLS) over the
+    per-user ordered event stream with a frame ending at 1 PRECEDING
+    (a purchase can never attribute to itself), identical on both
+    engines.
+
+    Scale shape: a single per-user window — one shuffle on user_id for
+    the whole operator, the same partitioning sessionize/path/asof ride;
+    no self-join of events against events (contrast q_join_asof, which
+    materializes candidate pairs; the window form streams each user's
+    timeline once)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touched = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_event_id"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    gap = F.expr(
+        "(unix_micros(cast(ts as timestamp))"
+        " - unix_micros(cast(touch_ts as timestamp))) DIV 1000000"
+    )
+    return (
+        touched.where(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_event_id").isNotNull()
+        )
+        .withColumn("gap_sec", gap)
+        .where(F.col("gap_sec") <= ATTRIBUTION_WINDOW_SEC)
+        .select("event_id", "user_id", "touch_event_id", "touch_type", "gap_sec")
+        .withColumnRenamed("event_id", "purchase_id")
+    )

@@ -201,6 +201,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_sim_ivf_topk",    # every vector × broadcast centroid table
         "q_e2e_semsearch",   # same scoring pass as q_sim_cosine_topk
         "q_sample_balanced", # crossJoin of the broadcast 1-row class floor
+        "q_stats_chisq",     # cross of 5-row x 7-row margin aggregates (dense grid)
     }
     offenders = {}
     for name, fn in QUERIES.items():

@@ -625,3 +625,39 @@ def test_stream_asof_enrich_foreachbatch(spark, events_dir, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stateful_counters_on_rocksdb_state_store(spark, events_dir):
+    """VERDICT r2 stretch: pin the at-scale state backend. The HDFS-backed
+    default state store holds every key in executor heap; RocksDB spills
+    to local disk and is the provider you run with 100 TB keyspaces. The
+    provider ships inside spark-sql — this asserts the stateful op
+    produces identical results under it (same feature-probe spirit as
+    transform_with_state_available)."""
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    saved = spark.conf.get(provider_conf, None)
+    try:
+        spark.conf.set(provider_conf, rocksdb)
+        stream = ops.stateful_user_counters(_stream_events(spark, events_dir))
+        _run_to_memory(stream, "t_state_rocksdb", mode="update")
+        got = spark.sql("SELECT * FROM t_state_rocksdb").toPandas()
+        final = got.groupby("user_id")["n_events"].max()
+        expected = (
+            load_table(spark, SF_SMALL, "events")
+            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+            .toPandas().set_index("user_id")["n"]
+        )
+        import pandas as pd
+
+        pd.testing.assert_series_equal(
+            final.sort_index(), expected.sort_index(),
+            check_names=False, check_dtype=False,
+        )
+    finally:
+        if saved is not None:
+            spark.conf.set(provider_conf, saved)
+        else:
+            spark.conf.unset(provider_conf)
