@@ -61,6 +61,12 @@ _DEFER_TO_TAIL = (
     "q_embed_outliers",
     "q_text_pii",
     "q_e2e_dataset_card",
+    "q_e2e_ab_test",
+    "q_source_text_roundtrip",
+    "q_time_changepoint",
+    "q_time_seasonal",
+    "q_quality_benford",
+    "q_sim_mmr_rerank",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

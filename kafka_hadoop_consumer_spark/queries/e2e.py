@@ -627,3 +627,113 @@ def q_e2e_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_short",
         )
     )
+
+
+@query(
+    "q_e2e_ab_test",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN CAST(sum(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) > 0.2
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END)
+                  AS BIGINT) AS conv_b
+      FROM users)
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round(CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+                 THEN (CAST(conv_a AS DOUBLE) / n_a
+                       - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) END, 4) AS z_score
+    FROM agg
+    """,
+)
+def q_e2e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split into variants (the same
+    content-stable assignment as q_sample_split — a user's arm never
+    changes), per-arm conversion rates, and the two-proportion
+    z-statistic under the pooled null — the experimentation staple every
+    product analytics stack runs. Conversion is scale-free (a user's
+    purchase SHARE of events > 0.2) so the metric stays non-degenerate
+    at every fixture SF (a had-any-purchase flag saturates to 100% here,
+    making the pooled s.e. zero — also guarded: z is NULL on degenerate
+    margins, identically on both engines). The split is a same-population
+    A/A control, so |z| should be small — and both engines must agree on
+    it exactly (all inputs are exact integer counts; the z arithmetic is
+    the identical expression tree over them).
+
+    Scale shape: one hash agg to the per-user grain (map-side
+    combinable), then a global 1-row conditional aggregate — no joins,
+    no windows, nothing keyed finer than user_id."""
+    e = load_table(spark, sf_dir, "events")
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+                > 0.2,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    agg = users.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("converted")).otherwise(0))
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == "B", F.col("converted")).otherwise(0))
+        .alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(
+            F.when(
+                (F.col("conv_a") + F.col("conv_b") > 0)
+                & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b")),
+                (ra - rb) / se,
+            ),
+            4,
+        ).alias("z_score"),
+    )

@@ -192,3 +192,34 @@ def q_source_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min(F.md5("text")).alias("min_md5"),
     )
+
+
+@query(
+    "q_source_text_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+)
+def q_source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text sink→source roundtrip — the reference's actual output
+    family (§2A A6 wrote text part-files; log pipelines still do). One
+    line per document (fixture text is newline-free word salad,
+    FIXTURES.md); the re-read line set must reproduce the source column
+    exactly: line count, total chars, and the distinct-md5 cardinality
+    all recomputed by the oracle from the original parquet.
+
+    Scale shape: text is line-splittable, so the re-read parallelizes
+    per HDFS block exactly like the reference's TextInputFormat; no
+    schema inference (the one ``value`` column is the schema)."""
+    out = _out_dir(sf_dir, "text")
+    d = load_table(spark, sf_dir, "documents")
+    d.select("text").write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.count_distinct(F.md5("value")).alias("n_distinct"),
+    )

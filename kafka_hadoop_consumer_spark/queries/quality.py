@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
 
 
 @query(
@@ -290,10 +290,10 @@ def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     obs AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
             FROM base GROUP BY event_type, dow),
-    rowt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS rt FROM base
+    rowt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM obs
              GROUP BY event_type),
-    colt AS (SELECT dow, CAST(count(*) AS BIGINT) AS ct FROM base GROUP BY dow),
-    grand AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    colt AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY dow),
+    grand AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
     grid AS (
       SELECT r.event_type, c.dow, r.rt, c.ct, g.n, coalesce(o.o, 0) AS o,
              CAST(r.rt AS DOUBLE) * c.ct / g.n AS e
@@ -313,7 +313,8 @@ def q_stats_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((day + 3) mod 7 -> Monday=0), never via locale-dependent date parts.
 
     Scale shape: one hash agg over the raw rows per margin (row, column,
-    grand — each map-side combinable), then the EXPECTED grid is a
+    grand — all re-aggregated from the 35-row obs table, so the fact is
+    scanned ONCE), then the EXPECTED grid is a
     cross join of the two margin AGGREGATES (|types| x |dow| = 35 rows —
     the broadcast-tiny-side pattern, whitelisted in the cartesian sweep);
     observed cells left-join onto the dense grid so zero-observed cells
@@ -326,10 +327,13 @@ def q_stats_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow"
         ),
     )
-    obs = base.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
-    rowt = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("rt"))
-    colt = base.groupBy("dow").agg(F.count(F.lit(1)).alias("ct"))
-    grand = base.agg(F.count(F.lit(1)).alias("n"))
+    # one fact-scan: margins re-aggregate the tiny obs table, never base
+    obs = persist_tracked(
+        base.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    )
+    rowt = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    colt = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    grand = obs.agg(F.sum("o").alias("n"))
     grid = (
         rowt.crossJoin(F.broadcast(colt))
         .crossJoin(F.broadcast(grand))
@@ -351,4 +355,81 @@ def q_stats_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
             6,
         ).alias("chi2"),
+    )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), d=1..9, precomputed
+# once in Python and spliced as IDENTICAL literals into both engines —
+# no cross-engine libm-log risk.
+_BENFORD_P = (
+    "0.3010299956639812", "0.17609125905568124", "0.12493873660829992",
+    "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+    "0.05799194697768673", "0.05115252244738129", "0.04575749056067514",
+)
+
+
+def _benford_oracle() -> str:
+    probs = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD_P, start=1)
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+               FROM digits GROUP BY digit),
+    agg AS (SELECT c.digit, c.n_obs, t.n_total
+            FROM counts c CROSS JOIN
+                 (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM counts) t)
+    SELECT digit, n_obs,
+           round(CAST(n_obs AS DOUBLE) / n_total, 6) AS pct_obs,
+           round(CASE digit {probs} END, 6) AS pct_benford,
+           round(CAST(n_obs AS DOUBLE) / n_total
+                 - CASE digit {probs} END, 6) AS deviation
+    FROM agg
+    """
+
+
+@query("q_quality_benford", oracle=_benford_oracle())
+def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the synthetic-
+    data / fraud / fat-finger screen: naturally-occurring amounts follow
+    log10(1+1/d); a generator or manual entry shows up as systematic
+    deviation per digit. First digit is taken from the INTEGER part via
+    string head (both engines stringify integers identically — never via
+    log10, whose libm rounding could differ at a power of ten).
+
+    Scale shape: one hash agg to 9 digit rows; the total for the
+    percentage re-aggregates those 9 rows into a broadcast 1-row cross
+    join (the tfidf scalar-broadcast pattern — no global window), and
+    the expected distribution is a literal CASE — no second scan."""
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = persist_tracked(
+        digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    benford = F.element_at(
+        F.array(*[F.lit(float(p)) for p in _BENFORD_P]), F.col("digit")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("n_total"), 6).alias(
+                "pct_obs"
+            ),
+            F.round(benford, 6).alias("pct_benford"),
+            F.round(
+                F.col("n_obs").cast("double") / F.col("n_total") - benford, 6
+            ).alias("deviation"),
+        )
     )

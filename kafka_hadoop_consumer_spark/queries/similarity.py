@@ -884,13 +884,13 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cnrm", _norm(F.col("cv")))
     )
-    scored = ed.join(F.broadcast(cent), "label").select(
+    scored = persist_tracked(ed.join(F.broadcast(cent), "label").select(
         "label",
         "vec_id",
         F.round(
             _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4
         ).alias("cos_c"),
-    )
+    ))
     stats = scored.groupBy("label").agg(
         F.avg("cos_c").alias("mu"), F.stddev_samp("cos_c").alias("sigma")
     )
@@ -904,5 +904,95 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "cos_c",
             F.round((F.col("cos_c") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        )
+    )
+
+
+MMR_LAMBDA = 0.7
+MMR_CAND_K = 20
+MMR_OUT_K = 5
+
+
+def mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{MMR_CAND_K} exact-cosine candidates per query vector, carrying
+    both vectors — the input stage q_sim_mmr_rerank reranks (shared with
+    the pytest mirror so the iterative stage is tested on the exact same
+    candidate set the engine sees)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", _vec_double().alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    q = ed.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "v", "qv", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MMR_CAND_K)
+        .select("q_id", "vec_id", "v", "qv")
+    )
+
+
+def _mmr_rerank_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy maximal-marginal-relevance over one query's candidate set.
+    Pure numpy float64 (similarities recomputed HERE so the pytest mirror
+    is bit-identical); candidates scanned in vec_id order with strict >
+    so ties resolve to the lowest vec_id, deterministically."""
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    V = np.stack(pdf["v"].to_numpy())
+    qv = np.asarray(pdf["qv"].iloc[0])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qn = qv / np.linalg.norm(qv)
+    simq = Vn @ qn
+    S = Vn @ Vn.T
+    selected: list[int] = []
+    out = []
+    for rank in range(1, min(MMR_OUT_K, len(pdf)) + 1):
+        best_i, best_score = -1, -np.inf
+        for i in range(len(pdf)):
+            if i in selected:
+                continue
+            pen = max((S[i][j] for j in selected), default=0.0)
+            score = MMR_LAMBDA * simq[i] - (1 - MMR_LAMBDA) * pen
+            if score > best_score:
+                best_i, best_score = i, score
+        selected.append(best_i)
+        out.append(
+            (
+                int(pdf["q_id"].iloc[0]),
+                int(pdf["vec_id"].iloc[best_i]),
+                rank,
+                round(float(best_score), 4),
+            )
+        )
+    return pd.DataFrame(out, columns=["q_id", "vec_id", "mmr_rank", "mmr_score"])
+
+
+@query("q_sim_mmr_rerank")  # rows-only: iterative greedy selection is not
+# SQL-expressible; exactness gated by the numpy mirror in
+# tests/test_similarity.py (SURVEY.md §7 R4)
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance reranking: from each query's
+    top-{MMR_CAND_K} cosine candidates, greedily pick {MMR_OUT_K}
+    maximizing λ·sim(q,d) − (1−λ)·max_sim(d, already-picked) — the
+    diversity-aware serving stage (dedup-at-retrieval: near-identical
+    hits crowd out coverage when raw top-k is returned).
+
+    Spark shape: candidate generation is the broadcast-query scoring
+    pass (corpus never shuffles); the greedy stage is inherently
+    sequential PER QUERY, so it runs as grouped applyInPandas over
+    candidate sets BOUNDED at {MMR_CAND_K} rows — O(k²) work per query
+    regardless of corpus size, Arrow-batched, one shuffle on q_id."""
+    return (
+        mmr_candidates(spark, sf_dir)
+        .groupBy("q_id")
+        .applyInPandas(
+            _mmr_rerank_pdf,
+            schema="q_id long, vec_id long, mmr_rank int, mmr_score double",
         )
     )

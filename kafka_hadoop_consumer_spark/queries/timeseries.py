@@ -1351,3 +1351,165 @@ def q_time_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("growth_pct"),
     )
+
+
+@query(
+    "q_time_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {DAY_US} AS day_id,
+             round(avg(value), 6) AS x
+      FROM events GROUP BY event_type, day_id),
+    cusum AS (
+      SELECT event_type, day_id,
+             round(sum(x) OVER (PARTITION BY event_type ORDER BY day_id
+                                ROWS UNBOUNDED PRECEDING)
+                   - (row_number() OVER (PARTITION BY event_type
+                                         ORDER BY day_id))
+                     * round(avg(x) OVER (PARTITION BY event_type), 6),
+                   4) AS c
+      FROM daily)
+    SELECT event_type, day_id AS cp_day, abs_c AS max_abs_cusum FROM (
+      SELECT event_type, day_id, abs(c) AS abs_c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(c) DESC, day_id) AS rn
+      FROM cusum)
+    WHERE rn = 1
+    """,
+)
+def q_time_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection: for each event_type's daily-mean
+    series, the day where the cumulative deviation from the global mean
+    peaks — the standard level-shift locator (monitoring, drift
+    triage). cusum_d = Σ x_i - d·μ, argmax |cusum| with day tie-break.
+
+    Determinism: daily means and μ are rounded 6dp on both engines;
+    the running sum is a windowed double sum (association differs:
+    DuckDB segment tree vs Spark incremental) so the CUSUM value is
+    rounded 4dp BEFORE abs/argmax, and ties break on day_id — the
+    windows.py rounded-window-sum rule.
+
+    Scale shape: raw rows collapse to |types| x |days| in one hash agg;
+    μ, the running sum, and the argmax all ride ONE event_type window
+    partitioning — two exchanges total for the whole operator."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.expr(f"unix_micros(cast(ts as timestamp)) DIV {DAY_US}").alias(
+                "day_id"
+            ),
+            "value",
+        )
+        .groupBy("event_type", "day_id")
+        .agg(F.round(F.avg("value"), 6).alias("x"))
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("day_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("event_type")
+    mu = F.round(F.avg("x").over(w_all), 6)
+    cusum = daily.select(
+        "event_type",
+        "day_id",
+        F.round(
+            F.sum("x").over(w_run) - F.row_number().over(w_ord) * mu, 4
+        ).alias("c"),
+    )
+    w_top = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c")).desc(), F.col("day_id")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day_id").alias("cp_day"),
+            F.abs(F.col("c")).alias("max_abs_cusum"),
+        )
+    )
+
+
+@query(
+    "q_time_seasonal",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMp)) // {DAY_US} AS day_id,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, day_id),
+    trended AS (
+      SELECT *, (epoch_us(CAST('1970-01-01' AS TIMESTAMP)) // {DAY_US}
+                 + day_id + 3) % 7 AS dow,
+             round(CAST(sum(cnt) OVER w AS DOUBLE)
+                   / count(cnt) OVER w, 4) AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_id
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    seasonal AS (
+      SELECT event_type, dow, round(avg(cnt - trend), 4) AS seas
+      FROM trended GROUP BY event_type, dow)
+    SELECT t.event_type, t.day_id, t.cnt, t.trend, s.seas,
+           round(t.cnt - t.trend - s.seas, 4) AS resid
+    FROM trended t JOIN seasonal s
+      ON s.event_type = t.event_type AND s.dow = t.dow
+    """,
+)
+def q_time_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite) of the daily count
+    series per event_type: trend = centered 7-day moving average,
+    seasonal = mean detrended value per weekday, remainder = the rest —
+    the series triage every monitoring/forecast pipeline starts with.
+
+    Determinism: the trend window sums INTEGER counts (exact on both
+    engines) and divides by the frame row count — identical doubles —
+    then rounds 4dp; seasonal means average those rounded values
+    (rounded 4dp); the residual is pure arithmetic over rounded inputs.
+    Weekday comes from the epoch-day index ((day+3) mod 7), never a
+    locale date part.
+
+    Scale shape: |types| x |days| aggregate, one event_type window for
+    the trend, one tiny (type, dow) agg broadcast back. Edge days use
+    the truncated frame (avg of available) — documented STL-lite
+    behavior, not hidden padding."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.expr(f"unix_micros(cast(ts as timestamp)) DIV {DAY_US}").alias(
+                "day_id"
+            ),
+        )
+        .groupBy("event_type", "day_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_id")
+        .rowsBetween(-3, 3)
+    )
+    trended = persist_tracked(daily.select(
+        "event_type",
+        "day_id",
+        "cnt",
+        ((F.col("day_id") + 3) % 7).alias("dow"),
+        F.round(
+            F.sum("cnt").over(w).cast("double") / F.count("cnt").over(w), 4
+        ).alias("trend"),
+    ))
+    seasonal = trended.groupBy("event_type", "dow").agg(
+        F.round(F.avg(F.col("cnt") - F.col("trend")), 4).alias("seas")
+    )
+    return (
+        trended.join(F.broadcast(seasonal), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day_id",
+            "cnt",
+            "trend",
+            "seas",
+            F.round(F.col("cnt") - F.col("trend") - F.col("seas"), 4).alias(
+                "resid"
+            ),
+        )
+    )

@@ -202,6 +202,8 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_e2e_semsearch",   # same scoring pass as q_sim_cosine_topk
         "q_sample_balanced", # crossJoin of the broadcast 1-row class floor
         "q_stats_chisq",     # cross of 5-row x 7-row margin aggregates (dense grid)
+        "q_quality_benford", # crossJoin of the broadcast 1-row digit total
+        "q_sim_mmr_rerank",  # candidate stage = corpus past 5 broadcast queries
     }
     offenders = {}
     for name, fn in QUERIES.items():
@@ -409,3 +411,24 @@ def test_ntile_scalable_has_no_single_partition(spark):
 
     plan = formatted_plan(QUERIES["q_win_ntile_scalable"](spark, SF_DIR))
     assert "SinglePartition" not in plan
+
+
+def test_round3_shuffle_budgets(spark):
+    """Docstring shuffle claims for the round-3 operators, pinned:
+    attribution is ONE per-user window shuffle; KS is agg + window on the
+    binned aggregate; changepoint is agg + one event_type window (mu and
+    cusum share it); ab_test is the user agg + global 1-row agg; the PII
+    pass is pure narrow (zero exchanges)."""
+    from kafka_hadoop_consumer_spark.plans import n_shuffle_exchanges
+
+    budgets = {
+        "q_win_attribution": 1,
+        "q_stats_ks": 2,
+        "q_time_changepoint": 2,
+        "q_e2e_ab_test": 2,
+        "q_text_pii": 0,
+    }
+    got = {
+        k: n_shuffle_exchanges(QUERIES[k](spark, SF_DIR)) for k in budgets
+    }
+    assert got == budgets
