@@ -199,6 +199,80 @@ def _time_scaling(spark) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Skew-join probe: the "salting for skew" claim measured, not asserted.
+# A synthetic fact with one hot key (50% of rows) aggregated after joining
+# a small dim, three ways: naive SMJ with AQE skew-split disabled (the
+# thing that dies at scale), the explicit salted_join operator (AQE off —
+# pure operator effect), and plain join with AQE skew handling on (the
+# runtime fix). Reported under "skew_join"; not part of the headline total.
+SKEW_ROWS = 8_000_000
+SKEW_HOT_FRACTION = 0.5
+SKEW_N_KEYS = 1_000
+
+
+def _time_skew_join(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from kafka_hadoop_consumer_spark.operators.salting import salted_join
+
+    fact = spark.range(SKEW_ROWS).select(
+        F.when(
+            F.col("id") % int(1 / SKEW_HOT_FRACTION) == 0, F.lit(0)
+        )
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(SKEW_N_KEYS)))
+        .cast("long")
+        .alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    dim = spark.range(SKEW_N_KEYS).select(
+        F.col("id").alias("k"), F.concat(F.lit("g"), F.col("id") % 10).alias("grp")
+    )
+    # force the shuffle path: a broadcast dim would bypass skew entirely
+    # and measure nothing
+    no_broadcast = {"spark.sql.autoBroadcastJoinThreshold": "-1",
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"}
+
+    def run(extra_conf: dict, build):
+        keys = list(extra_conf) + list(no_broadcast)
+        saved = {k: spark.conf.get(k, None) for k in keys}
+        try:
+            for k, v in {**no_broadcast, **extra_conf}.items():
+                spark.conf.set(k, v)
+            build().write.format("noop").mode("overwrite").save()  # warm
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            return round(statistics.median(runs), 3)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def agg(joined):
+        return joined.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("s")
+        )
+
+    aqe_off = {"spark.sql.adaptive.skewJoin.enabled": "false"}
+    return {
+        "rows": SKEW_ROWS,
+        "hot_fraction": SKEW_HOT_FRACTION,
+        "naive_no_aqe_sec": run(aqe_off, lambda: agg(fact.join(dim, "k"))),
+        "salted_no_aqe_sec": run(
+            aqe_off, lambda: agg(salted_join(fact, dim, on="k", n_salts=32))
+        ),
+        "aqe_skew_sec": run(
+            {"spark.sql.adaptive.skewJoin.enabled": "true"},
+            lambda: agg(fact.join(dim, "k")),
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -225,6 +299,7 @@ def main() -> None:
         "queries": timings,
         "ingest_rows_per_sec": round(ingest_rows / ingest_sec),
         "scaling_10x": _time_scaling(spark),
+        "skew_join": _time_skew_join(spark),
         "sf": float(sf),
     }
     print(json.dumps(result))

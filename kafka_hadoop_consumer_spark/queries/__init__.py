@@ -67,6 +67,8 @@ _DEFER_TO_TAIL = (
     "q_time_seasonal",
     "q_quality_benford",
     "q_sim_mmr_rerank",
+    "q_source_bucketed_roundtrip",
+    "q_join_shuffle_hash",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -223,3 +223,52 @@ def q_source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("value")).alias("total_chars"),
         F.count_distinct(F.md5("value")).alias("n_distinct"),
     )
+
+
+@query(
+    "q_source_bucketed_roundtrip",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_source_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table roundtrip + SHUFFLE-FREE co-located join: both fact
+    tables are written bucketed (8 buckets, sorted) on their join key,
+    then joined bucket-to-bucket — the layout you pre-pay once at 100 TB
+    so every subsequent orderkey join of these tables skips its exchange
+    entirely (tests/test_plans.py asserts the join has zero shuffles).
+    The aggregate must match the oracle's plain-parquet join, proving the
+    bucketed write/read path is value-lossless, not just plan-pretty.
+
+    The merge hint pins SortMergeJoin (a broadcast of the small fixture
+    orders table would trivially also avoid the shuffle — but then the
+    key would demonstrate nothing about bucketing)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_") or "sf"
+    t_li, t_ord = f"b_lineitem_{tag}", f"b_orders_{tag}"
+    base = f"/tmp/khcs_bucketed/{tag}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    for name, df, key in ((t_li, li, "l_orderkey"), (t_ord, o, "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"{base}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    joined = spark.table(t_li).join(
+        spark.table(t_ord).hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )

@@ -237,3 +237,35 @@ def q_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(e, c, on="user_id", n_salts=8).select(
         "event_id", "user_id", "value", "c_name", "c_mktsegment"
     )
+
+
+@query(
+    "q_join_shuffle_hash",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_orderstatus
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > 50000
+    """,
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled hash join by explicit hint — the third physical join
+    strategy alongside broadcast (q_join_broadcast) and sort-merge
+    (q_join_inner), completing the strategy matrix. SHJ wins over SMJ
+    when one side is much smaller than the other but too big to
+    broadcast: it builds a hash map per partition instead of sorting
+    BOTH sides (no sort phase at all — plan-asserted in
+    tests/test_plans.py).
+
+    At 100 TB this is the fact-to-mid-size-table pattern: shuffle both
+    on the key, hash-build the smaller. Spark only honors the hint when
+    the per-partition build side fits memory — exactly the operating
+    regime the hint asserts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 50000
+    ).select("o_orderkey", "o_orderstatus")
+    return li.join(
+        o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderstatus")

@@ -432,3 +432,29 @@ def test_round3_shuffle_budgets(spark):
         k: n_shuffle_exchanges(QUERIES[k](spark, SF_DIR)) for k in budgets
     }
     assert got == budgets
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """The whole point of q_source_bucketed_roundtrip: both sides bucketed
+    on the join key -> the SortMergeJoin consumes bucket layout directly,
+    zero shuffle exchanges anywhere in the read+join+agg plan except the
+    final aggregation's (which groups by a non-bucket key)."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan, n_shuffle_exchanges
+
+    df = QUERIES["q_source_bucketed_roundtrip"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    # exactly one exchange: the o_orderstatus agg; the join itself is
+    # bucket-co-located
+    assert n_shuffle_exchanges(df) == 1, plan
+
+
+def test_shuffle_hash_join_hint_honored(spark):
+    """q_join_shuffle_hash must plan as ShuffledHashJoin — no sort phase
+    on either side (the strategy's point), and not silently converted to
+    broadcast (which would demonstrate nothing)."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_join_shuffle_hash"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -152,3 +152,68 @@ def test_concurrency_day_boundary_end_edge_clamped(spark, tmp_path):
     oracle = {r[0]: r[1] for r in con.execute(ORACLES["q_time_concurrency"]).fetchall()}
     con.close()
     assert oracle == out
+
+
+def test_attribution_semantics_on_synthetic_timeline(spark, tmp_path):
+    """Known-answer check for q_win_attribution: a purchase credits the
+    MOST RECENT prior touch (click beats the earlier view), a purchase
+    with no touch inside 7 days is dropped, and an error event never
+    gets credit even when it is the nearest prior event."""
+    from datetime import datetime, timedelta
+
+    from kafka_hadoop_consumer_spark.queries import QUERIES
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, 1, "view", t0),
+        (2, 1, "click", t0 + timedelta(minutes=5)),
+        (3, 1, "error", t0 + timedelta(minutes=6)),
+        (4, 1, "purchase", t0 + timedelta(minutes=10)),   # -> click (2)
+        (5, 1, "purchase", t0 + timedelta(days=8)),       # > 7d: dropped
+        (6, 2, "purchase", t0),                           # no touch: dropped
+        (7, 2, "view", t0 + timedelta(hours=1)),
+        (8, 2, "purchase", t0 + timedelta(days=6)),       # -> view (7)
+    ]
+    df = spark.createDataFrame(
+        [(i, u, ty, ts, 1.0) for i, u, ty, ts in rows],
+        "event_id long, user_id long, event_type string, ts timestamp_ntz,"
+        " value double",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["purchase_id"]: (r["touch_event_id"], r["touch_type"])
+        for r in QUERIES["q_win_attribution"](spark, str(tmp_path)).collect()
+    }
+    assert got == {4: (2, "click"), 8: (7, "view")}
+
+
+def test_changepoint_locates_planted_level_shift(spark, tmp_path):
+    """Known-answer check for q_time_changepoint: a daily series that
+    jumps from 1.0 to 5.0 after day 10 peaks its |CUSUM| exactly on the
+    last pre-shift day."""
+    from datetime import datetime, timedelta
+
+    from kafka_hadoop_consumer_spark.queries import QUERIES
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day in range(20):
+        for k in range(3):  # 3 events/day so the daily mean is exact
+            eid += 1
+            rows.append(
+                (eid, 1, "click", base + timedelta(days=day, hours=k),
+                 1.0 if day < 10 else 5.0)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp_ntz,"
+        " value double",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = QUERIES["q_time_changepoint"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    day0 = (base - datetime(1970, 1, 1)).days
+    # mu = 3.0; cusum dips to -2*10 = -20 at the 10th day (last pre-shift)
+    assert out[0]["cp_day"] == day0 + 9
+    assert abs(out[0]["max_abs_cusum"] - 20.0) < 1e-9
