@@ -69,6 +69,9 @@ _DEFER_TO_TAIL = (
     "q_sim_mmr_rerank",
     "q_source_bucketed_roundtrip",
     "q_join_shuffle_hash",
+    "q_agg_moments",
+    "q_time_wau",
+    "q_time_session_stats",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

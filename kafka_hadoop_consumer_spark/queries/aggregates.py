@@ -690,3 +690,69 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(value) AS s1, sum(value * value) AS s2,
+             sum(value * value * value) AS s3,
+             sum(value * value * value * value) AS s4
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           round(s1 / n, 6) AS mean,
+           round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS stddev_p,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n)
+                  * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) AS skewness,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 4) AS kurtosis
+    FROM s
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment profile per series — skewness and excess kurtosis
+    computed from RAW POWER SUMS (Σx, Σx², Σx³, Σx⁴), not the built-in
+    skewness()/kurtosis() aggregates, for two deliberate reasons: the
+    power sums are plain map-side-combinable SUMs (one hash agg, partials
+    merge by addition — the mergeable-statistics pattern of
+    q_agg_weighted), and the engines' built-ins disagree on sample-vs-
+    population correction while the explicit moment arithmetic is the
+    identical expression tree on both sides (rounded: accumulation order
+    still differs inside each SUM).
+
+    Central moments from power sums: m2 = S2/n − μ², m3 = S3/n − 3μS2/n
+    + 2μ³, m4 = S4/n − 4μS3/n + 6μ²S2/n − 3μ⁴; g1 = m3/m2^1.5,
+    excess g2 = m4/m2² − 3. Fixture values are O(1-100), so the
+    power-sum cancellation stays well inside the rounding margin."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * (F.col("s2") / F.col("n")) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(mu, 6).alias("mean"),
+        F.round(F.sqrt(m2), 6).alias("stddev_p"),
+        F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2) - 3, 4).alias("kurtosis"),
+    )

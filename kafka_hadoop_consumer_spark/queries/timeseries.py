@@ -1513,3 +1513,143 @@ def q_time_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+WAU_WINDOW_DAYS = 7
+
+
+@query(
+    "q_time_wau",
+    oracle=f"""
+    WITH user_days AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {DAY_US} AS day_id
+      FROM events),
+    active_days AS (SELECT DISTINCT day_id FROM user_days),
+    contrib AS (
+      SELECT ud.user_id, ud.day_id + d.d AS w_day
+      FROM user_days ud,
+           UNNEST(range(0, {WAU_WINDOW_DAYS})) AS d(d))
+    SELECT c.w_day AS day_id,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c JOIN active_days a ON a.day_id = c.w_day
+    GROUP BY c.w_day
+    """,
+)
+def q_time_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {WAU_WINDOW_DAYS}-day active users (WAU) per day — THE
+    engagement metric, and deliberately NOT a windowed count-distinct
+    (distinct doesn't decompose over sliding frames): each (user, day)
+    pair EXPLODES into the {WAU_WINDOW_DAYS} window-end days it makes
+    that user active for, then one exact distinct count per day — every
+    join/agg an equi operation, no theta join against a day spine.
+    Reported only for days that actually appear in the data (a day with
+    zero events has no WAU row — documented; gapfill composes upstream).
+
+    Scale shape: user-day dedup is one shuffle; the explode is narrow
+    (×{WAU_WINDOW_DAYS}); the distinct count is one more shuffle on
+    (day, user). Cost is |user-days|×{WAU_WINDOW_DAYS} rows regardless
+    of raw event volume — at 100 TB the user-day grain is what makes
+    this tractable."""
+    e = load_table(spark, sf_dir, "events")
+    user_days = (
+        e.select(
+            "user_id",
+            F.expr(f"unix_micros(cast(ts as timestamp)) DIV {DAY_US}").alias(
+                "day_id"
+            ),
+        )
+        .distinct()
+    )
+    active = user_days.select("day_id").distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_id"), F.col("day_id") + (WAU_WINDOW_DAYS - 1))
+        ).alias("w_day"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(active), contrib.w_day == active.day_id
+        )
+        .groupBy(contrib.w_day.alias("day_id"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+@query(
+    "q_time_session_stats",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    lagd AS (
+      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS prev_ts
+      FROM e),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM lagd),
+    sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, session_id,
+             epoch_us(min(ts)) // {DAY_US} AS start_day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+      FROM sess GROUP BY user_id, session_id)
+    SELECT start_day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(avg(n_events), 4) AS avg_events,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dur_us)
+                AS BIGINT) AS p50_dur_us,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY dur_us)
+                AS BIGINT) AS p90_dur_us
+    FROM sessions GROUP BY start_day
+    """,
+)
+def q_time_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session-quality report over the q_win_sessionize session
+    model (same 30-min gap): sessions started per day, distinct users,
+    mean events per session, and exact p50/p90 session durations — the
+    engagement dashboard one level above raw sessionization.
+
+    Scale shape: the session build rides ONE user_id partitioning (lag +
+    cumsum + the session agg — the sessionize precedent); the daily
+    report is a second grouped agg over the |sessions| grain with exact
+    percentile_disc (bit-exact selections, unrounded). Durations are
+    integer microseconds throughout — no float drift anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = us(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull() | (us(F.col("ts")) - prev_us > SESSION_GAP_US), 1
+    ).otherwise(0)
+    sessions = (
+        e.withColumn("session_id", F.sum(is_new).over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.expr(f"unix_micros(cast(min(ts) as timestamp)) DIV {DAY_US}").alias(
+                "start_day"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            (us(F.max("ts")) - us(F.min("ts"))).alias("dur_us"),
+        )
+    )
+    return sessions.groupBy("start_day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dur_us)")
+        .cast("long")
+        .alias("p50_dur_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY dur_us)")
+        .cast("long")
+        .alias("p90_dur_us"),
+    )
