@@ -72,6 +72,7 @@ _DEFER_TO_TAIL = (
     "q_agg_moments",
     "q_time_wau",
     "q_time_session_stats",
+    "q_time_cohort_ltv",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -1653,3 +1653,92 @@ def q_time_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_dur_us"),
     )
+
+
+WEEK_US = 7 * DAY_US
+
+
+@query(
+    "q_time_cohort_ltv",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {WEEK_US} AS week_id
+      FROM events),
+    firsts AS (
+      SELECT user_id, min(week_id) AS cohort_week FROM e GROUP BY user_id),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM firsts GROUP BY cohort_week),
+    weekly AS (
+      SELECT f.cohort_week, e.week_id - f.cohort_week AS period,
+             round(sum(CASE WHEN e.event_type = 'purchase'
+                            THEN e.value ELSE 0 END), 2) AS revenue
+      FROM e JOIN firsts f ON f.user_id = e.user_id
+      GROUP BY f.cohort_week, period)
+    SELECT w.cohort_week, w.period, s.cohort_users, w.revenue,
+           round(sum(w.revenue) OVER (PARTITION BY w.cohort_week
+                                      ORDER BY w.period
+                                      ROWS UNBOUNDED PRECEDING)
+                 / s.cohort_users, 4) AS ltv_per_user
+    FROM weekly w JOIN sizes s ON s.cohort_week = w.cohort_week
+    """,
+)
+def q_time_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue companion to
+    q_time_retention's counts matrix: users grouped by first-seen week,
+    purchase revenue per (cohort, weeks-since-first), and cumulative
+    revenue per cohort user (the LTV curve a growth team plots).
+
+    Scale shape: firsts and weekly revenue are user-keyed hash aggs
+    (map-side combinable); the cohort assignment join broadcasts the
+    per-user firsts at fixture scale and stays an equi-join at any
+    scale; the cumulative window rides a per-cohort partitioning of the
+    |cohorts| x |periods| aggregate. Weekly revenue is rounded 2dp on
+    both engines BEFORE the cumulative sum (windowed double sums
+    associate differently), and the final per-user division rounds 4dp.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr(f"unix_micros(cast(ts as timestamp)) DIV {WEEK_US}").alias(
+            "week_id"
+        ),
+    )
+    firsts = e.groupBy("user_id").agg(F.min("week_id").alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    weekly = (
+        e.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week_id") - F.col("cohort_week")).alias("period")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                    .otherwise(0.0)
+                ),
+                2,
+            ).alias("revenue")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("period")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "period",
+            "cohort_users",
+            "revenue",
+            F.round(
+                F.sum("revenue").over(w) / F.col("cohort_users"), 4
+            ).alias("ltv_per_user"),
+        )
+    )
