@@ -73,6 +73,12 @@ _DEFER_TO_TAIL = (
     "q_time_wau",
     "q_time_session_stats",
     "q_time_cohort_ltv",
+    "q_stats_ttest",
+    "q_stats_mannwhitney",
+    "q_agg_decimal_exact",
+    "q_source_xml_roundtrip",
+    "q_time_rolling_median",
+    "q_e2e_kpi_daily",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

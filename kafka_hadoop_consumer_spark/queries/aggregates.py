@@ -756,3 +756,62 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
         F.round(m4 / F.pow(m2, 2) - 3, 4).alias("kurtosis"),
     )
+
+
+@query(
+    "q_agg_decimal_exact",
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT) AS disc_c,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c
+      FROM lineitem)
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(price_c) AS DOUBLE) / 100 AS sum_price,
+           CAST(sum(disc_c) AS DOUBLE) / 100 AS sum_disc_price,
+           CAST(sum(qty_c) AS DOUBLE) / 100 AS sum_qty
+    FROM cents
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-money aggregation: each measure is converted to INTEGER
+    CENTS per row via the explicit, IEEE-deterministic expression
+    ``floor(x*100 + 0.5)`` (NOT a double→decimal cast — Spark rounds
+    HALF_UP while DuckDB rounds half-even, a real cross-engine trap this
+    key's first draft hit), then summed as BIGINT — bit-exact,
+    associative, order-independent currency arithmetic at any scale,
+    divided back to currency units only at the end (exact: the BIGINT
+    cent sum is well inside double's 2^53 integer range, and /100 is the
+    same IEEE operation on both engines — emitted as DOUBLE because the
+    engines' decimal-to-client renderings differ while the double bits
+    hash identically).
+
+    Scale shape: identical single hash agg to q_agg_groupby — integer
+    partials, map-side combinable, one shuffle of |groups| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cents(col):
+        return F.floor(col * 100 + 0.5).cast("long")
+
+    c = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        cents(F.col("l_extendedprice")).alias("price_c"),
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_c"),
+        cents(F.col("l_quantity")).alias("qty_c"),
+    )
+
+    def as_dec(col_name):
+        return F.sum(col_name).cast("double") / 100
+
+    return c.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        as_dec("price_c").alias("sum_price"),
+        as_dec("disc_c").alias("sum_disc_price"),
+        as_dec("qty_c").alias("sum_qty"),
+    )

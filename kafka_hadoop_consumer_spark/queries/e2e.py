@@ -737,3 +737,107 @@ def q_e2e_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_score"),
     )
+
+
+@query(
+    "q_e2e_kpi_daily",
+    oracle="""
+    WITH day AS (
+      SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+                 AS day,
+             user_id, event_type, value
+      FROM events),
+    kpi AS (
+      SELECT day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END), 2) AS purchase_value,
+             CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                      THEN user_id END) AS BIGINT)
+                 AS purchasing_users,
+             round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS error_rate
+      FROM day GROUP BY day),
+    firsts AS (
+      SELECT strftime(date_trunc('day', min(CAST(ts AS TIMESTAMP))),
+                      '%Y-%m-%d') AS day,
+             user_id
+      FROM events GROUP BY user_id),
+    new_u AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY day)
+    SELECT k.day, k.n_events, k.active_users, k.n_purchases,
+           k.purchase_value, k.purchasing_users, k.error_rate,
+           coalesce(n.new_users, 0) AS new_users,
+           round(CAST(k.purchasing_users AS DOUBLE) / k.active_users, 6)
+               AS conversion
+    FROM kpi k LEFT JOIN new_u n ON n.day = k.day
+    """,
+)
+def q_e2e_kpi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily KPI dashboard in ONE events pass: event volume, exact active
+    users, purchase count/value, purchasing users, error rate, new users
+    (first-ever-seen that day), and conversion — the many-metrics-one-scan
+    pattern every BI rollup job needs (running one job per metric re-reads
+    the fact table N times).
+
+    Scale shape: the main agg carries all per-day metrics in a single
+    groupBy (conditional sums are map-side combinable; the two exact
+    count-distincts expand to one grouping-set pass). New-user attribution
+    needs per-user first-seen, an unavoidable second shuffle keyed by
+    user_id — but its output is |users| rows aggregated again to |days|,
+    and the final join is |days| x |days| (broadcast-sized both sides).
+    At 100 TB you'd swap exact distinct for HLL partials
+    (q_agg_sketch_merge) — kept exact here for the oracle contract."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    is_p = F.col("event_type") == "purchase"
+    kpi = (
+        e.select(day, "user_id", "event_type", "value")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("active_users"),
+            F.sum(F.when(is_p, 1).otherwise(0)).alias("n_purchases"),
+            F.round(F.sum(F.when(is_p, F.col("value")).otherwise(0.0)), 2).alias(
+                "purchase_value"
+            ),
+            F.count_distinct(F.when(is_p, F.col("user_id"))).alias(
+                "purchasing_users"
+            ),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("error_rate"),
+        )
+    )
+    new_u = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            F.date_format(F.date_trunc("day", "first_ts"), "yyyy-MM-dd").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    return (
+        kpi.join(F.broadcast(new_u), "day", "left")
+        .select(
+            "day",
+            "n_events",
+            "active_users",
+            "n_purchases",
+            "purchase_value",
+            "purchasing_users",
+            "error_rate",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+            F.round(
+                F.col("purchasing_users").cast("double") / F.col("active_users"), 6
+            ).alias("conversion"),
+        )
+    )

@@ -272,3 +272,61 @@ def q_source_bucketed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@query(
+    "q_source_xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink→source roundtrip — Spark 4's NATIVE XML data source (no
+    external spark-xml package), the interchange format B2B/EDI and
+    legacy-feed ingestion still runs on. Orders are written as one
+    ``<order>`` element per row, re-read with an EXPLICIT schema (no
+    inference pass — at 100 TB schema inference is a full extra scan),
+    and the re-read rows must reproduce the original parquet values:
+    the oracle recomputes the same grouped profile (exact integer cents
+    — doubles survive the text roundtrip because Spark writes
+    shortest-roundtrip decimal strings) from the source table.
+
+    Scale shape: each row is a self-contained element, so the XML reader
+    splits files by element boundaries and parallelizes per file/block;
+    the profile agg is one hash shuffle of |status x priority| groups.
+    """
+    out = _out_dir(sf_dir, "xml")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    (
+        o.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(
+            "o_orderkey LONG, o_orderstatus STRING, "
+            "o_orderpriority STRING, o_totalprice DOUBLE"
+        )
+        .load(out)
+    )
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "total_cents"
+        ),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

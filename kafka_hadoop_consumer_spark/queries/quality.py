@@ -433,3 +433,206 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation"),
         )
     )
+
+
+@query(
+    "q_stats_ttest",
+    oracle="""
+    WITH arms AS (
+      SELECT event_type,
+             CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'a' ELSE 'b' END AS arm,
+             value
+      FROM events),
+    s AS (
+      SELECT event_type, arm, CAST(count(*) AS BIGINT) AS n,
+             sum(value) AS s1, sum(value * value) AS s2
+      FROM arms GROUP BY event_type, arm),
+    m AS (
+      SELECT event_type, arm, n, s1 / n AS mean,
+             (s2 - s1 * s1 / n) / (n - 1) AS var
+      FROM s),
+    w AS (
+      SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+             a.mean AS mean_a, b.mean AS mean_b,
+             a.var / a.n AS va_n, b.var / b.n AS vb_n
+      FROM m a JOIN m b ON a.event_type = b.event_type
+      WHERE a.arm = 'a' AND b.arm = 'b')
+    SELECT event_type, n_a, n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b) / sqrt(va_n + vb_n), 4) AS t_stat,
+           round((va_n + vb_n) * (va_n + vb_n)
+                 / (va_n * va_n / (n_a - 1) + vb_n * vb_n / (n_b - 1)),
+                 2) AS df_welch
+    FROM w
+    """,
+)
+def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test per event_type between deterministic
+    hash-split arms: per-arm mean/variance from RAW POWER SUMS (n, Σx,
+    Σx²), t statistic, and Welch–Satterthwaite degrees of freedom — the
+    experiment-readout primitive for unequal-variance A/B comparisons
+    (complements q_e2e_ab_test's proportion z-test with a continuous
+    metric).
+
+    Scale shape: one map-side-combinable hash agg over (type, arm) carries
+    constant-size partials (3 power sums); everything downstream operates
+    on the |types|x2 aggregate. Variance is derived from the SAME power-sum
+    expression tree on both engines (built-in var_samp accumulation orders
+    differ — q_agg_moments precedent), then rounded.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+    s = (
+        e.select("event_type", arm.alias("arm"), "value")
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s1"),
+            F.sum(F.col("value") * F.col("value")).alias("s2"),
+        )
+    )
+    m = s.select(
+        "event_type",
+        "arm",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias("var"),
+    )
+    a = m.where(F.col("arm") == "a").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        (F.col("var") / F.col("n")).alias("va_n"),
+    )
+    b = m.where(F.col("arm") == "b").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        (F.col("var") / F.col("n")).alias("vb_n"),
+    )
+    j = a.join(b, "event_type")
+    pooled = F.col("va_n") + F.col("vb_n")
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(pooled), 4).alias("t_stat"),
+        F.round(
+            pooled * pooled
+            / (
+                F.col("va_n") * F.col("va_n") / (F.col("n_a") - 1)
+                + F.col("vb_n") * F.col("vb_n") / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )
+
+
+@query(
+    "q_stats_mannwhitney",
+    oracle="""
+    WITH arms AS (
+      SELECT event_type, round(value, 2) AS v,
+             CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'a' ELSE 'b' END AS arm
+      FROM events),
+    dv AS (  -- collapse to distinct values: exact ranks from counts
+      SELECT event_type, v,
+             CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(count(*) AS BIGINT) AS ct
+      FROM arms GROUP BY event_type, v),
+    rk AS (
+      SELECT event_type, v, ca, ct,
+             coalesce(sum(ct) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below
+      FROM dv),
+    agg AS (
+      SELECT event_type,
+             sum(ca * (below + (ct + 1) / 2.0)) AS r_a,
+             CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(ct - ca) AS BIGINT) AS n_b,
+             CAST(sum(ct) AS BIGINT) AS n,
+             sum(CAST(ct AS DOUBLE) * ct * ct - ct) AS tie_term
+      FROM rk GROUP BY event_type)
+    SELECT event_type, n_a, n_b,
+           round(r_a - n_a * (n_a + 1) / 2.0, 2) AS u_stat,
+           round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+                 / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                        * ((n + 1) - tie_term / (CAST(n AS DOUBLE) * (n - 1)))),
+                 4) AS z_stat
+    FROM agg
+    """,
+)
+def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test per event_type between the same
+    hash-split arms — the non-parametric counterpart of q_stats_ttest,
+    with exact tie-corrected average ranks and the normal-approximation
+    z statistic.
+
+    Scale shape: the naive formulation ranks every raw row (a per-type
+    global sort). Instead the corpus is first collapsed to DISTINCT
+    (type, value) with per-arm counts — one map-side-combinable hash agg —
+    and exact average ranks are recovered in closed form from cumulative
+    counts over that far smaller aggregate (avg_rank = below + (ct+1)/2).
+    The window runs over |distinct values| rows per type, not |rows|;
+    values are pre-rounded to 2dp so distinct-value cardinality is bounded
+    by measurement resolution (same binning contract as q_stats_ks, but
+    the statistic here stays exact for the rounded values on both
+    engines).
+    """
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+    dv = (
+        e.select("event_type", F.round("value", 2).alias("v"), arm.alias("arm"))
+        .groupBy("event_type", "v")
+        .agg(
+            F.count(F.when(F.col("arm") == "a", 1)).alias("ca"),
+            F.count(F.lit(1)).alias("ct"),
+        )
+    )
+    w_below = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = dv.select(
+        "event_type",
+        "ca",
+        "ct",
+        F.coalesce(F.sum("ct").over(w_below), F.lit(0)).alias("below"),
+    )
+    agg = rk.groupBy("event_type").agg(
+        F.sum(F.col("ca") * (F.col("below") + (F.col("ct") + 1) / 2.0)).alias("r_a"),
+        F.sum("ca").alias("n_a"),
+        F.sum(F.col("ct") - F.col("ca")).alias("n_b"),
+        F.sum("ct").alias("n"),
+        F.sum(
+            F.col("ct").cast("double") * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tie_term"),
+    )
+    u = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(u, 2).alias("u_stat"),
+        F.round(
+            (u - F.col("n_a") * F.col("n_b") / 2.0)
+            / F.sqrt(
+                F.col("n_a").cast("double") * F.col("n_b") / 12.0
+                * (
+                    (F.col("n") + 1)
+                    - F.col("tie_term") / (F.col("n").cast("double") * (F.col("n") - 1))
+                )
+            ),
+            4,
+        ).alias("z_stat"),
+    )

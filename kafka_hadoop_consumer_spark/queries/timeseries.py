@@ -1742,3 +1742,50 @@ def q_time_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
     )
+
+
+@query(
+    "q_time_rolling_median",
+    oracle="""
+    SELECT event_type, event_id,
+           list_element(list_sort(l),
+                        CAST((len(l) + 1) // 2 AS BIGINT)) AS roll_median,
+           CAST(len(l) AS BIGINT) AS n_in_frame
+    FROM (
+      SELECT event_type, event_id,
+             list(value) OVER (PARTITION BY event_type
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS l
+      FROM events)
+    """,
+)
+def q_time_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row EXACT median per series (lower median: sorted-frame
+    element at position ⌈n/2⌉) — the robust companion to q_time_rolling's
+    mean/volatility panel; medians shrug off the single-spike outliers
+    that drag a rolling mean.
+
+    Neither engine supports median() as a frame-bounded window function
+    (Spark rejects ORDER BY + frame for median — probed on 4.1), so both
+    sides build the SAME primitive: collect the 7-row frame as an array,
+    sort it, select the middle element. Selection, not interpolation —
+    the output is an input bit pattern, so no rounding is needed.
+
+    Scale shape: ONE shuffle on event_type; the frame array is bounded
+    (≤7 elements) regardless of scale, so per-row state is O(window),
+    exactly how a 100 TB rolling-median job must bound memory. Rows
+    before the 6th emit the median of their shorter prefix frame
+    (n_in_frame exposes the warm-up)."""
+    e = load_table(spark, sf_dir, "events")
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w7))
+    return e.select(
+        "event_type",
+        "event_id",
+        F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")).alias("roll_median"),
+        F.size(arr).cast("long").alias("n_in_frame"),
+    )
