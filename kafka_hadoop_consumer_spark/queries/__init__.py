@@ -79,6 +79,9 @@ _DEFER_TO_TAIL = (
     "q_source_xml_roundtrip",
     "q_time_rolling_median",
     "q_e2e_kpi_daily",
+    "q_text_heavy_hitters",
+    "q_dedup_url",
+    "q_graph_pagerank",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -662,3 +662,232 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BOILER_TOP)
         .select(F.col("sh").alias("shingle"), "df", "sample_docs")
     )
+
+
+@query(
+    "q_dedup_url",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             CASE event_id % 6
+               WHEN 0 THEN 'https://shop.example.com/p/' || (user_id % 40)
+                           || '?ref=' || (event_id % 3)
+               WHEN 1 THEN 'HTTPS://SHOP.EXAMPLE.COM/p/' || (user_id % 40)
+                           || '?ref=' || (event_id % 3)
+               WHEN 2 THEN 'https://shop.example.com:443/p/' || (user_id % 40)
+                           || '?ref=' || (event_id % 3)
+               WHEN 3 THEN 'https://shop.example.com/p/' || (user_id % 40)
+                           || '/?ref=' || (event_id % 3)
+               WHEN 4 THEN 'https://shop.example.com/p/' || (user_id % 40)
+                           || '?utm_source=mail&ref=' || (event_id % 3)
+               ELSE 'https://shop.example.com/p/' || (user_id % 40)
+                    || '?ref=' || (event_id % 3)
+                    || '&utm_campaign=x#frag'
+             END AS url
+      FROM events),
+    parts AS (
+      SELECT url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+               ':443$', '') AS host,
+             regexp_replace(
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+               '/+$', '') AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS qs
+      FROM raw),
+    canon AS (
+      SELECT url,
+             scheme || '://' || host || path ||
+             CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+      FROM (
+        SELECT url, scheme, host, path,
+               array_to_string(
+                 list_sort(list_filter(string_split(qs, '&'),
+                                       x -> x NOT LIKE 'utm_%' AND x <> '')),
+                 '&') AS cq
+        FROM parts))
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first normalization pass of a
+    web-crawl pipeline (CommonCrawl-style): scheme/host lowercased,
+    default :443 port dropped, trailing path slashes stripped, fragments
+    discarded, ``utm_*`` tracking parameters removed, and surviving query
+    parameters SORTED so parameter order can't split a page's count.
+    Emits each canonical URL with its raw-occurrence count and the number
+    of distinct raw spellings it absorbed.
+
+    The fixture has no URL column, so raw URLs are planted
+    deterministically from events (six spelling variants per canonical
+    target — same synthetic-plant precedent as q_text_pii); the
+    normalization expressions are the operator under test and are the
+    identical regex/array pipeline on both engines.
+
+    Scale shape: canonicalization is a narrow, zero-shuffle expression
+    chain (regexp + array ops inside codegen); the only shuffle is the
+    final groupBy canonical_url — exactly the hash-partitioned dedup of
+    q_dedup_exact, after the key has been made collision-correct."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.pmod(F.col("user_id"), F.lit(40)).cast("string")
+    r = F.pmod(F.col("event_id"), F.lit(3)).cast("string")
+    base = F.concat(F.lit("https://shop.example.com/p/"), k)
+    variants = (
+        F.when(F.pmod("event_id", F.lit(6)) == 0,
+               F.concat(base, F.lit("?ref="), r))
+        .when(F.pmod("event_id", F.lit(6)) == 1,
+              F.concat(F.lit("HTTPS://SHOP.EXAMPLE.COM/p/"), k, F.lit("?ref="), r))
+        .when(F.pmod("event_id", F.lit(6)) == 2,
+              F.concat(F.lit("https://shop.example.com:443/p/"), k, F.lit("?ref="), r))
+        .when(F.pmod("event_id", F.lit(6)) == 3,
+              F.concat(base, F.lit("/?ref="), r))
+        .when(F.pmod("event_id", F.lit(6)) == 4,
+              F.concat(base, F.lit("?utm_source=mail&ref="), r))
+        .otherwise(F.concat(base, F.lit("?ref="), r, F.lit("&utm_campaign=x#frag")))
+    )
+    raw = e.select("event_id", variants.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
+        ":443$", "")
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    qs = F.regexp_extract("url", r"\?([^#]*)", 1)
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&"),
+                lambda x: (~x.startswith("utm_")) & (x != ""),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(cq == "", "").otherwise(F.concat(F.lit("?"), cq)),
+    )
+    return (
+        raw.select("url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_distinct("url").alias("n_variants"),
+        )
+    )
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+@query(
+    "q_graph_pagerank",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh_all AS (
+      SELECT DISTINCT doc_id, s
+      FROM tok,
+           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)
+    ),
+    sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh_all)
+      WHERE df <= {DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc1, doc2
+      FROM inter JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+      WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) > {JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+              UNION ALL SELECT doc2, doc1 FROM pairs),
+    deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+    nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT id, deg, 1.0 / (SELECT n FROM nv) AS r FROM deg),
+    r1 AS (SELECT e.dst AS id, d.deg,
+                  0.15 / (SELECT n FROM nv)
+                  + 0.85 * sum(p.r / p.deg) AS r
+           FROM edges e JOIN r0 p ON p.id = e.src JOIN deg d ON d.id = e.dst
+           GROUP BY e.dst, d.deg),
+    r2 AS (SELECT e.dst AS id, d.deg,
+                  0.15 / (SELECT n FROM nv)
+                  + 0.85 * sum(p.r / p.deg) AS r
+           FROM edges e JOIN r1 p ON p.id = e.src JOIN deg d ON d.id = e.dst
+           GROUP BY e.dst, d.deg),
+    r3 AS (SELECT e.dst AS id, d.deg,
+                  0.15 / (SELECT n FROM nv)
+                  + 0.85 * sum(p.r / p.deg) AS r
+           FROM edges e JOIN r2 p ON p.id = e.src JOIN deg d ON d.id = e.dst
+           GROUP BY e.dst, d.deg)
+    SELECT id AS doc_id, deg, round(r, 8) AS pagerank FROM r3
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (PR_ITERS=3 statically-unrolled power iterations,
+    d=0.85) over the exact near-dup pair graph — graph analytics as plain
+    DataFrame joins, no graph framework: rank mass flows along the same
+    J > 0.6 edges that q_dedup_clusters components, surfacing the most
+    central document of every duplicate cluster (the natural KEEP choice
+    when collapsing a near-dup group: highest-connectivity copy rather
+    than lowest doc_id).
+
+    The undirected dedup graph has no dangling nodes (every node in the
+    edge list has degree ≥ 1), so the classic teleport formulation
+    r' = 0.15/|V| + 0.85·Σ r(u)/deg(u) needs no dangling-mass patch and
+    is the IDENTICAL expression tree on both engines (one final 8dp
+    round absorbs sum-order drift).
+
+    Scale shape: edges are hash-partitioned by src ONCE and persisted;
+    each iteration is one join (rank table moves to the edges'
+    partitioning) plus one groupBy-dst shuffle carrying |V| partial
+    sums — the standard distributed PageRank plan, linear per iteration.
+    Degree and |V| are broadcast-sized and the unrolled loop builds ONE
+    Catalyst plan (no driver-side collect between iterations)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        exact_jaccard_pairs(shingles(d))
+        .where(F.col("jaccard") > JACCARD_THRESHOLD)
+        .select("doc1", "doc2")
+    )
+    edges = persist_tracked(
+        pairs.selectExpr("doc1 AS src", "doc2 AS dst")
+        .unionByName(pairs.selectExpr("doc2 AS src", "doc1 AS dst"))
+        .repartition("src")
+    )
+    deg = persist_tracked(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+    nv = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    r = deg.select(
+        F.col("src").alias("id"), "deg"
+    ).crossJoin(F.broadcast(nv)).select("id", "deg", (F.lit(1.0) / F.col("n")).alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = edges.join(
+            r.withColumnRenamed("id", "src_id"),
+            F.col("src") == F.col("src_id"),
+        ).select("dst", (F.col("r") / F.col("deg")).alias("m"))
+        r = (
+            contrib.groupBy("dst")
+            .agg(F.sum("m").alias("s"))
+            .join(F.broadcast(deg), F.col("dst") == F.col("src"))
+            .crossJoin(F.broadcast(nv))
+            .select(
+                F.col("dst").alias("id"),
+                "deg",
+                (0.15 / F.col("n") + 0.85 * F.col("s")).alias("r"),
+            )
+        )
+    return r.select(
+        F.col("id").alias("doc_id"), "deg", F.round("r", 8).alias("pagerank")
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
 from kafka_hadoop_consumer_spark.queries.textutil import ngram_expr
 
 # Tokens are space-separated in the fixture corpus (FIXTURES.md: word-salad
@@ -609,4 +609,83 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_phones"),
         F.md5(scrubbed).alias("scrub_md5"),
+    )
+
+
+# Counter budget for the Misra-Gries partition summaries. The survival
+# guarantee is for items with global frequency strictly above
+# N/(MG_COUNTERS + 1); keep the +1 visible rather than folding it.
+MG_COUNTERS = 4095
+
+
+def _mg_summarize(batches):
+    """Per-partition Misra-Gries heavy-hitter summary over the ``gram``
+    column, batch-merged: add each Arrow batch's value counts, then
+    compact by subtracting the (M+1)-th largest residual from every
+    counter and dropping non-positives — the mergeable-summaries
+    compaction, which preserves the classic MG bound (any item
+    undercounted by at most n_partition/(M+1)). Python touches only
+    counter-dict maintenance on vectorized per-batch value_counts; the
+    raw rows never leave the JVM row-by-row."""
+    import numpy as np
+    import pandas as pd
+
+    counters: dict = {}
+    for pdf in batches:
+        for g, c in pdf["gram"].value_counts().items():
+            counters[g] = counters.get(g, 0) + int(c)
+        if len(counters) > MG_COUNTERS:
+            vals = np.fromiter(counters.values(), dtype=np.int64)
+            cut_idx = len(vals) - MG_COUNTERS - 1
+            cut = int(np.partition(vals, cut_idx)[cut_idx])
+            counters = {g: c - cut for g, c in counters.items() if c > cut}
+    yield pd.DataFrame({"gram": list(counters.keys())})
+
+
+@query(
+    "q_text_heavy_hitters",
+    oracle="""
+    WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                         FOR i IN range(1, len(t) - 1)]) AS gram
+          FROM d),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM g)
+    SELECT gram, CAST(count(*) AS BIGINT) AS freq
+    FROM g GROUP BY gram
+    HAVING count(*) > (SELECT n FROM tot) / 4096
+    """,
+)
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (token 3-grams with frequency > N/4096) found
+    WITHOUT shuffling the full gram distribution: per-partition
+    Misra-Gries summaries (4095 counters, mapInPandas) produce a bounded
+    candidate set, then only the candidates are exactly recounted via a
+    broadcast semi-join. Union-of-candidates is a guarantee, not a
+    heuristic: an item with global freq > N/(M+1) must exceed
+    n_p/(M+1) in at least one partition (pigeonhole), where MG's error
+    bound keeps its residual positive — so no true heavy hitter can be
+    missed, and the exact recount removes the false positives. The
+    batch-merge compaction (subtract the (M+1)-th largest residual) is
+    the mergeable-summaries formulation of the same bound.
+
+    At 100 TB this is THE frequent-items plan: the full-cardinality
+    groupBy (which the oracle runs — fine at fixture scale) would
+    shuffle |distinct grams| rows, while the MG plan shuffles only
+    |partitions| x 4095 candidate grams plus one broadcast-filtered
+    recount of the winners; fixture trigram cardinality (~16k distinct
+    vs 4095 counters) genuinely exercises eviction."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = persist_tracked(
+        d.select(F.split("text", " ").alias("toks"))
+        .select(F.explode(F.expr(ngram_expr("toks", 3))).alias("gram"))
+    )
+    candidates = grams.mapInPandas(_mg_summarize, "gram string").distinct()
+    total = grams.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        grams.join(F.broadcast(candidates), "gram")
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("freq") > F.col("n") / (MG_COUNTERS + 1))
+        .select("gram", "freq")
     )
