@@ -82,6 +82,8 @@ _DEFER_TO_TAIL = (
     "q_text_heavy_hitters",
     "q_dedup_url",
     "q_graph_pagerank",
+    "q_text_bpe",
+    "q_embed_pca",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -996,3 +996,81 @@ def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="q_id long, vec_id long, mmr_rank int, mmr_score double",
         )
     )
+
+
+PCA_K = 2
+
+
+def _pca_partials(batches):
+    """Per-partition PCA sufficient statistics over the embedding column:
+    (n, Σx, Σxxᵀ flattened) — one bounded row per partition, the
+    mergeable-moments pattern (sums are associative, so partials combine
+    by addition in any order)."""
+    import numpy as np
+    import pandas as pd
+
+    n, s, ss = 0, None, None
+    for pdf in batches:
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n += X.shape[0]
+        s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+        g = X.T @ X
+        ss = g if ss is None else ss + g
+    if n:
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+        )
+
+
+@query("q_embed_pca")  # rows-only: eigendecomposition; numpy-mirror-gated
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA of the embedding corpus: project every vector onto
+    the top-PCA_K principal components — the dimensionality-reduction /
+    visualization / whitening primitive of an embedding pipeline.
+
+    Plan: (1) one mapInPandas pass emits per-partition sufficient
+    statistics (n, Σx, Σxxᵀ) — a single NumPy matmul per Arrow batch,
+    constant 64+64² doubles per partition regardless of row count;
+    (2) the ≤|partitions| partial rows are collected and summed on the
+    driver (the k-means centroid-collect precedent: a d²-sized scalar,
+    not data), the 64×64 covariance C = Σxxᵀ/n − μμᵀ is
+    eigendecomposed in NumPy, and each eigenvector's sign is fixed
+    deterministically (largest-|component| made positive — eigenvectors
+    are sign-ambiguous and the mirror test must agree); (3) components
+    ship back as LITERAL arrays inside a codegen'd zip_with/aggregate
+    dot product — the projection pass is JVM-only, zero shuffle, no
+    Python in the per-row path.
+
+    Rows-only by design (no SQL oracle: DuckDB has no eigensolver);
+    tests/test_similarity.py gates the projections against a
+    full-corpus NumPy PCA to 1e-6."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = emb.select("embedding").mapInPandas(
+        _pca_partials, "n long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    ss = np.sum([np.array(r["ss"]).reshape(EMB_DIM, EMB_DIM) for r in parts], axis=0)
+    mu = s / n
+    cov = ss / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:PCA_K]
+    total_var = float(vals.sum())
+    comps, evr = [], []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v)
+        evr.append(float(vals[idx]) / total_var)
+    centered = F.zip_with(
+        _vec_double("embedding"),
+        F.array(*[F.lit(float(m)) for m in mu]),
+        lambda x, m: x - m,
+    )
+    out = emb.select("vec_id", "label", centered.alias("c"))
+    for i, (v, r) in enumerate(zip(comps, evr), start=1):
+        lit_v = F.array(*[F.lit(float(x)) for x in v])
+        out = out.withColumn(f"pc{i}", F.round(_dot(F.col("c"), lit_v), 6))
+        out = out.withColumn(f"evr{i}", F.round(F.lit(r), 6))
+    return out.drop("c")

@@ -689,3 +689,96 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("freq") > F.col("n") / (MG_COUNTERS + 1))
         .select("gram", "freq")
     )
+
+
+BPE_MERGES = 8
+
+
+def _bpe_adjacent_pairs(col: str) -> str:
+    """SQL expr: adjacent symbol pairs of array column ``col`` (guarded:
+    sequence(1, 0) is DESCENDING on Spark — see textutil.ngram_expr)."""
+    return (
+        f"if(size({col}) >= 2, "
+        f"transform(sequence(1, size({col}) - 1), "
+        f"i -> named_struct('a', element_at({col}, i), "
+        f"'b', element_at({col}, i + 1))), "
+        f"array())"
+    )
+
+
+def _bpe_apply_merge(col: str, a: str, b: str) -> str:
+    """SQL expr: greedy leftmost, non-overlapping merge of adjacent
+    (a, b) symbol occurrences in array column ``col`` — a left fold with
+    a one-symbol lookbehind carried in the accumulator ('' sentinel:
+    real symbols are never empty)."""
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    qab = (a + b).replace("'", "''")
+    return (
+        f"aggregate({col}, "
+        f"named_struct('out', cast(array() as array<string>), 'prev', ''), "
+        f"(acc, x) -> if(acc.prev = '{qa}' AND x = '{qb}', "
+        f"named_struct('out', array_append(acc.out, '{qab}'), 'prev', ''), "
+        f"if(acc.prev = '', named_struct('out', acc.out, 'prev', x), "
+        f"named_struct('out', array_append(acc.out, acc.prev), 'prev', x))), "
+        f"acc -> if(acc.prev = '', acc.out, array_append(acc.out, acc.prev)))"
+    )
+
+
+@query("q_text_bpe")  # rows-only: iterative argmax; exact mirror in pytest
+def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-Pair-Encoding vocabulary learning — the first BPE_MERGES
+    merge rules of a tokenizer trained on the corpus, computed
+    distributed: the classic GPT-2/SentencePiece recipe of (1) collapse
+    the corpus to a (word, freq) table — the ONLY pass over raw text —
+    then (2) iterate: count adjacent symbol pairs weighted by word freq,
+    take the argmax (ties broken count desc, then pair lexicographic so
+    the result is engine-independent), rewrite symbol arrays with a
+    greedy leftmost non-overlapping fold, repeat. Returns one row per
+    merge rule: (merge_rank, pair_a, pair_b, merged, pair_count).
+
+    Rows-only by design (an 8-deep iterated argmax + array rewrite is
+    not honestly expressible in one oracle SQL); correctness is gated in
+    pytest by an EXACT match against a pure-Python reference BPE run on
+    the same word-frequency dict (tests/test_properties.py).
+
+    Scale shape: raw text is touched once (hash agg to |vocab| rows —
+    the same dedup-to-frequency-table trick every tokenizer trainer
+    uses; at 100 TB the vocab table is millions of rows, not terabytes).
+    Each iteration is one map-side-combinable pair-count agg over the
+    vocab table plus a 1-ROW driver collect (the argmax — the k-means
+    centroid-collect precedent), and the merge rewrite is a codegen'd
+    higher-order fold, zero shuffle. Iteration state is re-persisted and
+    the previous step released, so plan depth stays O(1) per step."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = persist_tracked(
+        words.select("freq", F.split("word", "").alias("syms"))
+    )
+    merges = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = syms.select(
+            "freq", F.explode(F.expr(_bpe_adjacent_pairs("syms"))).alias("p")
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.a").asc(), F.col("p.b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["p"]["a"], best[0]["p"]["b"], int(best[0]["cnt"])
+        merges.append((rank, a, b, a + b, cnt))
+        syms = persist_tracked(
+            syms.select("freq", F.expr(_bpe_apply_merge("syms", a, b)).alias("syms"))
+        )
+    return spark.createDataFrame(
+        merges, "merge_rank INT, pair_a STRING, pair_b STRING, "
+                "merged STRING, pair_count LONG"
+    )

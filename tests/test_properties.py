@@ -245,3 +245,61 @@ def test_pack_bins_respects_budget_and_covers_all_docs(spark):
     a = packed.sort_values("doc_id", ignore_index=True)
     b = again.sort_values("doc_id", ignore_index=True)
     assert a.equals(b)
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    """q_text_bpe must EXACTLY reproduce a from-scratch pure-Python BPE
+    trainer (same word-freq table, same greedy leftmost merge, same
+    count-desc / pair-lexicographic tie-break) — merge rules, order, and
+    counts, at sf0.001."""
+    from collections import Counter
+
+    from kafka_hadoop_consumer_spark.queries import QUERIES
+    from kafka_hadoop_consumer_spark.queries.text import BPE_MERGES
+    from tests.conftest import SF_SMALL
+
+    got = (
+        QUERIES["q_text_bpe"](spark, SF_SMALL)
+        .toPandas()
+        .sort_values("merge_rank", ignore_index=True)
+    )
+
+    docs = duckdb.sql(
+        f"SELECT text FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    ).df()
+    freqs = Counter()
+    for text in docs.text:
+        for w in text.split(" "):
+            if w:
+                freqs[w] += 1
+    vocab = {tuple(w): f for w, f in freqs.items()}
+
+    def merge_word(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    expected = []
+    for rank in range(1, BPE_MERGES + 1):
+        pair_counts = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] += f
+        if not pair_counts:
+            break
+        (a, b), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rank, a, b, a + b, cnt))
+        vocab = {merge_word(s, a, b): f for s, f in vocab.items()}
+
+    assert len(got) == len(expected)
+    for row, (rank, a, b, ab, cnt) in zip(got.itertuples(index=False), expected):
+        assert (row.merge_rank, row.pair_a, row.pair_b, row.merged,
+                row.pair_count) == (rank, a, b, ab, cnt)

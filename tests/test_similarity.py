@@ -216,3 +216,39 @@ def test_mmr_rerank_matches_numpy_mirror(spark):
         expected.astype({"mmr_rank": "int64"}),
         check_dtype=False,
     )
+
+
+def test_pca_matches_numpy_full_corpus(spark):
+    """q_embed_pca projections must match a from-scratch full-corpus
+    NumPy PCA (same covariance convention, same sign fix) to 1e-6, and
+    explained-variance ratios must be sane and ordered."""
+    import numpy as np
+
+    from kafka_hadoop_consumer_spark.catalog import load_table
+    from kafka_hadoop_consumer_spark.queries import QUERIES
+    from kafka_hadoop_consumer_spark.queries.similarity import PCA_K
+    from tests.conftest import SF_DIR
+
+    got = QUERIES["q_embed_pca"](spark, SF_DIR).toPandas().sort_values(
+        "vec_id", ignore_index=True
+    )
+    raw = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    X = np.stack(raw.embedding.to_numpy()).astype(np.float64)
+    mu = X.mean(axis=0)
+    C = (X - mu).T @ (X - mu) / X.shape[0]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:PCA_K]
+    evr_total = vals.sum()
+    for i, idx in enumerate(order, start=1):
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        exp = (X - mu) @ v
+        assert np.allclose(got[f"pc{i}"].to_numpy(), exp, atol=1e-5), i
+        assert abs(got[f"evr{i}"].iloc[0] - vals[idx] / evr_total) < 1e-5
+    assert got["evr1"].iloc[0] >= got["evr2"].iloc[0] > 0
