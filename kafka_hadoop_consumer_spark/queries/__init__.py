@@ -84,6 +84,10 @@ _DEFER_TO_TAIL = (
     "q_graph_pagerank",
     "q_text_bpe",
     "q_embed_pca",
+    "q_stats_bootstrap",
+    "q_source_binaryfile",
+    "q_time_forecast_snaive",
+    "q_win_ratio_to_report",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

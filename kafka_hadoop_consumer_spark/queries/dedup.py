@@ -730,9 +730,10 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical regex/array pipeline on both engines.
 
     Scale shape: canonicalization is a narrow, zero-shuffle expression
-    chain (regexp + array ops inside codegen); the only shuffle is the
-    final groupBy canonical_url — exactly the hash-partitioned dedup of
-    q_dedup_exact, after the key has been made collision-correct."""
+    chain (regexp + array ops inside codegen); the shuffles are the
+    groupBy canonical_url plus the count-distinct expansion's second
+    pass (both keyed on the canonical key) — the hash-partitioned dedup
+    of q_dedup_exact, after the key has been made collision-correct."""
     e = load_table(spark, sf_dir, "events")
     k = F.pmod(F.col("user_id"), F.lit(40)).cast("string")
     r = F.pmod(F.col("event_id"), F.lit(3)).cast("string")

@@ -25,6 +25,7 @@ are idempotent and concurrent SFs don't collide.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -329,4 +330,57 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
+    )
+
+
+BINFILE_MOD = 7  # doc_id % 7 == 0 → written out as a standalone binary file
+
+
+@query(
+    "q_source_binaryfile",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id % {BINFILE_MOD} = 0
+    """,
+)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the ingestion path for multimodal corpora
+    (images/audio/PDF dumps arrive as one opaque file per asset, not as
+    rows): a deterministic sample of documents is materialized as
+    standalone ``.bin`` files, re-read through
+    ``spark.read.format("binaryFile")`` (schema: path, modificationTime,
+    length, content BINARY), and verified value-lossless — the doc id
+    recovered from the file path, the byte length and the md5 of the
+    binary content matching what the oracle computes from the original
+    parquet column.
+
+    The file-creation step is driver-side by necessity (a SOURCE test
+    starts from files that exist outside Spark; ~1/7 of fixture docs,
+    bounded) — the measured path is the distributed re-read: one task
+    per file/block, content never touches Python.
+
+    Scale shape: binaryFile lists and splits by file; pair it with
+    ``pathGlobFilter`` / partitioned directory layouts for pruning, and
+    decode via mapInPandas downstream (q_multimodal_binary)."""
+    out = _out_dir(sf_dir, "binfile")
+    d = load_table(spark, sf_dir, "documents")
+    sample = (
+        d.where(F.col("doc_id") % BINFILE_MOD == 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for row in sample:
+        with open(os.path.join(out, f"doc_{row['doc_id']}.bin"), "wb") as f:
+            f.write(row["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(out)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
     )

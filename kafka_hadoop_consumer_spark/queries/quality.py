@@ -636,3 +636,110 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_stat"),
     )
+
+
+BOOT_B = 24  # bootstrap resamples
+# Truncated Poisson(1) CDF as 8-hex-digit thresholds on a uniform
+# md5-prefix draw (lowercase hex compares lexicographically = numerically
+# on both engines); P(w > 6) ≈ 6e-5 is folded into w = 6.
+_POIS_T = ("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5",
+           "ffd90f3b")
+_POIS_W_SQL = (
+    "CASE WHEN h < '" + _POIS_T[0] + "' THEN 0 "
+    + " ".join(
+        f"WHEN h < '{t}' THEN {k}" for k, t in enumerate(_POIS_T[1:], start=1)
+    )
+    + " ELSE 6 END"
+)
+
+
+@query(
+    "q_stats_bootstrap",
+    oracle=f"""
+    WITH draws AS (
+      SELECT e.event_type, e.value, r.b,
+             substring(md5(CAST(e.event_id AS VARCHAR) || ':'
+                           || CAST(r.b AS VARCHAR)), 1, 8) AS h
+      FROM events e CROSS JOIN range(1, {BOOT_B} + 1) AS r(b)),
+    wt AS (SELECT event_type, value, b, {_POIS_W_SQL} AS w FROM draws),
+    means AS (
+      SELECT event_type, b,
+             round(sum(w * value) / sum(w), 6) AS m
+      FROM wt GROUP BY event_type, b),
+    ci AS (
+      SELECT event_type, list_sort(list(m)) AS ms
+      FROM means GROUP BY event_type),
+    fullm AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             round(avg(value), 6) AS mean_full
+      FROM events GROUP BY event_type)
+    SELECT f.event_type, f.n, f.mean_full,
+           list_element(c.ms, 2) AS ci_lo,
+           list_element(c.ms, {BOOT_B} - 1) AS ci_hi
+    FROM fullm f JOIN ci c ON c.event_type = f.event_type
+    """,
+)
+def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-type mean — the
+    ONLY bootstrap that works at 100 TB: classic resampling needs N draws
+    WITH replacement from a materialized population (a global shuffle per
+    resample), while the Poisson bootstrap gives each row an independent
+    Poisson(1) multiplicity per resample, so all BOOT_B resamples ride ONE
+    scan as a deterministic per-(row, b) weight and aggregate map-side.
+    Weights are drawn via md5(event_id:b) prefix against the truncated
+    Poisson CDF (hex-string thresholds — identical draw on both engines);
+    the CI is the 2nd-smallest / 2nd-largest of the 24 sorted resample
+    means (a ~92% interval), selected from a bounded collected array
+    (B elements per group, constant regardless of data size).
+
+    Scale shape: B× row amplification happens INSIDE the scan projection
+    (explode of a literal sequence — no join, no shuffle) and collapses
+    immediately into |types|×B partial sums; everything after is
+    broadcast-sized. Resample means are rounded to 6dp BEFORE the sort so
+    both engines select the same element even when two means differ by an
+    ulp."""
+    e = load_table(spark, sf_dir, "events")
+    draws = e.select(
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),
+        "event_id",
+    ).withColumn(
+        "h",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("event_id").cast("string"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+    )
+    w = F.when(F.col("h") < _POIS_T[0], 0)
+    for k, t in enumerate(_POIS_T[1:], start=1):
+        w = w.when(F.col("h") < t, k)
+    w = w.otherwise(6)
+    means = (
+        draws.select("event_type", "value", "b", w.alias("w"))
+        .groupBy("event_type", "b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("value")) / F.sum("w"), 6
+            ).alias("m")
+        )
+    )
+    ci = means.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("m")).alias("ms")
+    )
+    full = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_full"),
+    )
+    return full.join(F.broadcast(ci), "event_type").select(
+        "event_type",
+        "n",
+        "mean_full",
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", BOOT_B - 1).alias("ci_hi"),
+    )

@@ -1789,3 +1789,61 @@ def q_time_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")).alias("roll_median"),
         F.size(arr).cast("long").alias("n_in_frame"),
     )
+
+
+FC_SEASON_DAYS = 7
+
+
+@query(
+    "q_time_forecast_snaive",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    fc AS (
+      SELECT event_type, day, y,
+             lag(y, {FC_SEASON_DAYS})
+               OVER (PARTITION BY event_type ORDER BY day) AS yhat
+      FROM daily)
+    SELECT event_type,
+           CAST(count(yhat) AS BIGINT) AS n_scored,
+           round(avg(abs(CAST(y - yhat AS DOUBLE)) / y), 6) AS mape,
+           round(avg(CAST(abs(y - yhat) AS DOUBLE)), 4) AS mae,
+           round(max(abs(CAST(y - yhat AS DOUBLE)) / y), 6) AS worst_ape
+    FROM fc WHERE yhat IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_time_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event volume
+    as the SAME WEEKDAY one week earlier (ŷ_d = y_{{d-7}}) and score
+    MAPE / MAE / worst-APE per series — the baseline every production
+    forecasting system must beat before anything fancier ships, and the
+    backtest harness is the same regardless of the model plugged in.
+
+    The fixture's daily grid is dense (every type has events every day),
+    so lag-7 over the ordered daily aggregate IS the calendar shift —
+    on sparse data you'd gap-fill first (q_time_gapfill composes
+    directly in front of this).
+
+    Scale shape: the raw scan collapses immediately to |types|×|days|
+    rows (one map-side-combinable hash agg); the lag window and error
+    aggregation run on that tiny aggregate. Errors are integer counts
+    cast to double late, one rounding site per metric."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    fc = daily.withColumn("yhat", F.lag("y", FC_SEASON_DAYS).over(w)).where(
+        F.col("yhat").isNotNull()
+    )
+    err = F.abs(F.col("y") - F.col("yhat"))
+    return fc.groupBy("event_type").agg(
+        F.count("yhat").alias("n_scored"),
+        F.round(F.avg(err.cast("double") / F.col("y")), 6).alias("mape"),
+        F.round(F.avg(err.cast("double")), 4).alias("mae"),
+        F.round(F.max(err.cast("double") / F.col("y")), 6).alias("worst_ape"),
+    )

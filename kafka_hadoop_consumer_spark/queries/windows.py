@@ -455,3 +455,71 @@ def q_win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "touch_event_id", "touch_type", "gap_sec")
         .withColumnRenamed("event_id", "purchase_id")
     )
+
+
+@query(
+    "q_win_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2)
+    SELECT nation, region, revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share_global,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+               AS share_region,
+           CAST(rank() OVER (PARTITION BY region ORDER BY revenue DESC,
+                             nation) AS BIGINT) AS rank_in_region
+    FROM rev
+    """,
+)
+def q_win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report windows: each nation's revenue as a share of the
+    GLOBAL total and of its REGION's total, plus its rank within the
+    region — the contribution-analysis shape behind every "% of total"
+    report column.
+
+    Scale shape: the window input is the |nations| aggregate (25 rows at
+    any data scale), NOT the fact table — the share-of-total windows,
+    including the unpartitioned global one, are computed after the
+    rollup, so the empty-frame global window is a 25-row SinglePartition
+    (constant-size, the legitimate exception to the no-global-window
+    rule; the fact-table shuffles are the join + one hash agg). Revenue
+    is rounded BEFORE the share division so both engines divide
+    identical numerators into identical denominators... except the
+    denominator is a sum of rounded terms — associative in exact 2dp
+    arithmetic, hence cross-engine stable."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_glob = Window.partitionBy()
+    w_reg = Window.partitionBy("region")
+    w_rank = Window.partitionBy("region").orderBy(
+        F.col("revenue").desc(), F.col("nation")
+    )
+    return rev.select(
+        "nation",
+        "region",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_glob), 6).alias(
+            "share_global"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_reg), 6).alias(
+            "share_region"
+        ),
+        F.rank().over(w_rank).cast("long").alias("rank_in_region"),
+    )

@@ -458,3 +458,26 @@ def test_shuffle_hash_join_hint_honored(spark):
     plan = formatted_plan(QUERIES["q_join_shuffle_hash"](spark, SF_DIR))
     assert "ShuffledHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_new_operator_shuffle_budgets(spark):
+    """Docstring shuffle claims for the round-3 late additions, pinned:
+    rolling-median is one window shuffle; snaive forecast is daily agg +
+    series window (final agg reuses the window's partitioning);
+    ratio-to-report windows run on the 25-row nation aggregate (join +
+    rollup + the aggregate-side windows); URL dedup is canonical groupBy
+    + count-distinct expansion; heavy hitters is gram agg + candidate
+    recount + total (MG summaries ride mapInPandas, no extra exchange);
+    bootstrap is resample-means agg + CI collect + full-mean agg."""
+    from kafka_hadoop_consumer_spark.plans import n_shuffle_exchanges
+
+    budgets = {
+        "q_time_rolling_median": 1,
+        "q_time_forecast_snaive": 2,
+        "q_win_ratio_to_report": 2,
+        "q_dedup_url": 2,
+        "q_text_heavy_hitters": 3,
+        "q_stats_bootstrap": 3,
+    }
+    got = {k: n_shuffle_exchanges(QUERIES[k](spark, SF_DIR)) for k in budgets}
+    assert got == budgets
