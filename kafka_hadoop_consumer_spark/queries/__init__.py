@@ -88,6 +88,7 @@ _DEFER_TO_TAIL = (
     "q_source_binaryfile",
     "q_time_forecast_snaive",
     "q_win_ratio_to_report",
+    "q_sim_pq_topk",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

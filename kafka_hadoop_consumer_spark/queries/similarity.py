@@ -1074,3 +1074,128 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.withColumn(f"pc{i}", F.round(_dot(F.col("c"), lit_v), 6))
         out = out.withColumn(f"evr{i}", F.round(F.lit(r), 6))
     return out.drop("c")
+
+
+PQ_M = 8            # subspaces (64 dims → 8 blocks of 8)
+PQ_K = 16           # centroids per subspace → 4-bit codes, 4 bytes/vector
+PQ_ITERS = 4        # Lloyd iterations per subspace codebook
+PQ_TRAIN_CAP = 2048  # deterministic training-sample bound (by vec_id)
+PQ_SHORTLIST = 100  # ADC shortlist size re-ranked exactly
+
+
+def _pq_train_codebooks(Xn: "np.ndarray") -> "np.ndarray":
+    """Train PQ codebooks on a bounded normalized sample: per subspace,
+    PQ_K-means with deterministic init (first PQ_K sample rows in vec_id
+    order) and PQ_ITERS Lloyd steps. Returns (M, K, dim/M)."""
+    sub_d = Xn.shape[1] // PQ_M
+    books = []
+    for m in range(PQ_M):
+        S = Xn[:, m * sub_d:(m + 1) * sub_d]
+        C = S[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(PQ_K):
+                mask = assign == j
+                if mask.any():
+                    C[j] = S[mask].mean(0)
+        books.append(C)
+    return np.stack(books)
+
+
+@query("q_sim_pq_topk")  # rows-only: quantized ANN; recall-gated in pytest
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the MEMORY-bound scale path LSH/IVF
+    don't cover: every corpus vector is compressed to PQ_M 4-bit codes
+    (64 float32 dims → 4 bytes, 64× smaller), approximate distances are
+    computed from per-query lookup tables (ADC — no decompression), and
+    only an ADC shortlist of PQ_SHORTLIST candidates per query is
+    re-ranked with exact cosine, the standard FAISS-style
+    shortlist-then-rerank pipeline.
+
+    Vectors are L2-normalized first, so ADC's L2 ordering matches cosine
+    ordering (‖a−b‖² = 2−2cos on the unit sphere) and the exact re-rank
+    stage is directly comparable with q_sim_cosine_topk's ranking —
+    which is how the recall gate in tests/test_similarity.py scores it.
+
+    Scale shape: codebooks train driver-side on a deterministic bounded
+    sample (vec_id < PQ_TRAIN_CAP — PQ codebooks are always trained on a
+    sample; M·K·(d/M) = 1k floats) and ship inside the encode closure;
+    encode + ADC scoring is ONE mapInPandas pass over the corpus (two
+    NumPy matmuls per Arrow batch), emitting |queries| bounded rows per
+    vector; the shortlist window + exact re-rank join touch
+    PQ_SHORTLIST·|queries| rows. The corpus never shuffles at full
+    width — only (vec_id, q_id, adist) triples move."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ed = persist_tracked(
+        emb.select("vec_id", _vec_double().alias("v"))
+    )
+    train = np.stack(
+        ed.where(F.col("vec_id") < PQ_TRAIN_CAP)
+        .orderBy("vec_id")
+        .toPandas()["v"]
+        .to_numpy()
+    )
+    train = train / np.linalg.norm(train, axis=1, keepdims=True)
+    books = _pq_train_codebooks(train)            # (M, K, sub_d)
+    qrows = (
+        ed.where(F.col("vec_id") < N_QUERY).orderBy("vec_id").toPandas()
+    )
+    Q = np.stack(qrows["v"].to_numpy())
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ids = qrows["vec_id"].to_numpy()
+    sub_d = books.shape[2]
+    # per-query ADC tables: dtab[q, m, k] = ||Q[q, m·d:(m+1)·d] − books[m, k]||²
+    dtab = np.stack([
+        ((Q[:, m * sub_d:(m + 1) * sub_d][:, None, :]
+          - books[m][None, :, :]) ** 2).sum(-1)
+        for m in range(PQ_M)
+    ], axis=1)                                     # (n_q, M, K)
+
+    def _adc(batches):
+        for pdf in batches:
+            X = np.stack(pdf["v"].to_numpy())
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            codes = np.stack([
+                ((X[:, m * sub_d:(m + 1) * sub_d][:, None, :]
+                  - books[m][None, :, :]) ** 2).sum(-1).argmin(1)
+                for m in range(PQ_M)
+            ], axis=1)                             # (rows, M)
+            out = {"vec_id": np.repeat(pdf["vec_id"].to_numpy(), len(q_ids)),
+                   "q_id": np.tile(q_ids, len(X)),
+                   "adist": np.concatenate([
+                       dtab[:, np.arange(PQ_M), c].sum(axis=1) for c in codes
+                   ])}
+            yield pd.DataFrame(out)
+
+    scored = ed.select("vec_id", "v").mapInPandas(
+        _adc, "vec_id long, q_id long, adist double"
+    ).where(F.col("vec_id") != F.col("q_id"))
+    w_short = Window.partitionBy("q_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id")
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w_short))
+        .where(F.col("rn") <= PQ_SHORTLIST)
+        .select("q_id", "vec_id", "adist")
+    )
+    edn = ed.withColumn("nrm", _norm(F.col("v")))
+    qn = (
+        ed.where(F.col("vec_id") < N_QUERY)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+        .withColumn("qnrm", _norm(F.col("qv")))
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    w_final = Window.partitionBy("q_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    return (
+        edn.join(shortlist, "vec_id")
+        .join(F.broadcast(qn), "q_id")
+        .select("q_id", "vec_id", cos.alias("cos_raw"),
+                F.round("adist", 6).alias("adc_dist"))
+        .withColumn("rn", F.row_number().over(w_final))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"),
+                "adc_dist")
+    )

@@ -204,6 +204,8 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_stats_chisq",     # cross of 5-row x 7-row margin aggregates (dense grid)
         "q_quality_benford", # crossJoin of the broadcast 1-row digit total
         "q_sim_mmr_rerank",  # candidate stage = corpus past 5 broadcast queries
+        "q_text_heavy_hitters",  # crossJoin of the broadcast 1-row gram total
+        "q_graph_pagerank",  # crossJoin of the broadcast 1-row |V| count
     }
     offenders = {}
     for name, fn in QUERIES.items():

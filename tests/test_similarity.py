@@ -252,3 +252,29 @@ def test_pca_matches_numpy_full_corpus(spark):
         assert np.allclose(got[f"pc{i}"].to_numpy(), exp, atol=1e-5), i
         assert abs(got[f"evr{i}"].iloc[0] - vals[idx] / evr_total) < 1e-5
     assert got["evr1"].iloc[0] >= got["evr2"].iloc[0] > 0
+
+
+def test_pq_recall_vs_exact_cosine(spark):
+    """PQ ADC shortlist + exact re-rank must recover ≥0.8 of the exact
+    cosine top-10 per query on the fixture, and its surviving cos_sim
+    values must agree with the exact ranking's values (the re-rank stage
+    computes TRUE cosine, so overlapping pairs match to the same 4dp)."""
+    from kafka_hadoop_consumer_spark.queries import QUERIES
+    from kafka_hadoop_consumer_spark.queries.similarity import TOP_K
+    from tests.conftest import SF_DIR
+
+    exact = QUERIES["q_sim_cosine_topk"](spark, SF_DIR).toPandas()
+    approx = QUERIES["q_sim_pq_topk"](spark, SF_DIR).toPandas()
+    ex = exact.groupby("q_id")
+    ap = approx.groupby("q_id")
+    recalls = []
+    for q, g in ex:
+        a = ap.get_group(q)
+        hits = set(g.vec_id) & set(a.vec_id)
+        recalls.append(len(hits) / TOP_K)
+        em = g.set_index("vec_id").cos_sim
+        am = a.set_index("vec_id").cos_sim
+        for v in hits:
+            assert abs(em[v] - am[v]) < 1e-9
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.8, f"mean recall {mean_recall:.2f} ({recalls})"
