@@ -89,6 +89,8 @@ _DEFER_TO_TAIL = (
     "q_time_forecast_snaive",
     "q_win_ratio_to_report",
     "q_sim_pq_topk",
+    "q_join_spatial",
+    "q_cdc_snapshot_diff",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

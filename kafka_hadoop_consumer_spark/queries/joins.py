@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
 
 
 @query(
@@ -269,3 +269,103 @@ def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(
         o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey
     ).select("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderstatus")
+
+
+SPATIAL_R = 25.0        # radius; also the grid cell size
+SPATIAL_GRID = 100003   # prime modulus for synthetic planar coords
+
+
+@query(
+    "q_join_spatial",
+    oracle=f"""
+    WITH pts AS (
+      SELECT DISTINCT user_id,
+             CAST((user_id * user_id * 377 + user_id * 48271)
+                  % {SPATIAL_GRID} AS DOUBLE) / 100 AS x,
+             CAST((user_id * user_id * 521 + user_id * 69621 + 12345)
+                  % {SPATIAL_GRID} AS DOUBLE) / 100 AS y
+      FROM events),
+    cells AS (
+      SELECT user_id, x, y,
+             CAST(floor(x / {SPATIAL_R}) AS BIGINT) AS cx,
+             CAST(floor(y / {SPATIAL_R}) AS BIGINT) AS cy
+      FROM pts),
+    probes AS (
+      SELECT user_id, x, y, cx + dx.d AS cx, cy + dy.d AS cy
+      FROM cells,
+           (VALUES (-1), (0), (1)) AS dx(d),
+           (VALUES (-1), (0), (1)) AS dy(d))
+    SELECT a.user_id AS id_a, b.user_id AS id_b,
+           round(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 4) AS dist
+    FROM probes a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+    WHERE a.user_id < b.user_id
+      AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {SPATIAL_R} * {SPATIAL_R}
+    """,
+)
+def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join via GRID BUCKETING — all point pairs within
+    distance R, found with an equi-join instead of an O(n²) distance
+    product: each point lands in its ⌊x/R⌋,⌊y/R⌋ home cell, the probe
+    side explodes into the 3×3 neighborhood (any pair within R must fall
+    in adjacent cells when the cell edge equals R), and the exact
+    distance predicate runs only on co-cell candidates. The id_a < id_b
+    guard both dedups the symmetric pair and halves the candidate work.
+
+    Coordinates are planted deterministically (QUADRATIC integer mixes of
+    user_id mod a prime — a linear mix puts all points on a 1-D lattice
+    whose minimum pair distance jumps from 0 to ~60 with nothing in
+    between, found the hard way; pure bigint arithmetic, bit-identical
+    on both engines; no
+    libm trig, and sqrt is IEEE correctly-rounded so even the output
+    distance hashes exactly at 4dp).
+
+    Scale shape: ONE equi-join shuffle on (cx, cy) with constant 9×
+    probe-side amplification — the textbook distributed spatial-join
+    plan (uniform hash coords keep cells balanced; real workloads with
+    hot cells compose the q_join_skewed salting recipe on the cell
+    key)."""
+    e = load_table(spark, sf_dir, "events")
+    pts = (
+        e.select("user_id").distinct()
+        .select(
+            "user_id",
+            (((F.col("user_id") * F.col("user_id") * 377
+               + F.col("user_id") * 48271) % SPATIAL_GRID).cast("double") / 100)
+            .alias("x"),
+            (((F.col("user_id") * F.col("user_id") * 521
+               + F.col("user_id") * 69621 + 12345) % SPATIAL_GRID)
+             .cast("double") / 100)
+            .alias("y"),
+        )
+    )
+    cells = persist_tracked(
+        pts.withColumn("cx", F.floor(F.col("x") / SPATIAL_R))
+        .withColumn("cy", F.floor(F.col("y") / SPATIAL_R))
+    )
+    d = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    probes = (
+        cells.withColumn("dx", d)
+        .withColumn("dy", d)
+        .select(
+            F.col("user_id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("xa") - F.col("x")) ** 2 + (F.col("ya") - F.col("y")) ** 2
+    return (
+        probes.join(cells, ["cx", "cy"])
+        .where(
+            (F.col("id_a") < F.col("user_id"))
+            & (d2 <= F.lit(SPATIAL_R * SPATIAL_R))
+        )
+        .select(
+            "id_a",
+            F.col("user_id").alias("id_b"),
+            F.round(F.sqrt(d2), 4).alias("dist"),
+        )
+    )

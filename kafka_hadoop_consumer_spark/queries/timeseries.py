@@ -1847,3 +1847,91 @@ def q_time_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(err.cast("double")), 4).alias("mae"),
         F.round(F.max(err.cast("double") / F.col("y")), 6).alias("worst_ape"),
     )
+
+
+SNAP_T1 = "2024-01-15"  # snapshot A: activity in [start, T1)
+SNAP_T2 = "2024-01-29"  # snapshot B: activity in [T1, T2)
+
+
+@query(
+    "q_cdc_snapshot_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id, value
+      FROM (SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events
+            WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{SNAP_T1}')
+      WHERE rn = 1),
+    b AS (
+      SELECT user_id, value
+      FROM (SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events
+            WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{SNAP_T1}'
+              AND CAST(ts AS TIMESTAMP) < TIMESTAMP '{SNAP_T2}')
+      WHERE rn = 1)
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           a.value AS value_a, b.value AS value_b,
+           CASE WHEN a.user_id IS NULL THEN 'added'
+                WHEN b.user_id IS NULL THEN 'removed'
+                WHEN a.value = b.value THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM a FULL JOIN b ON b.user_id = a.user_id
+    """,
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the data-diff / audience-migration report between
+    two point-in-time states: each window's per-user latest value is the
+    snapshot, and one full-outer join classifies every user as added
+    (B only), removed (A only), changed, or unchanged. This is the
+    table-compare primitive behind CDC validation, replication audits
+    and campaign before/after analyses; q_cdc_merge applies a delta,
+    this one EXPLAINS it.
+
+    Scale shape: each snapshot is a keep-latest-per-key compaction (the
+    q_dedup_keyed one-shuffle window); the diff is one full-outer
+    equi-join of two already-compacted |users|-row tables on the same
+    key — at 100 TB both compactions and the join share the user_id
+    partitioning (AQE reuses the exchange), and value comparison is
+    exact (pass-through doubles, no rounding needed)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def snapshot(lo: str | None, hi: str) -> DataFrame:
+        win = e.where(F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+        if lo is not None:
+            win = win.where(F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            win.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "value")
+        )
+
+    a = snapshot(None, SNAP_T1)
+    b = snapshot(SNAP_T1, SNAP_T2)
+    return (
+        a.withColumnRenamed("value", "value_a")
+        .withColumnRenamed("user_id", "ua")
+        .join(
+            b.withColumnRenamed("value", "value_b").withColumnRenamed(
+                "user_id", "ub"
+            ),
+            F.col("ua") == F.col("ub"),
+            "full",
+        )
+        .select(
+            F.coalesce("ua", "ub").alias("user_id"),
+            "value_a",
+            "value_b",
+            F.when(F.col("ua").isNull(), "added")
+            .when(F.col("ub").isNull(), "removed")
+            .when(F.col("value_a") == F.col("value_b"), "unchanged")
+            .otherwise("changed")
+            .alias("status"),
+        )
+    )
