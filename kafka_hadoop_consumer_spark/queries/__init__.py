@@ -91,6 +91,9 @@ _DEFER_TO_TAIL = (
     "q_sim_pq_topk",
     "q_join_spatial",
     "q_cdc_snapshot_diff",
+    "q_agg_countmin",
+    "q_time_transitions",
+    "q_quality_psi",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -743,3 +743,85 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ms", 2).alias("ci_lo"),
         F.element_at("ms", BOOT_B - 1).alias("ci_hi"),
     )
+
+
+@query(
+    "q_quality_psi",
+    oracle="""
+    WITH split AS (
+      SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bin,
+             CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'a' ELSE 'b' END AS grp
+      FROM events),
+    binned AS (
+      SELECT event_type, bin,
+             CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM split GROUP BY event_type, bin),
+    tot AS (
+      SELECT event_type, bin, ca, cb,
+             sum(ca) OVER (PARTITION BY event_type) AS ta,
+             sum(cb) OVER (PARTITION BY event_type) AS tb
+      FROM binned)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(CASE WHEN ca = 0 OR cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_excluded,
+           round(sum(CASE WHEN ca > 0 AND cb > 0
+                          THEN (CAST(ca AS DOUBLE) / ta
+                                - CAST(cb AS DOUBLE) / tb)
+                               * ln((CAST(ca AS DOUBLE) / ta)
+                                    / (CAST(cb AS DOUBLE) / tb))
+                          ELSE 0 END), 6) AS psi
+    FROM tot GROUP BY event_type
+    """,
+)
+def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between the
+    deterministic hash-split halves — the risk-scoring industry's
+    standard drift gate (PSI < 0.1 stable, > 0.25 action), complementing
+    q_stats_ks: KS reports the worst single deviation, PSI integrates
+    shift across ALL bins. Bins empty on either side are excluded from
+    the sum (the standard convention) and COUNTED in n_excluded so the
+    exclusion is visible, not silent.
+
+    Scale shape: identical to q_stats_ks — one hash agg to (type, bin)
+    cardinality, windows + final agg on the constant-size binned table;
+    a same-distribution control split, so near-zero PSI is the expected
+    answer on both engines (one rounding site after the sum)."""
+    e = load_table(spark, sf_dir, "events")
+    grp = F.when(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+    binned = (
+        e.select(
+            "event_type",
+            F.floor(F.col("value") * 10).cast("long").alias("bin"),
+            grp.alias("grp"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.when(F.col("grp") == "a", 1)).alias("ca"),
+            F.count(F.when(F.col("grp") == "b", 1)).alias("cb"),
+        )
+    )
+    w_tot = Window.partitionBy("event_type")
+    tot = binned.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.sum("ca").over(w_tot).alias("ta"),
+        F.sum("cb").over(w_tot).alias("tb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("ta")
+    pb = F.col("cb").cast("double") / F.col("tb")
+    term = F.when(
+        (F.col("ca") > 0) & (F.col("cb") > 0), (pa - pb) * F.log(pa / pb)
+    ).otherwise(0.0)
+    return tot.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(
+            F.when((F.col("ca") == 0) | (F.col("cb") == 0), 1).otherwise(0)
+        ).alias("n_excluded"),
+        F.round(F.sum(term), 6).alias("psi"),
+    )

@@ -782,3 +782,114 @@ def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges, "merge_rank INT, pair_a STRING, pair_b STRING, "
                 "merged STRING, pair_count LONG"
     )
+
+
+CM_W = 1024   # count-min width (columns per hash row)
+CM_D = 4      # count-min depth (hash rows)
+CM_MULTS = (31, 37, 41, 43)   # per-row positional-hash multipliers
+CM_PROBES = 25                # point-queried grams (exact top-25)
+
+
+def _cm_hash_sql_duck(m: int) -> str:
+    """DuckDB: positional weighted hash of gram → column in [0, CM_W)."""
+    return (
+        f"list_sum([ascii(gc[j]) * (((j * {m} + 13) % 251) + 1) "
+        f"FOR j IN range(1, len(gc) + 1)]) % {CM_W}"
+    )
+
+
+def _cm_hash_spark(m: int):
+    """Spark: the IDENTICAL positional weighted hash (gc = char array)."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, size(gc)), "
+        f"j -> ascii(element_at(gc, j)) * (((j * {m} + 13) % 251) + 1)), "
+        f"0L, (acc, x) -> acc + x) % {CM_W}"
+    )
+
+
+@query(
+    "q_agg_countmin",
+    oracle=f"""
+    WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                         FOR i IN range(1, len(t) - 1)]) AS gram
+          FROM d),
+    freq AS (SELECT gram, CAST(count(*) AS BIGINT) AS freq
+             FROM g GROUP BY gram),
+    chars AS (SELECT gram, freq, string_split(gram, '') AS gc FROM freq),
+    cells AS (  -- sketch build: d hash rows per distinct gram
+      SELECT r.i AS row_i,
+             CASE r.i {' '.join(f"WHEN {i} THEN ({_cm_hash_sql_duck(m)})" for i, m in enumerate(CM_MULTS))} END AS col,
+             sum(freq) AS cnt
+      FROM chars CROSS JOIN range(0, {CM_D}) AS r(i)
+      GROUP BY 1, 2),
+    probes AS (
+      SELECT gram, freq, string_split(gram, '') AS gc
+      FROM freq ORDER BY freq DESC, gram LIMIT {CM_PROBES}),
+    probe_cells AS (
+      SELECT p.gram, p.freq, r.i AS row_i,
+             CASE r.i {' '.join(f"WHEN {i} THEN ({_cm_hash_sql_duck(m)})" for i, m in enumerate(CM_MULTS))} END AS col
+      FROM probes p CROSS JOIN range(0, {CM_D}) AS r(i))
+    SELECT p.gram, p.freq AS true_freq,
+           CAST(min(c.cnt) AS BIGINT) AS cm_est,
+           CAST(min(c.cnt) - p.freq AS BIGINT) AS overestimate
+    FROM probe_cells p JOIN cells c
+      ON c.row_i = p.row_i AND c.col = p.col
+    GROUP BY p.gram, p.freq
+    """,
+)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch, built and queried entirely as DataFrame ops: the
+    corpus trigram distribution is compressed into a CM_D×CM_W counter
+    grid (positional-weighted char hashes — engine-neutral integer
+    arithmetic, no engine hash builtins), then the exact top-CM_PROBES
+    grams are point-queried: est = min over rows of their cell counts.
+    The CM guarantee (est ≥ true, est ≤ true + εN w.h.p.) is visible in
+    the emitted overestimate column, which the oracle reproduces exactly
+    — a deterministic sketch is a queryable artifact, not a black box.
+
+    Scale shape: the sketch build is one hash agg to at most CM_D×CM_W
+    cells (CONSTANT size regardless of corpus — the point of CM; cell
+    partials merge by addition, so this is exactly the mergeable-summary
+    shuffle of q_agg_sketch_merge but with a provable point-query error
+    bound). Probing joins CM_D rows per probe against the constant-size
+    cell table. The distinct-gram pre-agg reuses the q_text_ngram
+    explode."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = persist_tracked(
+        d.select(F.split("text", " ").alias("toks"))
+        .select(F.explode(F.expr(ngram_expr("toks", 3))).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = freq.withColumn("gc", F.split("gram", ""))
+    row_i = F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1))).alias("row_i")
+    col = F.col("row_i")
+    col_expr = None
+    for i, m in enumerate(CM_MULTS):
+        cur = _cm_hash_spark(m)
+        col_expr = F.when(col == i, cur) if col_expr is None else col_expr.when(col == i, cur)
+    cells = (
+        chars.select("gc", "freq", row_i)
+        .select("freq", "row_i", col_expr.alias("col"))
+        .groupBy("row_i", "col")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    probes = (
+        freq.orderBy(F.col("freq").desc(), F.col("gram"))
+        .limit(CM_PROBES)
+        .withColumn("gc", F.split("gram", ""))
+        .select("gram", "freq", "gc", row_i)
+        .select("gram", "freq", "row_i", col_expr.alias("col"))
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row_i", "col"])
+        .groupBy("gram", F.col("freq").alias("true_freq"))
+        .agg(F.min("cnt").alias("cm_est"))
+        .select(
+            "gram",
+            "true_freq",
+            "cm_est",
+            (F.col("cm_est") - F.col("true_freq")).alias("overestimate"),
+        )
+    )

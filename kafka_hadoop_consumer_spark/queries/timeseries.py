@@ -1935,3 +1935,55 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+@query(
+    "q_time_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      FROM events),
+    t AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+    FROM t
+    """,
+)
+def q_time_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    (previous event_type → next event_type) pair, the transition count
+    and row-normalized probability — the building block of
+    behavioral-model baselines, next-action prediction sanity checks and
+    anomalous-flow detection (a probability shifting across releases is
+    a regression signal; q_win_path extracts the journeys, this
+    aggregates their dynamics).
+
+    Scale shape: ONE shuffle keyed on user_id for the lag window, then a
+    hash agg that collapses instantly to ≤|types|² rows; the
+    probability normalization window runs on that constant-size matrix.
+    Counts are exact integers; the single division is rounded once on
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    t = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_row), 6).alias(
+            "prob"
+        ),
+    )
