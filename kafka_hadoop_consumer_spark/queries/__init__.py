@@ -94,6 +94,9 @@ _DEFER_TO_TAIL = (
     "q_agg_countmin",
     "q_time_transitions",
     "q_quality_psi",
+    "q_agg_stringagg",
+    "q_win_time_range",
+    "q_dedup_chunks",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -815,3 +815,38 @@ def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_dec("disc_c").alias("sum_disc_price"),
         as_dec("qty_c").alias("sum_qty"),
     )
+
+
+@query(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT lang,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg — the report-friendly "collapse a group's
+    members into one delimited cell" aggregate. Spark has no string_agg
+    builtin; the equivalent composition is
+    array_join(array_sort(collect_set(...)), ',') — set semantics +
+    explicit sort make the cell deterministic, which is also why the
+    oracle pins ORDER BY inside DuckDB's string_agg (an unordered
+    LISTAGG is nondeterministic on BOTH engines and would never hash
+    stably).
+
+    Scale shape: one hash agg; collect_set partials merge as bounded
+    sets (|sources| = 20 here — LISTAGG of a high-cardinality group is
+    an anti-pattern at any scale and should become q_agg_collect's
+    bounded-array form or a separate detail table)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count_distinct("source").alias("n_sources"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+            "sources_csv"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

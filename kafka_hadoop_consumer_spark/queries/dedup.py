@@ -892,3 +892,85 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         F.col("id").alias("doc_id"), "deg", F.round("r", 8).alias("pagerank")
     )
+
+
+CHUNK_TOKENS = 16  # non-overlapping chunk width for exact chunk dedup
+
+
+@query(
+    "q_dedup_chunks",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             unnest([array_to_string(list_slice(t, i, i + {CHUNK_TOKENS} - 1), ' ')
+                     FOR i IN range(1, len(t) + 1, {CHUNK_TOKENS})]) AS chunk
+      FROM tok),
+    df AS (
+      SELECT chunk, count(DISTINCT doc_id) AS n_docs_with
+      FROM chunks GROUP BY chunk),
+    flagged AS (
+      SELECT c.doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN d.n_docs_with > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_chunks
+      FROM chunks c JOIN df d ON d.chunk = c.chunk
+      GROUP BY c.doc_id)
+    SELECT doc_id, n_chunks, n_dup_chunks,
+           round(CAST(n_dup_chunks AS DOUBLE) / n_chunks, 6) AS dup_ratio
+    FROM flagged
+    """,
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact chunk-level cross-document dedup: every doc is cut into
+    NON-OVERLAPPING {16}-token chunks and a chunk is duplicated when the
+    identical token run appears in more than one document — the
+    passage-reuse detector that catches verbatim copying (licensing
+    boilerplate, syndicated paragraphs, template text) that
+    set-based shingle Jaccard smooths over. Per doc: chunk count,
+    duplicated-chunk count, duplication ratio — the curation gate drops
+    docs above a dup_ratio threshold.
+
+    Complementary trio: q_dedup_ngram_jaccard (symmetric overlap),
+    q_dedup_containment (asymmetric quote inclusion), THIS (contiguous
+    verbatim reuse, positional).
+
+    Scale shape: chunking is a zero-shuffle higher-order slice (stepped
+    sequence — 1/16th the rows of overlapping shingles); chunk
+    document-frequency is one hash agg on the chunk text (at 100 TB,
+    hash the chunk to a 128-bit key first so the shuffle moves 16-byte
+    keys, not 16-token strings); the per-doc rollup joins chunks back to
+    their bounded df counts."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = persist_tracked(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(text, ' ')), 1), {CHUNK_TOKENS}), "
+                    f"i -> array_join(slice(split(text, ' '), i, {CHUNK_TOKENS}), ' '))"
+                )
+            ).alias("chunk"),
+        )
+    )
+    df = chunks.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("n_docs_with")
+    )
+    flagged = (
+        chunks.join(df, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+        )
+    )
+    return flagged.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        F.round(
+            F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6
+        ).alias("dup_ratio"),
+    )

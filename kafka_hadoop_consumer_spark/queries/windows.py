@@ -523,3 +523,47 @@ def q_win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.rank().over(w_rank).cast("long").alias("rank_in_region"),
     )
+
+
+HOUR_US = 3_600_000_000
+
+
+@query(
+    "q_win_time_range",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w1h AS BIGINT) AS cnt_1h,
+           round(sum(value) OVER w1h, 4) AS sum_1h
+    FROM events
+    WINDOW w1h AS (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                   RANGE BETWEEN {HOUR_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, the count and value-sum of
+    events in the trailing ONE HOUR (inclusive) at every event — the
+    rate-limiting / velocity-check window (fraud scoring, API quota
+    auditing) where the frame is defined by TIME DISTANCE, not row
+    count. Spark's rangeBetween is numeric-only, so the ordering key is
+    integer epoch MICROSECONDS (exact — no float time arithmetic;
+    unix_micros needs a TIMESTAMP cast from the NTZ column, UTC session —
+    the q_time_concurrency convention); equal timestamps fall in the
+    same frame on both engines by RANGE semantics.
+
+    Scale shape: ONE shuffle on user_id; the frame is value-bounded, so
+    executor state per row is the trailing hour's aggregate, not the
+    partition — exactly how a 100 TB velocity check must bound memory.
+    Counts exact; the double sum rounds once on both sides."""
+    e = load_table(spark, sf_dir, "events")
+    w1h = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-HOUR_US, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w1h).alias("cnt_1h"),
+        F.round(F.sum("value").over(w1h), 4).alias("sum_1h"),
+    )
