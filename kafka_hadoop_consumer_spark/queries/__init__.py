@@ -97,6 +97,9 @@ _DEFER_TO_TAIL = (
     "q_agg_stringagg",
     "q_win_time_range",
     "q_dedup_chunks",
+    "q_source_schema_evolution",
+    "q_e2e_incremental_rollup",
+    "q_join_null_safe",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -841,3 +841,71 @@ def q_e2e_kpi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion"),
         )
     )
+
+
+ROLLUP_CUTOVER = "2024-01-22"
+
+
+@query(
+    "q_e2e_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d')
+               AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_e2e_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance, batch form: the
+    daily (type, day) rollup is REFRESHED by aggregating only the new
+    partition (days ≥ cutover) and merging it with the previously
+    materialized base rollup via a full-outer coalescing merge of
+    mergeable aggregates (counts and sums add; a mean would be carried
+    as sum+count) — the maintenance algebra behind every incremental
+    ETL and the batch analogue of the streaming continuous-aggregate
+    test. The oracle is the FULL recompute, proving base⊕delta ≡
+    recompute — the property that makes skipping the historical scan
+    safe.
+
+    Scale shape: in production the base side is a tiny materialized
+    table read back from storage, so each refresh scans ONLY the delta
+    partition; here the base agg simulates that materialization. Both
+    aggs are one map-side-combinable shuffle each; the merge join runs
+    on |types|×|days| rows. A same-day late arrival lands in the delta
+    agg and merges onto the existing day row — idempotent re-runs
+    require the replaced-partition discipline of the streaming test."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit(ROLLUP_CUTOVER).cast("timestamp_ntz")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.select("event_type", day, "value").groupBy(
+            "event_type", "day"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+
+    base = rollup(e.where(F.col("ts") < cut)).select(
+        F.col("event_type").alias("bt"), F.col("day").alias("bd"),
+        F.col("n").alias("bn"), F.col("total").alias("btot"),
+    )
+    delta = rollup(e.where(F.col("ts") >= cut)).select(
+        F.col("event_type").alias("dt"), F.col("day").alias("dd"),
+        F.col("n").alias("dn"), F.col("total").alias("dtot"),
+    )
+    return (
+        base.join(
+            delta,
+            (F.col("bt") == F.col("dt")) & (F.col("bd") == F.col("dd")),
+            "full",
+        )
+        .select(
+            F.coalesce("bt", "dt").alias("event_type"),
+            F.coalesce("bd", "dd").alias("day"),
+            (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            F.round(
+                F.coalesce("btot", F.lit(0.0)) + F.coalesce("dtot", F.lit(0.0)), 2
+            ).alias("total"),
+        )
+    )

@@ -384,3 +384,58 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@query(
+    "q_source_schema_evolution",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing_chars,
+           CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, NULL::BIGINT AS n_chars
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1)
+    GROUP BY lang
+    """,
+)
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution on READ: two batches of the same dataset
+    written with DIFFERENT schemas (an early batch before the n_chars
+    column existed, a later batch with it) live in one directory;
+    ``mergeSchema=true`` reconciles them into the union schema with
+    NULLs for the missing column — how a years-old data lake keeps being
+    queryable as its schema grows, without rewriting old partitions.
+    The oracle recomputes the same union-with-nulls from the source
+    table, proving no rows or values are lost or invented.
+
+    Scale shape: schema merge is a FOOTER-only driver-side operation
+    (file footers, not data, are read to reconcile) — row scanning is
+    unchanged columnar pruning per file; files missing a projected
+    column materialize NULL vectors at zero I/O cost."""
+    out = _out_dir(sf_dir, "evolve")
+    d = load_table(spark, sf_dir, "documents")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        d.where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "lang")
+        .write.mode("overwrite")
+        .parquet(f"{out}/batch=old")
+    )
+    (
+        d.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .parquet(f"{out}/batch=new")
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0)).alias(
+            "n_missing_chars"
+        ),
+        F.sum(F.coalesce("n_chars", F.lit(0))).alias("total_chars"),
+    )

@@ -369,3 +369,44 @@ def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(d2), 4).alias("dist"),
         )
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(user_id % 10, 0) AS k,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1),
+    b AS (
+      SELECT nullif(c_custkey % 10, 0) AS k,
+             CAST(count(*) AS BIGINT) AS n_custs
+      FROM customer GROUP BY 1)
+    SELECT a.k, a.n_events, b.n_custs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    NULL bucket on each side MATCHES (one joined row), where ordinary
+    equality would silently drop every NULL-keyed row — the semantics
+    needed when NULL is a real category (unknown segment, unparsed key)
+    rather than absent data. Contrast q_subq_notin_null, which pins the
+    opposite three-valued-logic behavior.
+
+    Scale shape: Spark plans ``<=>`` as a HASH-partitionable equi-join
+    (null keys hash to one partition like any other value) — no
+    nested-loop fallback; both inputs here are pre-aggregated to ≤10
+    rows so the join itself is broadcast-trivial, the point being the
+    matching semantics, not the data volume."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    a = e.groupBy(
+        F.nullif(F.col("user_id") % 10, F.lit(0)).alias("ka")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    b = c.groupBy(
+        F.nullif(F.col("c_custkey") % 10, F.lit(0)).alias("kb")
+    ).agg(F.count(F.lit(1)).alias("n_custs"))
+    return a.join(b, F.col("ka").eqNullSafe(F.col("kb"))).select(
+        F.col("ka").alias("k"), "n_events", "n_custs"
+    )
