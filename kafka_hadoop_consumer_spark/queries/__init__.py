@@ -100,6 +100,8 @@ _DEFER_TO_TAIL = (
     "q_source_schema_evolution",
     "q_e2e_incremental_rollup",
     "q_join_null_safe",
+    "q_win_session_native",
+    "q_fn_try",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -362,3 +362,43 @@ def q_fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "o_orderkey", "xa", "ya", zorder_key("xa", "ya", ZBITS).alias("zkey")
     )
+
+
+@query(
+    "q_fn_try",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN (event_id % 5) = 0 THEN NULL
+                ELSE round(value / (event_id % 5), 6) END AS safe_div,
+           TRY_CAST(CAST(user_id AS VARCHAR) || 'x' AS INTEGER) AS bad_int,
+           TRY_CAST(CAST(user_id AS VARCHAR) AS INTEGER) AS good_int,
+           string_split(event_type, '')[10] AS oob_char
+    FROM events
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family — the ``try_*`` forms that turn
+    runtime errors into NULLs so one malformed row cannot kill a 100 TB
+    job: try_divide (÷0 → NULL), try_cast (unparseable → NULL, parseable
+    → value), and out-of-bounds element access (→ NULL). The oracle
+    expresses the identical semantics through DuckDB's TRY_CAST / CASE /
+    native NULL-on-OOB list indexing, pinning that "safe" means the SAME
+    null-production rules on both engines, not merely "doesn't crash".
+
+    Scale shape: pure narrow projection — zero shuffle, all codegen;
+    dirty-data tolerance this way is free, unlike a Python validation
+    UDF. (The streaming dead-letter test covers the complementary
+    policy: route the bad row aside instead of nulling it.)"""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.round(
+            F.try_divide(F.col("value"), F.col("event_id") % 5), 6
+        ).alias("safe_div"),
+        F.try_to_number(
+            F.concat(F.col("user_id").cast("string"), F.lit("x")),
+            F.lit("999999"),
+        ).cast("int").alias("bad_int"),
+        F.col("user_id").cast("string").cast("int").alias("good_int"),
+        F.try_element_at(F.split("event_type", ""), F.lit(10)).alias("oob_char"),
+    )

@@ -567,3 +567,61 @@ def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w1h).alias("cnt_1h"),
         F.round(F.sum("value").over(w1h), 4).alias("sum_1h"),
     )
+
+
+SESSION_GAP = "30 minutes"  # native session_window gap (q_win_sessionize's 30 min)
+
+
+@query(
+    "q_win_session_native",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP))
+                          - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                          >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq)
+    SELECT user_id,
+           strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f')
+               AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native batch ``session_window`` — Spark's gap-based session
+    assignment works in BATCH groupBy, not just streams, and this key
+    pins its semantics against the manual lag+cumsum sessionization the
+    oracle runs: a session extends 30 minutes past each event and a gap
+    of EXACTLY the threshold starts a new session (native windows split
+    at diff ≥ gap, whereas q_win_sessionize's manual split uses strict
+    >; the oracle mirrors the native ≥ so the two keys also document the
+    boundary difference between the idioms).
+
+    Scale shape: one shuffle on user_id; session merging is a sort
+    within each key partition — the same plan the streaming
+    session_window test executes incrementally with state. Session
+    start is an input timestamp (selection, formatted, not arithmetic)
+    and event counts are exact."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )

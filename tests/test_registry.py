@@ -78,3 +78,16 @@ def test_zorder_key_validates_arguments():
     with pytest.raises(ValueError, match="plain column names"):
         zorder_key("x + 1", "y", 8)
     zorder_key("x", "y", 31)  # boundary accepted
+
+
+def test_bad_sf_dir_raises_cleanly(spark):
+    """A wrong sf_dir must fail with Spark's AnalysisException (path not
+    found) — not a hang, not a silent empty result (driver-contract
+    probe from .claude/skills/verify)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from kafka_hadoop_consumer_spark.queries import QUERIES
+
+    with pytest.raises(AnalysisException):
+        QUERIES["q_agg_groupby"](spark, "/root/testdata/sf_nonexistent").collect()
