@@ -102,6 +102,7 @@ _DEFER_TO_TAIL = (
     "q_join_null_safe",
     "q_win_session_native",
     "q_fn_try",
+    "q_ml_ols",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -825,3 +825,124 @@ def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_excluded"),
         F.round(F.sum(term), 6).alias("psi"),
     )
+
+
+@query(
+    "q_ml_ols",
+    oracle="""
+    WITH f AS (
+      SELECT event_type, value AS y,
+             CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS DOUBLE) AS x1,
+             CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) % 7
+                  AS DOUBLE) AS x2
+      FROM events),
+    g AS (  -- normal-equation sufficient statistics (all plain SUMs)
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+             sum(x1 * x1) AS sx11, sum(x1 * x2) AS sx12,
+             sum(x2 * x2) AS sx22,
+             sum(x1 * y) AS sx1y, sum(x2 * y) AS sx2y,
+             sum(y * y) AS syy
+      FROM f GROUP BY event_type),
+    solved AS (
+      SELECT event_type, n, sy, syy,
+             -- Cramer's rule on [[n,sx1,sx2],[sx1,sx11,sx12],[sx2,sx12,sx22]]
+             n * (sx11 * sx22 - sx12 * sx12)
+               - sx1 * (sx1 * sx22 - sx12 * sx2)
+               + sx2 * (sx1 * sx12 - sx11 * sx2) AS det,
+             sy * (sx11 * sx22 - sx12 * sx12)
+               - sx1 * (sx1y * sx22 - sx12 * sx2y)
+               + sx2 * (sx1y * sx12 - sx11 * sx2y) AS det_a,
+             n * (sx1y * sx22 - sx12 * sx2y)
+               - sy * (sx1 * sx22 - sx12 * sx2)
+               + sx2 * (sx1 * sx2y - sx1y * sx2) AS det_b,
+             n * (sx11 * sx2y - sx1y * sx12)
+               - sx1 * (sx1 * sx2y - sx1y * sx2)
+               + sy * (sx1 * sx12 - sx11 * sx2) AS det_c,
+             sx1y, sx2y
+      FROM g)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(det_a / det, 6) AS intercept,
+           round(det_b / det, 6) AS coef_hour,
+           round(det_c / det, 6) AS coef_dow,
+           round(1 - (syy - (det_a / det) * sy - (det_b / det) * sx1y
+                          - (det_c / det) * sx2y)
+                     / (syy - sy * sy / n), 6) AS r2
+    FROM solved
+    """,
+)
+def q_ml_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multiple linear regression (OLS), closed form: fit
+    value ~ intercept + hour-of-day + day-of-week per event_type from
+    NORMAL-EQUATION sufficient statistics — ten plain SUMs per group
+    (the X'X / X'y entries), solved with Cramer's rule on the 3×3 system
+    INSIDE the query, plus R² from the same sums. No solver library, no
+    iteration, no second data pass: the entire fit is one
+    map-side-combinable hash agg followed by constant-size arithmetic —
+    the way you regress 100 TB (sufficient statistics shuffle, never
+    rows), and because the solve is an expression tree, the DuckDB
+    oracle reproduces it bit-for-bit-then-rounded rather than trusting
+    a black-box fit.
+
+    (q_agg_corr's regr_slope is the 1-feature special case; this is the
+    multivariate generalization. For ill-conditioned X'X at many
+    features you'd move to QR on mapInPandas partials — out of scope.)
+    """
+    e = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    f = e.select(
+        "event_type",
+        F.col("value").alias("y"),
+        F.hour(ts).cast("double").alias("x1"),
+        (
+            (F.expr("unix_micros(cast(ts as timestamp)) div 86400000000") + 3) % 7
+        )
+        .cast("double")
+        .alias("x2"),
+    )
+    g = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx1, sx2, sy = F.col("n"), F.col("sx1"), F.col("sx2"), F.col("sy")
+    sx11, sx12, sx22 = F.col("sx11"), F.col("sx12"), F.col("sx22")
+    sx1y, sx2y, syy = F.col("sx1y"), F.col("sx2y"), F.col("syy")
+    det = (
+        n * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx12 - sx11 * sx2)
+    )
+    det_a = (
+        sy * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1y * sx22 - sx12 * sx2y)
+        + sx2 * (sx1y * sx12 - sx11 * sx2y)
+    )
+    det_b = (
+        n * (sx1y * sx22 - sx12 * sx2y)
+        - sy * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    )
+    det_c = (
+        n * (sx11 * sx2y - sx1y * sx12)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx12 - sx11 * sx2)
+    )
+    a, b, c = det_a / det, det_b / det, det_c / det
+    r2 = 1 - (syy - a * sy - b * sx1y - c * sx2y) / (syy - sy * sy / n)
+    return g.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(a, 6).alias("intercept"),
+        F.round(b, 6).alias("coef_hour"),
+        F.round(c, 6).alias("coef_dow"),
+        F.round(r2, 6).alias("r2"),
+    )
