@@ -103,6 +103,7 @@ _DEFER_TO_TAIL = (
     "q_win_session_native",
     "q_fn_try",
     "q_ml_ols",
+    "q_fn_variant",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -402,3 +402,58 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").cast("int").alias("good_int"),
         F.try_element_at(F.split("event_type", ""), F.lit(10)).alias("oob_char"),
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"id": ' || event_id || ', "type": "' || event_type
+             || '", "tags": ["t' || (event_id % 3) || '", "t'
+             || (user_id % 5) || '"], "nested": {"u": ' || user_id
+             || '}}' AS js
+      FROM events)
+    SELECT event_id,
+           CAST(json_extract(js, '$.id') AS BIGINT) AS vid,
+           json_extract_string(js, '$.type') AS vtype,
+           CAST(json_extract(js, '$.nested.u') AS BIGINT) AS vu,
+           json_extract_string(js, '$.tags[1]') AS tag2,
+           CAST(json_extract(js, '$.nested.missing') AS BIGINT) AS vmissing
+    FROM j
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): JSON parsed ONCE into the
+    binary variant encoding, then typed path extraction
+    (``try_variant_get`` with ``$.nested.u`` / array-index paths,
+    missing paths → NULL) — the modern replacement for repeated
+    get_json_object string re-parsing (q_fn_json documents the classic
+    idiom; variant parses once and each extraction walks the binary
+    form). The JSON is constructed in-query from integer/string columns
+    only (planted-data precedent of q_text_pii — double-to-string
+    formatting differs across engines and never enters the document);
+    DuckDB mirrors with its native json_extract paths.
+
+    Scale shape: pure narrow projection, zero shuffle; at 100 TB the
+    parse-once property is the cost win when ≥2 fields are read, and
+    variant columns store the binary encoding so re-reads skip parsing
+    entirely."""
+    e = load_table(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"id": '), F.col("event_id").cast("string"),
+        F.lit(', "type": "'), F.col("event_type"),
+        F.lit('", "tags": ["t'), (F.col("event_id") % 3).cast("string"),
+        F.lit('", "t'), (F.col("user_id") % 5).cast("string"),
+        F.lit('"], "nested": {"u": '), F.col("user_id").cast("string"),
+        F.lit("}}"),
+    )
+    v = F.try_parse_json(js)
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.id", "long").alias("vid"),
+        F.try_variant_get(v, "$.type", "string").alias("vtype"),
+        F.try_variant_get(v, "$.nested.u", "long").alias("vu"),
+        F.try_variant_get(v, "$.tags[1]", "string").alias("tag2"),
+        F.try_variant_get(v, "$.nested.missing", "long").alias("vmissing"),
+    )
