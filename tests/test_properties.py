@@ -303,3 +303,36 @@ def test_bpe_matches_pure_python_reference(spark):
     for row, (rank, a, b, ab, cnt) in zip(got.itertuples(index=False), expected):
         assert (row.merge_rank, row.pair_a, row.pair_b, row.merged,
                 row.pair_count) == (rank, a, b, ab, cnt)
+
+
+def test_misra_gries_summary_guarantee():
+    """Pure-Python gate for the q_text_heavy_hitters building block: the
+    batch-merged MG summary must (a) never exceed its counter budget,
+    (b) always retain every item with frequency > n/(M+1) — exercised
+    with 50k items over 20k distinct values, far past eviction."""
+    import numpy as np
+
+    from kafka_hadoop_consumer_spark.queries.text import (
+        MG_COUNTERS,
+        _mg_summarize,
+    )
+
+    rng = np.random.default_rng(7)
+    # heavy items: 60 items at ~400 occurrences each; tail: 20k singles
+    heavy = np.repeat([f"H{i}" for i in range(60)], 400)
+    tail = np.array([f"t{i}" for i in range(20000)])
+    stream = np.concatenate([heavy, tail])
+    rng.shuffle(stream)
+    batches = [
+        pd.DataFrame({"gram": stream[i:i + 5000]})
+        for i in range(0, len(stream), 5000)
+    ]
+    (summary,) = list(_mg_summarize(iter(batches)))
+    kept = set(summary["gram"])
+    assert len(kept) <= MG_COUNTERS
+    n = len(stream)
+    threshold = n / (MG_COUNTERS + 1)   # 44400/4096 ≈ 10.8 < 400
+    for i in range(60):
+        assert f"H{i}" in kept, f"heavy item H{i} evicted (freq 400 > {threshold:.1f})"
+    # eviction genuinely happened: far fewer survivors than distinct items
+    assert len(kept) < 20060
