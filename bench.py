@@ -292,12 +292,29 @@ def main() -> None:
     ingest_sec, ingest_rows = time_ingest(spark, sf_dir)
     timings["s_ingest_e2e"] = round(ingest_sec, 3)
 
+    # Round-3 late additions, timed OUTSIDE the headline total so the
+    # BASELINE.md anchor comparison stays like-for-like (same policy as
+    # scaling_10x/skew_join): the MG heavy-hitter plan, the near-dup-graph
+    # PageRank, PQ ANN, and the Poisson bootstrap.
+    extras: dict[str, float] = {}
+    for name in ("q_text_heavy_hitters", "q_graph_pagerank",
+                 "q_sim_pq_topk", "q_stats_bootstrap"):
+        fn = QUERIES[name]
+        materialize(fn(spark, sf_dir))  # warm-up
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        extras[name] = round(statistics.median(runs), 3)
+
     result = {
         "metric": "headline query wall-clock (median of 3, noop sink)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "ingest_rows_per_sec": round(ingest_rows / ingest_sec),
+        "r3_ops": extras,
         "scaling_10x": _time_scaling(spark),
         "skew_join": _time_skew_join(spark),
         "sf": float(sf),

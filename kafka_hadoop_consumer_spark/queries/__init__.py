@@ -104,6 +104,7 @@ _DEFER_TO_TAIL = (
     "q_fn_try",
     "q_ml_ols",
     "q_fn_variant",
+    "q_sample_negative",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

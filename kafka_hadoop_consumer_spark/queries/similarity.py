@@ -1199,3 +1199,105 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"),
                 "adc_dist")
     )
+
+
+NEG_PER_QUERY = 20  # deterministic negatives sampled per query
+
+
+@query(
+    "q_sample_negative",
+    oracle=_ORACLE_E
+    + f"""
+    , pos AS (
+      SELECT q_id, vec_id, rn FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_sum(list_transform(list_zip(a.v, b.v),
+                                                  p -> p[1] * p[2]))
+                          / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id
+      ) WHERE rn <= {TOP_K}),
+    cand AS (
+      SELECT q.vec_id AS q_id, c.vec_id
+      FROM e q JOIN e c ON q.vec_id < {N_QUERY} AND c.vec_id <> q.vec_id),
+    neg AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (
+               PARTITION BY q_id
+               ORDER BY md5(CAST(q_id AS VARCHAR) || ':'
+                            || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM (SELECT c.q_id, c.vec_id
+            FROM cand c LEFT JOIN pos p
+              ON p.q_id = c.q_id AND p.vec_id = c.vec_id
+            WHERE p.q_id IS NULL))
+    SELECT q_id, vec_id, 'positive' AS role, CAST(rn AS BIGINT) AS rank
+    FROM pos
+    UNION ALL
+    SELECT q_id, vec_id, 'negative' AS role, CAST(rn AS BIGINT) AS rank
+    FROM neg WHERE rn <= {NEG_PER_QUERY}
+    """,
+)
+def q_sample_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair construction: for each query vector, the
+    exact cosine top-{TOP_K} become POSITIVES and {NEG_PER_QUERY}
+    deterministic hash-ordered NEGATIVES are drawn from the rest of the
+    corpus (excluding the positives and the query itself) — the
+    (anchor, positive, negatives) batches every embedding-model
+    contrastive loss (InfoNCE/triplet) trains on. Negative selection is
+    md5-ordered, so the sample is reproducible across runs and engines —
+    resumable training data, not random.sample.
+
+    Scale shape: positives ride the q_sim_cosine_topk plan (corpus
+    streams past the broadcast query side); negative candidates move
+    only (q_id, vec_id) ID PAIRS — never vectors — through the anti-join
+    and the per-query hash-order window. At real scale you'd pre-filter
+    candidates to an LSH/IVF bucket sample instead of ranking the whole
+    corpus's ids; the hash-order trick is unchanged. (In-batch negatives
+    are the zero-cost alternative; this op builds the curated hard-ish
+    set.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = persist_tracked(
+        e.select("vec_id", _vec_double().alias("v")).withColumn(
+            "nrm", _norm(F.col("v"))
+        )
+    )
+    q = ed.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    pos = persist_tracked(
+        ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("q_id", "vec_id", "rn")
+    )
+    cand = ed.select("vec_id").crossJoin(
+        F.broadcast(q.select("q_id"))
+    ).where(F.col("vec_id") != F.col("q_id"))
+    w_neg = Window.partitionBy("q_id").orderBy(
+        F.md5(
+            F.concat_ws(
+                ":", F.col("q_id").cast("string"), F.col("vec_id").cast("string")
+            )
+        ),
+        "vec_id",
+    )
+    neg = (
+        cand.join(pos, ["q_id", "vec_id"], "left_anti")
+        .withColumn("rn", F.row_number().over(w_neg))
+        .where(F.col("rn") <= NEG_PER_QUERY)
+    )
+    return pos.select(
+        "q_id", "vec_id", F.lit("positive").alias("role"),
+        F.col("rn").cast("long").alias("rank"),
+    ).unionByName(
+        neg.select(
+            "q_id", "vec_id", F.lit("negative").alias("role"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )

@@ -206,6 +206,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_sim_mmr_rerank",  # candidate stage = corpus past 5 broadcast queries
         "q_text_heavy_hitters",  # crossJoin of the broadcast 1-row gram total
         "q_graph_pagerank",  # crossJoin of the broadcast 1-row |V| count
+        "q_sample_negative",  # id-pairs cross 5 broadcast query ids + cosine pass
     }
     offenders = {}
     for name, fn in QUERIES.items():
