@@ -105,6 +105,7 @@ _DEFER_TO_TAIL = (
     "q_ml_ols",
     "q_fn_variant",
     "q_sample_negative",
+    "q_fn_collation",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -457,3 +457,55 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.tags[1]", "string").alias("tag2"),
         F.try_variant_get(v, "$.nested.missing", "long").alias("vmissing"),
     )
+
+
+@query(
+    "q_fn_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT event_type,
+             CASE WHEN event_id % 2 = 1 THEN upper(event_type)
+                  ELSE event_type END AS typed
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN typed = event_type THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_eq,
+           CAST(sum(CASE WHEN lower(typed) = lower(event_type)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ci_eq,
+           CAST(sum(CASE WHEN contains(lower(typed), 'ic')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ci_contains
+    FROM mixed GROUP BY event_type
+    """,
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): case-insensitive comparison and
+    substring search via the ``UTF8_LCASE`` collation — planted
+    mixed-case values (every odd event upper-cased) split exact equality
+    from collated equality, and a collated ``contains`` matches across
+    case. Collation expresses the comparison rule ON THE TYPE rather
+    than wrapping every operand in lower() — at 100 TB that matters
+    because collation-aware equality stays sargable (usable by joins,
+    group-bys and pushdown) where lower(col) wrapping blocks column
+    pruning statistics. The oracle pins the SEMANTICS with explicit
+    lower() — the observable contract is identical counts.
+
+    Scale shape: narrow projection + one hash agg; counts exact."""
+    e = load_table(spark, sf_dir, "events")
+    typed = F.when(
+        F.col("event_id") % 2 == 1, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    lc = lambda c: F.collate(c, "UTF8_LCASE")  # noqa: E731
+    m = e.select("event_type", typed.alias("typed"))
+    return m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("typed") == F.col("event_type"), 1).otherwise(0)
+        ).alias("n_exact_eq"),
+        F.sum(
+            F.when(lc(F.col("typed")) == lc(F.col("event_type")), 1).otherwise(0)
+        ).alias("n_ci_eq"),
+        F.sum(
+            F.when(F.contains(lc(F.col("typed")), F.lit("IC")), 1).otherwise(0)
+        ).alias("n_ci_contains"),
+    )
