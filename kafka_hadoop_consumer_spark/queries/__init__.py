@@ -106,6 +106,9 @@ _DEFER_TO_TAIL = (
     "q_fn_variant",
     "q_sample_negative",
     "q_fn_collation",
+    "q_agg_skyline",
+    "q_quality_fd",
+    "q_source_dpp_join",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -850,3 +850,49 @@ def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@query(
+    "q_agg_skyline",
+    oracle="""
+    WITH ranked AS (
+      SELECT p_partkey, p_retailprice, p_size,
+             max(p_size) OVER (
+               ORDER BY p_retailprice ASC, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_size
+      FROM part)
+    SELECT p_partkey, p_retailprice, p_size
+    FROM ranked
+    WHERE best_size IS NULL OR p_size > best_size
+    """,
+)
+def q_agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: parts not DOMINATED on the
+    (minimize price, maximize size) plane — no other part is both
+    cheaper-or-equal and larger — the multi-criteria shortlist behind
+    "best tradeoff" product/supplier selection, and a classic
+    OLAP-research operator with no SQL keyword. The 2-D case collapses
+    to ONE ordered window: sweep by ascending price and keep a point iff
+    its size beats the running max of everything cheaper (ties on price
+    resolved by the p_partkey sweep order: an equal-price-equal-size
+    twin later in the order is dominated — pinned identically in both
+    engines).
+
+    Scale shape: a single-dimension ordered sweep is a global-order
+    window — at 100 TB run it as two passes via the
+    q_win_ntile_scalable recipe (range-partition by price, carry each
+    partition's max size forward); the fixture key keeps the canonical
+    single-window form, input |part| rows, output the (small)
+    frontier. Values are pass-through columns, no rounding."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    w = (
+        Window.orderBy(F.col("p_retailprice").asc(), F.col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        p.withColumn("best_size", F.max("p_size").over(w))
+        .where(F.col("best_size").isNull() | (F.col("p_size") > F.col("best_size")))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

@@ -439,3 +439,56 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.coalesce("n_chars", F.lit(0))).alias("total_chars"),
     )
+
+
+@query(
+    "q_source_dpp_join",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events
+      WHERE event_type IN ('purchase', 'signup')
+      GROUP BY event_type)
+    SELECT e.event_type, d.n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type, d.n_users
+    """,
+)
+def q_source_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning as a first-class, value-checked key:
+    the fact table is laid out partitioned by event_type, and joining it
+    against a FILTERED dim makes Spark prune fact partitions at RUNTIME
+    from the dim's join keys (the `dynamicpruning` subquery in the scan
+    — plan-asserted in tests/test_plans.py). At 100 TB this is the
+    difference between scanning 2 of N partitions and all of them, and
+    it needs no static predicate on the fact side — the dim filter alone
+    drives the pruning.
+
+    The dim here is itself derived (per-type distinct-user counts,
+    filtered to two types) so the pruning values genuinely arrive at
+    runtime; the oracle recomputes the same join from the original
+    un-partitioned table, proving pruning changed I/O, not answers."""
+    out = _out_dir(sf_dir, "dpp")
+    e = load_table(spark, sf_dir, "events")
+    if not os.path.isdir(os.path.join(out, "event_type=view")):
+        e.select("event_id", "user_id", "event_type", "value").write.mode(
+            "overwrite"
+        ).partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        e.where(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .withColumnRenamed("event_type", "d_type")
+    )
+    return (
+        fact.join(dim, fact.event_type == F.col("d_type"))
+        .groupBy("event_type", "n_users")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

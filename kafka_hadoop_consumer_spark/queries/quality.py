@@ -946,3 +946,73 @@ def q_ml_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c, 6).alias("coef_dow"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+@query(
+    "q_quality_fd",
+    oracle="""
+    WITH checks AS (
+      SELECT 'orders: o_orderkey -> o_custkey' AS fd,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating_keys
+      FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS n_rhs
+            FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'lineitem: l_orderkey -> l_returnflag',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS n_rhs
+            FROM lineitem GROUP BY l_orderkey)
+      UNION ALL
+      SELECT 'events: user_id -> event_type',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT user_id, count(DISTINCT event_type) AS n_rhs
+            FROM events GROUP BY user_id))
+    SELECT fd, n_keys, n_violating_keys,
+           (n_violating_keys = 0) AS holds
+    FROM checks
+    """,
+)
+def q_quality_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — data profiling's schema-inference
+    primitive: for each candidate FD ``A → B``, count the A-keys whose
+    B-value is not unique. An FD that HOLDS certifies a denormalization
+    is safe (or a key constraint real); one that fails (users emit many
+    event types) quantifies by how much. Three candidate FDs ride the
+    report: a true key dependency, a per-order flag dependency
+    (plausible but false on TPC-H-ish data), and a behavioral
+    non-dependency.
+
+    Scale shape: each FD check is one hash agg on the LHS key with a
+    count-distinct of the RHS (two-phase distinct expansion, map-side
+    partials), collapsing to one row per check — profiling N candidate
+    FDs over the same table shares its scan. Counts exact."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+
+    def fd(df: DataFrame, name: str, lhs: str, rhs: str) -> DataFrame:
+        g = df.groupBy(lhs).agg(F.count_distinct(rhs).alias("n_rhs"))
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias(
+                "n_violating_keys"
+            ),
+        )
+
+    checks = (
+        fd(o, "orders: o_orderkey -> o_custkey", "o_orderkey", "o_custkey")
+        .unionByName(
+            fd(li, "lineitem: l_orderkey -> l_returnflag",
+               "l_orderkey", "l_returnflag")
+        )
+        .unionByName(fd(e, "events: user_id -> event_type",
+                        "user_id", "event_type"))
+    )
+    return checks.select(
+        "fd", "n_keys", "n_violating_keys",
+        (F.col("n_violating_keys") == 0).alias("holds"),
+    )

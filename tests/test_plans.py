@@ -484,3 +484,12 @@ def test_new_operator_shuffle_budgets(spark):
     }
     got = {k: n_shuffle_exchanges(QUERIES[k](spark, SF_DIR)) for k in budgets}
     assert got == budgets
+
+
+def test_dpp_join_key_prunes_partitions(spark):
+    """q_source_dpp_join's whole point: the partitioned-fact scan must
+    carry a dynamicpruning subquery fed by the filtered dim."""
+    from kafka_hadoop_consumer_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_source_dpp_join"](spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
