@@ -109,6 +109,7 @@ _DEFER_TO_TAIL = (
     "q_agg_skyline",
     "q_quality_fd",
     "q_source_dpp_join",
+    "q_e2e_shard_manifest",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

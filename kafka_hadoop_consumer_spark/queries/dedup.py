@@ -664,6 +664,36 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def canonical_url_expr(url_col: str):
+    """Canonical form of a URL column: scheme/host lowercased, default
+    :443 port dropped, trailing path slashes stripped, fragment
+    discarded, utm_* params removed, surviving params sorted. IDEMPOTENT
+    (canonical(canonical(u)) == canonical(u) — property-tested in
+    tests/test_properties.py) and pure codegen (regex + array ops, no
+    shuffle, no Python)."""
+    scheme = F.lower(F.regexp_extract(url_col, r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url_col, r"^[A-Za-z]+://([^/?#]+)", 1)),
+        ":443$", "")
+    path = F.regexp_replace(
+        F.regexp_extract(url_col, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        "/+$", "")
+    qs = F.regexp_extract(url_col, r"\?([^#]*)", 1)
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&"),
+                lambda x: (~x.startswith("utm_")) & (x != ""),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(cq == "", "").otherwise(F.concat(F.lit("?"), cq)),
+    )
+
+
 @query(
     "q_dedup_url",
     oracle="""
@@ -752,28 +782,8 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(base, F.lit("?ref="), r, F.lit("&utm_campaign=x#frag")))
     )
     raw = e.select("event_id", variants.alias("url"))
-    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
-        ":443$", "")
-    path = F.regexp_replace(
-        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
-    qs = F.regexp_extract("url", r"\?([^#]*)", 1)
-    cq = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.split(qs, "&"),
-                lambda x: (~x.startswith("utm_")) & (x != ""),
-            )
-        ),
-        "&",
-    )
-    canonical = F.concat(
-        scheme, F.lit("://"), host, path,
-        F.when(cq == "", "").otherwise(F.concat(F.lit("?"), cq)),
-    )
     return (
-        raw.select("url", canonical.alias("canonical_url"))
+        raw.select("url", canonical_url_expr("url").alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.count(F.lit(1)).alias("n_raw"),

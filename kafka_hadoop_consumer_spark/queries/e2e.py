@@ -8,7 +8,7 @@ top-k in one plan, the way real report queries compose.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
@@ -907,5 +907,84 @@ def q_e2e_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.coalesce("btot", F.lit(0.0)) + F.coalesce("dtot", F.lit(0.0)), 2
             ).alias("total"),
+        )
+    )
+
+
+SHARD_DOCS = 50  # docs per shard within a language
+
+
+@query(
+    "q_e2e_shard_manifest",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(text) AS doc_md5
+      FROM documents
+      WHERE len(string_split(text, ' ')) BETWEEN 20 AND 500),
+    sharded AS (
+      SELECT lang, doc_id, n_tokens, doc_md5,
+             CAST((row_number() OVER (PARTITION BY lang ORDER BY doc_md5,
+                                      doc_id) - 1)
+                  // {SHARD_DOCS} AS BIGINT) AS shard_id
+      FROM gated)
+    SELECT lang, shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+           md5(string_agg(doc_md5, '' ORDER BY doc_md5, doc_id))
+               AS content_hash
+    FROM sharded
+    GROUP BY lang, shard_id
+    """,
+)
+def q_e2e_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset shard manifest — the artifact an LLM data pipeline
+    actually SHIPS: after the quality gate, surviving docs are assigned
+    to fixed-size shards per language in content-hash order
+    (deterministic and stable under re-runs — no arrival-order
+    dependence), and each shard row carries its doc count, token total,
+    id range, and a CONTENT HASH (md5 over the ordered per-doc md5s) so
+    any consumer can verify shard integrity and any re-build can prove
+    bit-identity without comparing payloads — data lineage as a
+    first-class query output.
+
+    Scale shape: gating is narrow; shard assignment is one per-lang
+    window (hash-ordered row_number — the WindowGroupLimit family);
+    the manifest agg collapses to |langs|×|shards| rows, and the shard
+    hash chains the ALREADY-ordered per-doc md5s via a sorted bounded
+    collect per shard (SHARD_DOCS elements max). Every output is either
+    an integer or an md5 string — nothing to round."""
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5("text").alias("doc_md5"),
+    ).where(F.col("n_tokens").between(20, 500))
+    w = Window.partitionBy("lang").orderBy("doc_md5", "doc_id")
+    sharded = gated.withColumn(
+        "shard_id",
+        ((F.row_number().over(w) - 1) / SHARD_DOCS).cast("long"),
+    )
+    ordered_md5s = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("doc_md5", "doc_id")).over(
+                Window.partitionBy("lang", "shard_id")
+            )
+        ),
+        lambda s: s["doc_md5"],
+    )
+    return (
+        sharded.withColumn("all_md5", ordered_md5s)
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.md5(F.array_join(F.any_value("all_md5"), "")).alias("content_hash"),
         )
     )

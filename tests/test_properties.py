@@ -336,3 +336,35 @@ def test_misra_gries_summary_guarantee():
         assert f"H{i}" in kept, f"heavy item H{i} evicted (freq 400 > {threshold:.1f})"
     # eviction genuinely happened: far fewer survivors than distinct items
     assert len(kept) < 20060
+
+
+def test_url_canonicalization_idempotent_and_collapsing(spark):
+    """canonical_url_expr must be IDEMPOTENT (a canonical URL maps to
+    itself) and must collapse all spelling variants of one page to one
+    key — over a constructed matrix of scheme-case × host-case × :443 ×
+    trailing-slash × utm params × fragment × param order."""
+    import itertools
+
+    from kafka_hadoop_consumer_spark.queries.dedup import canonical_url_expr
+
+    rows = []
+    for i, (scheme, host, port, slash, utm, frag, order) in enumerate(
+        itertools.product(
+            ("https", "HTTPS"), ("x.example.com", "X.Example.COM"),
+            ("", ":443"), ("", "/"), ("", "utm_source=a&"), ("", "#f"),
+            (("a=1", "b=2"), ("b=2", "a=1")),
+        )
+    ):
+        qs = "&".join(order)
+        rows.append((i, f"{scheme}://{host}{port}/p/7{slash}?{utm}{qs}{frag}"))
+    df = spark.createDataFrame(rows, "i long, url string")
+    out = df.select(
+        "url",
+        canonical_url_expr("url").alias("c1"),
+    ).select(
+        "url", "c1", canonical_url_expr("c1").alias("c2")
+    ).collect()
+    canons = {r["c1"] for r in out}
+    assert canons == {"https://x.example.com/p/7?a=1&b=2"}, canons
+    for r in out:
+        assert r["c2"] == r["c1"], (r["url"], r["c1"], r["c2"])
