@@ -110,6 +110,8 @@ _DEFER_TO_TAIL = (
     "q_quality_fd",
     "q_source_dpp_join",
     "q_e2e_shard_manifest",
+    "q_text_bigram_lm",
+    "q_agg_kmv_distinct",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

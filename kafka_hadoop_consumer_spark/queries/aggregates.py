@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
 
 
 @query(
@@ -895,4 +895,74 @@ def q_agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.withColumn("best_size", F.max("p_size").over(w))
         .where(F.col("best_size").isNull() | (F.col("p_size") > F.col("best_size")))
         .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+KMV_K = 256  # k-minimum-values sketch size (rel. error ~ 1/sqrt(k) ≈ 6%)
+
+
+@query(
+    "q_agg_kmv_distinct",
+    oracle=f"""
+    WITH vals AS (
+      SELECT DISTINCT l_partkey AS v FROM lineitem),
+    hashed AS (
+      SELECT v, CAST((v * 2654435761) % 4294967296 AS DOUBLE)
+                / 4294967296 AS h
+      FROM vals),
+    kmin AS (
+      SELECT h, row_number() OVER (ORDER BY h, 1) AS rn
+      FROM hashed ORDER BY h LIMIT {KMV_K}),
+    est AS (
+      SELECT max(h) AS hk, CAST(count(*) AS BIGINT) AS k_used FROM kmin),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM vals)
+    SELECT e.exact_distinct, s.k_used,
+           round((s.k_used - 1) / s.hk, 2) AS kmv_estimate,
+           round(abs((s.k_used - 1) / s.hk - e.exact_distinct)
+                 / e.exact_distinct, 4) AS rel_error
+    FROM exact e, est s
+    """,
+)
+def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, built as DataFrame
+    ops with a FULLY DETERMINISTIC oracle — unlike HLL
+    (q_agg_approx_distinct, rows-only because engine hash functions
+    differ), KMV over an engine-neutral multiplicative hash is the same
+    arithmetic on both engines, so the APPROXIMATION ITSELF is
+    hash-verified: estimate D̂ = (k−1)/h₍ₖ₎ from the k-th smallest
+    normalized hash (Bar-Yossef et al.'s classic estimator), emitted
+    alongside the exact count and the realized relative error.
+
+    Scale shape: the k smallest hashes come from a TakeOrdered pattern —
+    per-partition k-min heaps merged on one reducer, k values total
+    moving, never a global sort; KMV summaries are mergeable (union the
+    sets, keep the k smallest), the same property the driver's
+    q_agg_sketch_merge demonstrates for HLL partials. The exact count
+    (for the error column) is the expensive two-phase distinct — in
+    production you'd ship only the sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = persist_tracked(li.select("l_partkey").distinct())
+    hashed = vals.select(
+        (
+            ((F.col("l_partkey") * 2654435761) % 4294967296).cast("double")
+            / 4294967296
+        ).alias("h")
+    )
+    kmin = hashed.orderBy("h").limit(KMV_K)
+    est = kmin.agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("k_used")
+    )
+    exact = vals.agg(F.count(F.lit(1)).alias("exact_distinct"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_distinct",
+        "k_used",
+        F.round((F.col("k_used") - 1) / F.col("hk"), 2).alias("kmv_estimate"),
+        F.round(
+            F.abs(
+                (F.col("k_used") - 1) / F.col("hk") - F.col("exact_distinct")
+            )
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
     )

@@ -893,3 +893,72 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cm_est") - F.col("true_freq")).alias("overestimate"),
         )
     )
+
+
+BIGRAM_K = 0.5  # add-k smoothing constant
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS b
+      FROM tok),
+    bc AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY b),
+    ug AS (SELECT unnest(t) AS w FROM tok),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM ug GROUP BY w),
+    vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((bc.cb + {BIGRAM_K})
+                        / (uc.cw + {BIGRAM_K} * (SELECT v FROM vocab)))), 6)
+               AS mean_logprob
+    FROM bg g
+    JOIN bc ON bc.b = g.b
+    JOIN uc ON uc.w = string_split(g.b, ' ')[1]
+    GROUP BY g.doc_id
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-k smoothing: each doc's
+    mean log P(w_i | w_{{i-1}}) where P(w|p) = (c(p,w)+k)/(c(p)+k·V) —
+    the conditional upgrade of q_text_lmscore's unigram CCNet-style
+    filter (a doc of common words in IMPROBABLE orders now scores low,
+    which unigram scoring cannot see). c(p) is the corpus unigram count
+    of the prefix and V the vocabulary size, the textbook smoothed-MLE
+    definition.
+
+    Scale shape: bigram and unigram count tables are Zipf-small and
+    broadcast into the scoring joins (the q_text_tfidf pattern); the
+    per-doc aggregate rides one hash shuffle on doc_id. The log is the
+    only libm call and sits inside an avg that both engines round once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bg = persist_tracked(
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(F.expr(ngram_expr("toks", 2))).alias("b"))
+    )
+    bc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    ug = d.select(F.explode(F.split("text", " ")).alias("w"))
+    uc = persist_tracked(ug.groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
+    vocab = uc.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    scored = (
+        bg.join(F.broadcast(bc), "b")
+        .withColumn("w", F.split(F.col("b"), " ")[0])
+        .join(F.broadcast(uc), "w")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.avg(
+                F.log(
+                    (F.col("cb") + BIGRAM_K)
+                    / (F.col("cw") + BIGRAM_K * F.col("v"))
+                )
+            ),
+            6,
+        ).alias("mean_logprob"),
+    )
