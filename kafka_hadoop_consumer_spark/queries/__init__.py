@@ -112,6 +112,9 @@ _DEFER_TO_TAIL = (
     "q_e2e_shard_manifest",
     "q_text_bigram_lm",
     "q_agg_kmv_distinct",
+    "q_dedup_incremental",
+    "q_time_heatmap",
+    "q_quality_tukey",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

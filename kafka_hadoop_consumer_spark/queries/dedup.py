@@ -23,7 +23,7 @@ operator instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
@@ -983,4 +983,73 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6
         ).alias("dup_ratio"),
+    )
+
+
+INCR_BATCH_MOD = 5  # doc_id % 5 == 0 → the arriving "new" batch
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT md5(text) AS fp FROM documents
+      WHERE doc_id % {INCR_BATCH_MOD} <> 0),
+    batch AS (
+      SELECT doc_id, lang, md5(text) AS fp,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id) AS rn
+      FROM documents WHERE doc_id % {INCR_BATCH_MOD} = 0),
+    classified AS (
+      SELECT b.lang,
+             CASE WHEN b.rn > 1 THEN 'dup_within_batch'
+                  WHEN c.fp IS NOT NULL THEN 'dup_vs_corpus'
+                  ELSE 'new' END AS status
+      FROM batch b LEFT JOIN (SELECT DISTINCT fp FROM corpus) c
+        ON c.fp = b.fp)
+    SELECT lang, status, CAST(count(*) AS BIGINT) AS n_docs
+    FROM classified GROUP BY lang, status
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the operational shape every
+    continuously-growing corpus needs: an arriving batch is deduped (1)
+    WITHIN itself (first occurrence per fingerprint wins, by stable
+    doc_id order) and (2) AGAINST the existing corpus via its
+    fingerprint set, classifying every batch doc as new /
+    dup-within-batch / dup-vs-corpus per language. Running full-corpus
+    dedup on every arrival re-reads everything; this plan touches the
+    corpus only as a fingerprint column.
+
+    Scale shape: the corpus side reduces to distinct md5 fingerprints
+    (16-byte keys, columnar-pruned scan of just `text` — in production a
+    maintained fingerprint table, the q_e2e_incremental_rollup
+    discipline); within-batch dedup is one window on the fingerprint;
+    the corpus check is a fingerprint equi-join (semi-join shaped,
+    expressed as LEFT JOIN + null test so both dup classes emerge from
+    one pass). Counts exact."""
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == 0
+    corpus_fp = (
+        d.where(~is_batch).select(F.md5("text").alias("fp")).distinct()
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    batch = (
+        d.where(is_batch)
+        .select("doc_id", "lang", F.md5("text").alias("fp"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    classified = batch.join(
+        corpus_fp.withColumnRenamed("fp", "cfp"),
+        F.col("fp") == F.col("cfp"),
+        "left",
+    ).select(
+        "lang",
+        F.when(F.col("rn") > 1, "dup_within_batch")
+        .when(F.col("cfp").isNotNull(), "dup_vs_corpus")
+        .otherwise("new")
+        .alias("status"),
+    )
+    return classified.groupBy("lang", "status").agg(
+        F.count(F.lit(1)).alias("n_docs")
     )

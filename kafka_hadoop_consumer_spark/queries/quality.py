@@ -1016,3 +1016,71 @@ def q_quality_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fd", "n_keys", "n_violating_keys",
         (F.col("n_violating_keys") == 0).alias("holds"),
     )
+
+
+@query(
+    "q_quality_tukey",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_disc(value, 0.25) AS p25,
+             quantile_disc(value, 0.75) AS p75
+      FROM events GROUP BY event_type),
+    fenced AS (
+      SELECT e.event_type, e.value,
+             q.p25 - 1.5 * (q.p75 - q.p25) AS lo,
+             q.p75 + 1.5 * (q.p75 - q.p25) AS hi
+      FROM events e JOIN q ON q.event_type = e.event_type)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(lo), 6) AS fence_lo,
+           round(any_value(hi), 6) AS fence_hi,
+           CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN value < lo OR value > hi
+                               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+               AS outlier_rate
+    FROM fenced GROUP BY event_type
+    """,
+)
+def q_quality_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot fences per series: outliers beyond
+    [p25 − 1.5·IQR, p75 + 1.5·IQR] — the distribution-free outlier gate
+    (z-scores assume normality and get dragged by the outliers
+    themselves; q_time_anomaly is the z-score counterpart, q_agg_mad the
+    robust-scale one — this completes the robust-outlier trio with THE
+    convention every boxplot draws). Quartiles are exact DISCRETE
+    selections (input bit patterns — no interpolation), so the fence
+    arithmetic is IEEE-identical on both engines; one rounding site per
+    output.
+
+    Scale shape: two passes — exact per-group quartiles (one shuffle),
+    fences broadcast back onto the fact scan (q_agg_mad's
+    median-table-broadcast pattern), conditional-sum rollup rides the
+    second pass. Counts exact."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("p25"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias("p75"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    fences = q.select(
+        F.col("event_type").alias("ft"),
+        (F.col("p25") - 1.5 * iqr).alias("lo"),
+        (F.col("p75") + 1.5 * iqr).alias("hi"),
+    )
+    fenced = e.join(
+        F.broadcast(fences), F.col("event_type") == F.col("ft")
+    )
+    is_out = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return fenced.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.any_value("lo"), 6).alias("fence_lo"),
+        F.round(F.any_value("hi"), 6).alias("fence_hi"),
+        F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        F.round(
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("outlier_rate"),
+    )

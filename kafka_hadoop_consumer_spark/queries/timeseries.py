@@ -1987,3 +1987,56 @@ def q_time_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob"
         ),
     )
+
+
+@query(
+    "q_time_heatmap",
+    oracle="""
+    SELECT CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) % 7
+                AS BIGINT) AS dow,
+           CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value
+                          ELSE 0 END), 2) AS purchase_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_time_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the load-profile /
+    seasonality grid behind capacity planning and anomaly baselines
+    (q_stats_chisq tests one margin of this grid for independence; this
+    emits the full cell-level surface: volume, exact uniques, purchase
+    value). Day-of-week derives from exact integer epoch-day arithmetic
+    (`div`, +3 epoch-weekday offset) — no locale-dependent dayofweek()
+    whose week-start convention differs across engines.
+
+    Scale shape: one hash agg collapsing any input size to ≤168 cells;
+    the exact per-cell count-distinct is the one expansion pass (swap
+    for HLL partials at extreme scale, q_e2e_kpi_daily's documented
+    trade)."""
+    e = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return (
+        e.select(
+            ((F.expr("unix_micros(cast(ts as timestamp)) div 86400000000") + 3)
+             % 7).alias("dow"),
+            F.hour(ts).cast("long").alias("hod"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                    .otherwise(0.0)
+                ),
+                2,
+            ).alias("purchase_value"),
+        )
+    )
