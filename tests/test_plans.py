@@ -207,6 +207,8 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_text_heavy_hitters",  # crossJoin of the broadcast 1-row gram total
         "q_graph_pagerank",  # crossJoin of the broadcast 1-row |V| count
         "q_sample_negative",  # id-pairs cross 5 broadcast query ids + cosine pass
+        "q_text_bigram_lm",  # crossJoin of the broadcast 1-row vocab size
+        "q_agg_kmv_distinct",  # crossJoin of the broadcast 1-row sketch estimate
     }
     offenders = {}
     for name, fn in QUERIES.items():
