@@ -115,6 +115,7 @@ _DEFER_TO_TAIL = (
     "q_dedup_incremental",
     "q_time_heatmap",
     "q_quality_tukey",
+    "q_stats_delta_ratio",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

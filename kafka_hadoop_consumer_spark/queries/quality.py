@@ -1084,3 +1084,107 @@ def q_quality_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("outlier_rate"),
     )
+
+
+@query(
+    "q_stats_delta_ratio",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'a' ELSE 'b' END AS arm,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y,
+             CAST(count(*) AS DOUBLE) AS m
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             sum(y) AS sy, sum(m) AS sm,
+             sum(y * y) AS syy, sum(m * m) AS smm, sum(y * m) AS sym
+      FROM per_user GROUP BY arm),
+    d AS (
+      SELECT arm, n_users, sy / sm AS r,
+             -- delta method: var(R) ≈ (s_y² − 2R·c_ym + R²·s_m²) / (n·m̄²)
+             ((syy - sy * sy / n_users) / (n_users - 1)
+              - 2 * (sy / sm) * ((sym - sy * sm / n_users) / (n_users - 1))
+              + (sy / sm) * (sy / sm)
+                * ((smm - sm * sm / n_users) / (n_users - 1)))
+             / (n_users * (sm / n_users) * (sm / n_users)) AS var_r
+      FROM s)
+    SELECT a.n_users AS n_users_a, b.n_users AS n_users_b,
+           round(a.r, 6) AS ratio_a, round(b.r, 6) AS ratio_b,
+           round(sqrt(a.var_r), 6) AS se_a, round(sqrt(b.var_r), 6) AS se_b,
+           round((a.r - b.r) / sqrt(a.var_r + b.var_r), 4) AS z_stat
+    FROM d a JOIN d b ON a.arm = 'a' AND b.arm = 'b'
+    """,
+)
+def q_stats_delta_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method inference for a RATIO metric — revenue per event
+    (Σ purchase value / Σ events), the metric class where naive
+    per-row variance is WRONG because both numerator and denominator
+    are random per user: the correct experiment-readout variance is the
+    delta-method expansion var(R) ≈ (σ²_y − 2R·σ_ym + R²·σ²_m)/(n·m̄²)
+    over per-user aggregates, with users (not events) as the
+    randomization unit — the standard large-scale A/B methodology for
+    ratio metrics, completing the stats suite (proportions:
+    q_e2e_ab_test; means: q_stats_ttest; ranks: q_stats_mannwhitney).
+
+    Scale shape: one shuffle to per-user aggregates (the randomization
+    unit — this agg is REQUIRED for correctness, not performance), then
+    power sums per arm (constant-size mergeable partials) and closed-
+    form arithmetic on the 2-row arm table; identical expression tree
+    both engines, rounded once per output."""
+    e = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+        ).alias("y"),
+        F.count(F.lit(1)).cast("double").alias("m"),
+    ).select(arm.alias("arm"), "y", "m")
+    s = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("y").alias("sy"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.sum(F.col("y") * F.col("m")).alias("sym"),
+    )
+    n = F.col("n_users")
+    r = F.col("sy") / F.col("sm")
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    var_m = (F.col("smm") - F.col("sm") * F.col("sm") / n) / (n - 1)
+    cov = (F.col("sym") - F.col("sy") * F.col("sm") / n) / (n - 1)
+    mbar = F.col("sm") / n
+    d = s.select(
+        "arm",
+        "n_users",
+        r.alias("r"),
+        ((var_y - 2 * r * cov + r * r * var_m) / (n * mbar * mbar)).alias(
+            "var_r"
+        ),
+    )
+    a = d.where(F.col("arm") == "a").select(
+        F.col("n_users").alias("n_users_a"),
+        F.col("r").alias("ra"),
+        F.col("var_r").alias("va"),
+    )
+    b = d.where(F.col("arm") == "b").select(
+        F.col("n_users").alias("n_users_b"),
+        F.col("r").alias("rb"),
+        F.col("var_r").alias("vb"),
+    )
+    return a.crossJoin(b).select(
+        "n_users_a",
+        "n_users_b",
+        F.round("ra", 6).alias("ratio_a"),
+        F.round("rb", 6).alias("ratio_b"),
+        F.round(F.sqrt("va"), 6).alias("se_a"),
+        F.round(F.sqrt("vb"), 6).alias("se_b"),
+        F.round(
+            (F.col("ra") - F.col("rb")) / F.sqrt(F.col("va") + F.col("vb")), 4
+        ).alias("z_stat"),
+    )

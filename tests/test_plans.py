@@ -209,6 +209,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_sample_negative",  # id-pairs cross 5 broadcast query ids + cosine pass
         "q_text_bigram_lm",  # crossJoin of the broadcast 1-row vocab size
         "q_agg_kmv_distinct",  # crossJoin of the broadcast 1-row sketch estimate
+        "q_stats_delta_ratio",  # crossJoin of the two broadcast 1-row arms
     }
     offenders = {}
     for name, fn in QUERIES.items():
