@@ -273,21 +273,26 @@ def _time_skew_join(spark) -> dict:
     }
 
 
+def time_query(spark, name: str, sf_dir: str) -> float:
+    """Warm-up once, then median of N_RUNS materializations — the ONE
+    timing protocol for headline and extras alike (keep them sharing
+    this helper so the two sections stay comparable)."""
+    fn = QUERIES[name]
+    materialize(fn(spark, sf_dir))  # warm-up
+    runs = []
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        materialize(fn(spark, sf_dir))  # warm-up
-        runs = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(runs), 3)
+    timings = {name: time_query(spark, name, sf_dir) for name in HEADLINE}
 
     ingest_sec, ingest_rows = time_ingest(spark, sf_dir)
     timings["s_ingest_e2e"] = round(ingest_sec, 3)
@@ -296,17 +301,11 @@ def main() -> None:
     # BASELINE.md anchor comparison stays like-for-like (same policy as
     # scaling_10x/skew_join): the MG heavy-hitter plan, the near-dup-graph
     # PageRank, PQ ANN, and the Poisson bootstrap.
-    extras: dict[str, float] = {}
-    for name in ("q_text_heavy_hitters", "q_graph_pagerank",
-                 "q_sim_pq_topk", "q_stats_bootstrap"):
-        fn = QUERIES[name]
-        materialize(fn(spark, sf_dir))  # warm-up
-        runs = []
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        extras[name] = round(statistics.median(runs), 3)
+    extras = {
+        name: time_query(spark, name, sf_dir)
+        for name in ("q_text_heavy_hitters", "q_graph_pagerank",
+                     "q_sim_pq_topk", "q_stats_bootstrap")
+    }
 
     result = {
         "metric": "headline query wall-clock (median of 3, noop sink)",

@@ -793,6 +793,7 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PR_DAMPING = 0.85
+PR_TELEPORT = 0.15  # 1 - PR_DAMPING, spelled exactly (no float re-derivation)
 PR_ITERS = 3
 
 
@@ -829,18 +830,18 @@ PR_ITERS = 3
     nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
     r0 AS (SELECT id, deg, 1.0 / (SELECT n FROM nv) AS r FROM deg),
     r1 AS (SELECT e.dst AS id, d.deg,
-                  0.15 / (SELECT n FROM nv)
-                  + 0.85 * sum(p.r / p.deg) AS r
+                  {PR_TELEPORT} / (SELECT n FROM nv)
+                  + {PR_DAMPING} * sum(p.r / p.deg) AS r
            FROM edges e JOIN r0 p ON p.id = e.src JOIN deg d ON d.id = e.dst
            GROUP BY e.dst, d.deg),
     r2 AS (SELECT e.dst AS id, d.deg,
-                  0.15 / (SELECT n FROM nv)
-                  + 0.85 * sum(p.r / p.deg) AS r
+                  {PR_TELEPORT} / (SELECT n FROM nv)
+                  + {PR_DAMPING} * sum(p.r / p.deg) AS r
            FROM edges e JOIN r1 p ON p.id = e.src JOIN deg d ON d.id = e.dst
            GROUP BY e.dst, d.deg),
     r3 AS (SELECT e.dst AS id, d.deg,
-                  0.15 / (SELECT n FROM nv)
-                  + 0.85 * sum(p.r / p.deg) AS r
+                  {PR_TELEPORT} / (SELECT n FROM nv)
+                  + {PR_DAMPING} * sum(p.r / p.deg) AS r
            FROM edges e JOIN r2 p ON p.id = e.src JOIN deg d ON d.id = e.dst
            GROUP BY e.dst, d.deg)
     SELECT id AS doc_id, deg, round(r, 8) AS pagerank FROM r3
@@ -896,7 +897,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("dst").alias("id"),
                 "deg",
-                (0.15 / F.col("n") + 0.85 * F.col("s")).alias("r"),
+                (PR_TELEPORT / F.col("n") + PR_DAMPING * F.col("s")).alias("r"),
             )
         )
     return r.select(

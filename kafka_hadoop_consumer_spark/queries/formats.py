@@ -473,10 +473,9 @@ def q_source_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-partitioned table, proving pruning changed I/O, not answers."""
     out = _out_dir(sf_dir, "dpp")
     e = load_table(spark, sf_dir, "events")
-    if not os.path.isdir(os.path.join(out, "event_type=view")):
-        e.select("event_id", "user_id", "event_type", "value").write.mode(
-            "overwrite"
-        ).partitionBy("event_type").parquet(out)
+    e.select("event_id", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(out)
     fact = spark.read.parquet(out)
     dim = (
         e.where(F.col("event_type").isin("purchase", "signup"))
