@@ -116,6 +116,9 @@ _DEFER_TO_TAIL = (
     "q_time_heatmap",
     "q_quality_tukey",
     "q_stats_delta_ratio",
+    "q_embed_matryoshka",
+    "q_win_running_distinct",
+    "q_pack_curriculum",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

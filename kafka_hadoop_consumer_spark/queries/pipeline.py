@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
 from kafka_hadoop_consumer_spark.queries.textutil import ngram_expr
 
 CHUNK_TOKENS = 32       # chunk width (tokens)
@@ -414,4 +414,111 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("x"), 6).alias("centroid"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
+    )
+
+
+CURRICULUM_STAGES = 4
+
+
+@query(
+    "q_pack_curriculum",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ug AS (SELECT unnest(t) AS w FROM tok),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM ug GROUP BY w),
+    tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uc),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             round(avg(ln(uc.cw / (SELECT n FROM tot))), 6) AS difficulty
+      FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS w
+            FROM documents) d
+      JOIN uc ON uc.w = d.w
+      JOIN documents dd ON dd.doc_id = d.doc_id
+      GROUP BY d.doc_id, dd.text, d.text),
+    cuts AS (
+      SELECT quantile_disc(difficulty,
+                           [i / {CURRICULUM_STAGES}.0
+                            FOR i IN range(1, {CURRICULUM_STAGES})]) AS qs
+      FROM scored),
+    staged AS (
+      SELECT s.doc_id, s.n_tokens, s.difficulty,
+             1 + CAST(len(list_filter(c.qs, q -> s.difficulty > q))
+                      AS BIGINT) AS stage
+      FROM scored s, cuts c)
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(difficulty), 6) AS mean_difficulty,
+           round(min(difficulty), 6) AS min_difficulty,
+           round(max(difficulty), 6) AS max_difficulty
+    FROM staged GROUP BY stage
+    """,
+)
+def q_pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data staging: docs scored by unigram-LM mean log-prob
+    (the q_text_lmscore difficulty signal — common-word docs score high
+    / easy, rare-word docs low / hard), then cut into
+    CURRICULUM_STAGES difficulty stages at exact score quantiles and
+    rolled into a stage manifest (doc counts, token budget, difficulty
+    band per stage) — easy-first data ordering for curriculum training,
+    produced as a queryable artifact like q_e2e_shard_manifest.
+
+    Stage assignment deliberately avoids a global ntile window (the
+    q_win_ntile wall): the 3 quantile cuts are computed exactly
+    (percentile_disc — input bit patterns), broadcast, and each doc's
+    stage is 1 + (#cuts strictly below its score) — a narrow comparison
+    against a 3-element array, no global sort. Docs tied exactly AT a
+    cut land in the lower stage on both engines (> comparison on
+    identical rounded doubles).
+
+    Scale shape: vocab broadcast into the scoring join (q_text_tfidf
+    pattern), one doc-keyed agg, a 1-row quantile aggregate broadcast
+    back, final rollup to CURRICULUM_STAGES rows."""
+    d = load_table(spark, sf_dir, "documents")
+    ug = d.select(F.explode(F.split("text", " ")).alias("w"))
+    uc = persist_tracked(ug.groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
+    tot = uc.agg(F.sum("cw").cast("double").alias("n"))
+    scored = persist_tracked(
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .join(F.broadcast(uc), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cw") / F.col("n"))), 6).alias(
+                "difficulty"
+            ),
+        )
+    )
+    qs = scored.agg(
+        F.expr(
+            "percentile_disc(array({}) ) WITHIN GROUP (ORDER BY difficulty)".format(
+                ", ".join(
+                    str(i / CURRICULUM_STAGES)
+                    for i in range(1, CURRICULUM_STAGES)
+                )
+            )
+        ).alias("qs")
+    )
+    staged = scored.crossJoin(F.broadcast(qs)).select(
+        "n_tokens",
+        "difficulty",
+        (
+            1
+            + F.size(
+                F.filter(F.col("qs"), lambda q: F.col("difficulty") > q)
+            ).cast("long")
+        ).alias("stage"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("difficulty"), 6).alias("mean_difficulty"),
+        F.round(F.min("difficulty"), 6).alias("min_difficulty"),
+        F.round(F.max("difficulty"), 6).alias("max_difficulty"),
     )

@@ -1301,3 +1301,95 @@ def q_sample_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("rank"),
         )
     )
+
+
+MAT_DIMS = 16  # truncated prefix dimensionality audited vs the full 64
+
+
+@query(
+    "q_embed_matryoshka",
+    oracle=_ORACLE_E
+    + f"""
+    , et AS (
+      SELECT vec_id, v[1:{MAT_DIMS}] AS tv,
+             sqrt(list_sum(list_transform(v[1:{MAT_DIMS}], x -> x * x)))
+                 AS tnrm
+      FROM e),
+    full_rank AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(list_zip(a.v, b.v),
+                                                p -> p[1] * p[2]))
+                        / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+      FROM e a JOIN e b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id),
+    trunc_rank AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(list_zip(a.tv, b.tv),
+                                                p -> p[1] * p[2]))
+                        / (a.tnrm * b.tnrm) DESC, b.vec_id) AS rn
+      FROM et a JOIN et b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id)
+    SELECT f.q_id,
+           CAST(count(*) AS BIGINT) AS overlap_at_k,
+           round(CAST(count(*) AS DOUBLE) / {TOP_K}, 4) AS overlap_ratio
+    FROM (SELECT q_id, vec_id FROM full_rank WHERE rn <= {TOP_K}) f
+    JOIN (SELECT q_id, vec_id FROM trunc_rank WHERE rn <= {TOP_K}) t
+      ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+    GROUP BY f.q_id
+    """,
+)
+def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit: how much of the exact
+    64-dim cosine top-k survives when ranking with only the FIRST
+    MAT_DIMS dimensions — the measurement behind the
+    truncate-your-embeddings storage play (MRL-style models pack
+    information into leading dims; 16/64 dims = 4× memory/compute
+    saving IF overlap stays high, and this op tells you whether it
+    does, per query, exactly — both rankings and their intersection are
+    deterministic and oracle-verified, no approximation).
+
+    Scale shape: two brute-force ranking passes that share the
+    broadcast-queries/corpus-streams plan of q_sim_cosine_topk (the
+    truncated pass reads 4× less vector data — exactly the saving being
+    audited); the overlap join touches only the two k-row-per-query
+    top-k sets."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = persist_tracked(
+        e.select("vec_id", _vec_double().alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn("tv", F.slice("v", 1, MAT_DIMS))
+        .withColumn("tnrm", _norm(F.col("tv")))
+    )
+
+    def topk(vcol: str, ncol: str) -> DataFrame:
+        q = ed.where(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("q_id"),
+            F.col(vcol).alias("qv"),
+            F.col(ncol).alias("qnrm"),
+        )
+        cos = _dot(F.col("qv"), F.col(vcol)) / (F.col("qnrm") * F.col(ncol))
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cos_raw").desc(), F.col("vec_id")
+        )
+        return (
+            ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", cos.alias("cos_raw"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= TOP_K)
+            .select("q_id", "vec_id")
+        )
+
+    full = topk("v", "nrm")
+    trunc = topk("tv", "tnrm")
+    return (
+        full.join(trunc, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("overlap_at_k"),
+            F.round(F.count(F.lit(1)).cast("double") / TOP_K, 4).alias(
+                "overlap_ratio"
+            ),
+        )
+    )

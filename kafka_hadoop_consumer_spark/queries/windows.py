@@ -625,3 +625,61 @@ def q_win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q_win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first,
+             CAST(ts AS TIMESTAMP) AS tts
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(sum(is_first) OVER (
+                  PARTITION BY user_id ORDER BY tts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT DISTINCT per user — how many distinct event types
+    each user has touched as of every event (breadth-of-engagement
+    curves, feature-adoption funnels). Neither engine supports
+    count(DISTINCT) as a running window aggregate; the standard exact
+    rewrite is two windows: flag each (user, type)'s FIRST occurrence
+    with row_number()=1, then running-sum the flags in event order —
+    first occurrences are exactly the increments of the distinct count.
+
+    Scale shape: both windows partition by user (the second's
+    (user, type) partitioning refines the first — one logical key
+    family, the engine orders within user partitions); state per row is
+    a counter, not a distinct-set, which is precisely why this rewrite
+    scales where a naive set-accumulating UDAF would blow memory on
+    high-cardinality users. Counts exact, no rounding."""
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "is_first"
+        ),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
+    )

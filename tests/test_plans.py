@@ -210,6 +210,8 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_text_bigram_lm",  # crossJoin of the broadcast 1-row vocab size
         "q_agg_kmv_distinct",  # crossJoin of the broadcast 1-row sketch estimate
         "q_stats_delta_ratio",  # crossJoin of the two broadcast 1-row arms
+        "q_embed_matryoshka",  # two cosine passes, corpus past broadcast queries
+        "q_pack_curriculum",  # crossJoin of broadcast 1-row totals + quantile cuts
     }
     offenders = {}
     for name, fn in QUERIES.items():
