@@ -119,6 +119,8 @@ _DEFER_TO_TAIL = (
     "q_embed_matryoshka",
     "q_win_running_distinct",
     "q_pack_curriculum",
+    "q_stats_did",
+    "q_time_rolling_slope",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

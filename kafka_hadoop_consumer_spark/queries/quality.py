@@ -1188,3 +1188,107 @@ def q_stats_delta_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ra") - F.col("rb")) / F.sqrt(F.col("va") + F.col("vb")), 4
         ).alias("z_stat"),
     )
+
+
+DID_CUTOVER = "2024-01-15"  # pre-period before, post-period from this day
+
+
+@query(
+    "q_stats_did",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'a' ELSE 'b' END AS grp,
+             CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{DID_CUTOVER}'
+                  THEN 'pre' ELSE 'post' END AS period,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2, 3),
+    cell AS (
+      SELECT grp, period, CAST(count(*) AS BIGINT) AS n_days,
+             sum(y) AS s1, sum(y * y) AS s2
+      FROM daily GROUP BY grp, period),
+    m AS (
+      SELECT grp, period, n_days, s1 / n_days AS mean,
+             ((s2 - s1 * s1 / n_days) / (n_days - 1)) / n_days AS var_mean
+      FROM cell),
+    w AS (
+      SELECT max(CASE WHEN grp='a' AND period='pre' THEN mean END) AS a_pre,
+             max(CASE WHEN grp='a' AND period='post' THEN mean END) AS a_post,
+             max(CASE WHEN grp='b' AND period='pre' THEN mean END) AS b_pre,
+             max(CASE WHEN grp='b' AND period='post' THEN mean END) AS b_post,
+             sum(var_mean) AS var_did
+      FROM m)
+    SELECT round(a_pre, 4) AS a_pre, round(a_post, 4) AS a_post,
+           round(b_pre, 4) AS b_pre, round(b_post, 4) AS b_post,
+           round((a_post - a_pre) - (b_post - b_pre), 4) AS did_estimate,
+           round(((a_post - a_pre) - (b_post - b_pre)) / sqrt(var_did), 4)
+               AS z_stat
+    FROM w
+    """,
+)
+def q_stats_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the causal-inference readout when a
+    change hits one group mid-stream — (post − pre) in the treated arm
+    minus (post − pre) in the control arm cancels both group-level
+    baselines and shared time trends, with a z-statistic from the four
+    cells' mean-variances (daily activity as the observation unit; the
+    hash split is a same-distribution control, so ≈0 is the expected
+    estimate and both engines must agree on it exactly).
+
+    Scale shape: the raw scan collapses to (grp, period, day) daily
+    cells immediately; everything after — power sums per cell, the
+    2×2 pivot, the closed-form estimate — runs on ≤4·|days| then 4
+    rows. One rounding site per output (q_agg_moments discipline)."""
+    e = load_table(spark, sf_dir, "events")
+    grp = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+    period = F.when(
+        F.col("ts") < F.lit(DID_CUTOVER).cast("timestamp_ntz"), "pre"
+    ).otherwise("post")
+    daily = (
+        e.select(
+            grp.alias("grp"),
+            period.alias("period"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .groupBy("grp", "period", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    cell = daily.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+    )
+    n = F.col("n_days")
+    m = cell.select(
+        "grp",
+        "period",
+        (F.col("s1") / n).alias("mean"),
+        (((F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)) / n).alias(
+            "var_mean"
+        ),
+    )
+
+    def pick(g, p):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("period") == p), F.col("mean"))
+        )
+
+    w = m.agg(
+        pick("a", "pre").alias("a_pre"),
+        pick("a", "post").alias("a_post"),
+        pick("b", "pre").alias("b_pre"),
+        pick("b", "post").alias("b_post"),
+        F.sum("var_mean").alias("var_did"),
+    )
+    did = (F.col("a_post") - F.col("a_pre")) - (F.col("b_post") - F.col("b_pre"))
+    return w.select(
+        F.round("a_pre", 4).alias("a_pre"),
+        F.round("a_post", 4).alias("a_post"),
+        F.round("b_pre", 4).alias("b_pre"),
+        F.round("b_post", 4).alias("b_post"),
+        F.round(did, 4).alias("did_estimate"),
+        F.round(did / F.sqrt(F.col("var_did")), 4).alias("z_stat"),
+    )

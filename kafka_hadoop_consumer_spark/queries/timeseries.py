@@ -2040,3 +2040,68 @@ def q_time_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_value"),
         )
     )
+
+
+@query(
+    "q_time_rolling_slope",
+    oracle="""
+    SELECT event_type, event_id,
+           CASE WHEN count(*) OVER w7 >= 2
+                 AND count(*) OVER w7 * sum(x * x) OVER w7
+                     - sum(x) OVER w7 * sum(x) OVER w7 <> 0 THEN
+             round((count(*) OVER w7 * sum(x * value) OVER w7
+                    - sum(x) OVER w7 * sum(value) OVER w7)
+                   / (count(*) OVER w7 * sum(x * x) OVER w7
+                      - sum(x) OVER w7 * sum(x) OVER w7), 6)
+           END AS slope_per_hour
+    FROM (
+      SELECT event_type, event_id, value, ts,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) / 3600000000
+                 AS x
+      FROM events)
+    WINDOW w7 AS (PARTITION BY event_type
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_time_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling LINEAR-TREND slope per series: the OLS slope of value
+    against time over the trailing 7-row frame, in units per hour —
+    trend direction/steepness at every point (the q_time_rolling panel
+    reports level; this reports drift, the input to 'metric is rising
+    abnormally fast' alerts). Neither engine allows regr_slope with a
+    window frame; the rewrite is four plain frame aggregates
+    (n, Σx, Σy, Σxy, Σx²) sharing ONE window spec, combined by the
+    closed-form slope — the same sufficient-statistics trick as
+    q_ml_ols, but windowed (try_divide + an explicit zero-variance
+    guard on BOTH engines: a frame of identical timestamps has an
+    undefined slope and must emit NULL, not a throw or an inf). x is epoch-µs scaled to hours (a linear
+    map: slope units change, rank of slopes doesn't; the scale keeps
+    the x² sums well-conditioned in double).
+
+    Scale shape: one shuffle on event_type; all five aggregates
+    evaluate in a single Window pass; warm-up rows with n < 2 emit NULL
+    (undefined slope) identically on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    x = (
+        F.expr("unix_micros(cast(ts as timestamp))").cast("double") / 3600000000
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    d = e.select("event_type", "event_id", "ts", "value", x.alias("x"))
+    n = F.count(F.lit(1)).over(w7)
+    sx = F.sum("x").over(w7)
+    sy = F.sum("value").over(w7)
+    sxy = F.sum(F.col("x") * F.col("value")).over(w7)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w7)
+    return d.select(
+        "event_type",
+        "event_id",
+        F.when(
+            (n >= 2) & (n * sxx - sx * sx != 0),
+            F.round(F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx), 6),
+        ).alias("slope_per_hour"),
+    )
