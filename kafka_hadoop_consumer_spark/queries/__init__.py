@@ -121,6 +121,8 @@ _DEFER_TO_TAIL = (
     "q_pack_curriculum",
     "q_stats_did",
     "q_time_rolling_slope",
+    "q_time_weighted_avg",
+    "q_agg_abc",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

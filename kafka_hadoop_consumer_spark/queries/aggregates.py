@@ -966,3 +966,90 @@ def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_error"),
     )
+
+
+@query(
+    "q_agg_abc",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT l_partkey, rev_cents,
+             sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             sum(rev_cents) OVER () AS tot_cents
+      FROM rev),
+    classed AS (
+      SELECT l_partkey, rev_cents,
+             CASE WHEN cum_cents <= tot_cents * 0.8 THEN 'A'
+                  WHEN cum_cents <= tot_cents * 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_cents) AS BIGINT) AS class_rev_cents,
+           round(CAST(sum(rev_cents) AS DOUBLE)
+                 / (SELECT CAST(sum(rev_cents) AS DOUBLE) FROM rev), 6)
+               AS rev_share
+    FROM classed GROUP BY abc_class
+    """,
+)
+def q_agg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, class A =
+    the head covering 80% of cumulative revenue, B to 95%, C the tail —
+    the inventory-management 80/20 cut that decides what gets premium
+    treatment (and, in data-pipeline terms, which hot keys deserve
+    dedicated handling). Revenue is summed in EXACT integer cents
+    (q_agg_decimal_exact's floor trick), so the cumulative thresholds
+    are integer-exact comparisons against tot·0.8 — no float running
+    sums to drift across engines; boundary parts classify identically.
+
+    Scale shape: the fact table collapses to |parts| rows first; the
+    cumulative window runs over that aggregate ordered by revenue — a
+    per-aggregate global sweep like q_agg_skyline (same
+    range-partitioned two-pass recipe applies at extreme |parts|);
+    final rollup is 3 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).alias("rev_cents")
+    )
+    w_cum = (
+        Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+        F.sum("rev_cents").over(w_tot).alias("tot_cents"),
+    )
+    classed = ranked.select(
+        "rev_cents",
+        F.when(F.col("cum_cents") <= F.col("tot_cents") * 0.8, "A")
+        .when(F.col("cum_cents") <= F.col("tot_cents") * 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    tot = rev.agg(F.sum("rev_cents").cast("double").alias("t"))
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_cents").alias("class_rev_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "n_parts",
+            "class_rev_cents",
+            F.round(F.col("class_rev_cents").cast("double") / F.col("t"), 6).alias(
+                "rev_share"
+            ),
+        )
+    )

@@ -2105,3 +2105,58 @@ def q_time_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx), 6),
         ).alias("slope_per_hour"),
     )
+
+
+@query(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t_next
+      FROM events),
+    held AS (
+      SELECT user_id, value, CAST(t_next - t AS BIGINT) AS held_us
+      FROM seq WHERE t_next IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(held_us) AS BIGINT) AS span_us,
+           round(sum(value * held_us) / sum(held_us), 6) AS time_weighted_avg,
+           round(avg(value), 6) AS naive_avg
+    FROM held GROUP BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average per user — each observation's value is held
+    (LOCF) until the next observation, and the average weights each
+    value by its holding duration: Σ vᵢ·(tᵢ₊₁−tᵢ) / Σ(tᵢ₊₁−tᵢ). The
+    hypertable staple (billing meters, position marks, sensor states)
+    where the NAIVE row average is simply wrong under irregular
+    sampling — a value held for a day must count more than one blipped
+    for a second; both averages are emitted so the bias is visible. The
+    final sample contributes no interval (open-ended hold), the
+    standard convention.
+
+    Scale shape: one shuffle on user_id for the lead() window; holding
+    durations are exact integer microseconds (epoch_us arithmetic — the
+    q_time_concurrency convention), so only the final divisions round.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = F.expr("unix_micros(cast(ts as timestamp))")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "value", t.alias("t"), F.lead(t).over(w).alias("t_next")
+    ).where(F.col("t_next").isNotNull())
+    held = seq.select(
+        "user_id", "value", (F.col("t_next") - F.col("t")).alias("held_us")
+    )
+    return held.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("held_us").alias("span_us"),
+        F.round(
+            F.sum(F.col("value") * F.col("held_us")) / F.sum("held_us"), 6
+        ).alias("time_weighted_avg"),
+        F.round(F.avg("value"), 6).alias("naive_avg"),
+    )

@@ -212,6 +212,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_stats_delta_ratio",  # crossJoin of the two broadcast 1-row arms
         "q_embed_matryoshka",  # two cosine passes, corpus past broadcast queries
         "q_pack_curriculum",  # crossJoin of broadcast 1-row totals + quantile cuts
+        "q_agg_abc",  # crossJoin of the broadcast 1-row revenue total
     }
     offenders = {}
     for name, fn in QUERIES.items():
