@@ -123,6 +123,7 @@ _DEFER_TO_TAIL = (
     "q_time_rolling_slope",
     "q_time_weighted_avg",
     "q_agg_abc",
+    "q_time_downtime",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

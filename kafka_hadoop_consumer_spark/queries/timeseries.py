@@ -2160,3 +2160,65 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("time_weighted_avg"),
         F.round(F.avg("value"), 6).alias("naive_avg"),
     )
+
+
+DOWNTIME_GAP_US = 2 * 3_600_000_000  # report silences longer than 2h
+
+
+@query(
+    "q_time_downtime",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(ts AS TIMESTAMP) AS tts,
+             lead(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t_next
+      FROM events)
+    SELECT event_type,
+           strftime(tts, '%Y-%m-%d %H:%M:%S.%f') AS silence_start,
+           strftime(t_next, '%Y-%m-%d %H:%M:%S.%f') AS silence_end,
+           CAST(epoch_us(t_next) - epoch_us(tts) AS BIGINT) AS silence_us
+    FROM seq
+    WHERE t_next IS NOT NULL
+      AND epoch_us(t_next) - epoch_us(tts) > {DOWNTIME_GAP_US}
+    """,
+)
+def q_time_downtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downtime / silence detection: every window longer than 2 hours in
+    which a series emitted NOTHING (threshold sized to the fixture's
+    inter-arrival tail so the key exercises non-empty output; at
+    production density you'd raise it with the expected cadence) — the monitoring question
+    ("did the pipeline stall?") that value-level anomaly detection
+    (q_time_anomaly) cannot answer because absent rows have no z-score.
+    Emits one row per silence with its exact boundaries and integer-µs
+    duration — the complement of q_win_islands (which finds runs of
+    presence; this finds the holes between them, and q_time_gapfill
+    repairs what this op reports).
+
+    Scale shape: one lead() window shuffle on event_type; the filter
+    emits only the (rare) long gaps. Boundaries are input timestamps
+    formatted, durations exact integer microsecond arithmetic — nothing
+    rounds."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    seq = e.select(
+        "event_type",
+        "ts",
+        us.alias("t_us"),
+        F.lead("ts").over(w).alias("ts_next"),
+        F.lead(us).over(w).alias("t_next_us"),
+    ).where(F.col("ts_next").isNotNull())
+    return seq.where(
+        F.col("t_next_us") - F.col("t_us") > DOWNTIME_GAP_US
+    ).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "silence_start"
+        ),
+        F.date_format("ts_next", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "silence_end"
+        ),
+        (F.col("t_next_us") - F.col("t_us")).alias("silence_us"),
+    )
