@@ -124,6 +124,11 @@ _DEFER_TO_TAIL = (
     "q_time_weighted_avg",
     "q_agg_abc",
     "q_time_downtime",
+    "q_dedup_substring",
+    "q_dedup_span_scrub",
+    "q_join_bloom_prefilter",
+    "q_stats_cuped",
+    "q_sim_rrf_fusion",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -1054,3 +1054,175 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classified.groupBy("lang", "status").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+SUB_N = 8        # positional shingle width for verbatim-run mining
+SUB_MIN_RUN = 8  # report pairs sharing >=1 uncommon SUB_N-token run
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ps AS (
+      SELECT doc_id, u.i AS pos,
+             array_to_string(t[u.i : u.i + {SUB_N - 1}], ' ') AS sh
+      FROM tok, UNNEST(range(1, len(t) - {SUB_N - 2})) AS u(i)),
+    keep AS (
+      SELECT sh FROM ps GROUP BY sh
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {DF_CAP}),
+    m AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      FROM ps a JOIN ps b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      WHERE a.sh IN (SELECT sh FROM keep)),
+    runs AS (
+      SELECT da, db, pa - pb AS diag,
+             pa - row_number() OVER (
+               PARTITION BY da, db, pa - pb ORDER BY pa) AS isl
+      FROM m),
+    r AS (
+      SELECT da, db, CAST(count(*) AS BIGINT) AS len_sh
+      FROM runs GROUP BY da, db, diag, isl)
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(max(len_sh) + {SUB_N - 1} AS BIGINT) AS longest_run_tokens,
+           CAST(sum(len_sh) AS BIGINT) AS n_pos_matches,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM r GROUP BY da, db
+    HAVING max(len_sh) + {SUB_N - 1} >= {SUB_MIN_RUN}
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest shared verbatim token run per cross-document pair — the
+    suffix-array substring-dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") re-expressed relationally:
+    POSITIONAL SUB_N-token shingles are equi-joined across documents, and
+    matching positions lying on one diagonal (pos_a - pos_b constant) with
+    consecutive pos_a form a shared run (gaps-and-islands on the diagonal
+    — the q_win_islands trick applied to sequence alignment). A run of m
+    consecutive matching shingles is a shared substring of m + SUB_N - 1
+    tokens. Unlike set-based Jaccard/containment, this finds and MEASURES
+    contiguous verbatim overlap (the memorization-relevant quantity).
+
+    Scale shape: one equi-join shuffle on the shingle text (at 100 TB,
+    join on xxhash64(shingle) so the shuffle moves 8-byte keys); the
+    df-cap [2, DF_CAP] bounds per-shingle fan-out at C(64,2) exactly like
+    q_dedup_ngram_jaccard; the diagonal windows partition by
+    (pair, diagonal) — many small partitions, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    ps = persist_tracked(
+        d.select("doc_id", F.split("text", " ").alias("t")).select(
+            "doc_id", F.posexplode(F.expr(ngram_expr("t", SUB_N))).alias("pos", "sh")
+        )
+    )
+    keep = (
+        ps.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where((F.col("nd") >= 2) & (F.col("nd") <= DF_CAP))
+        .select("sh")
+    )
+    kept = persist_tracked(ps.join(keep, "sh"))
+    m = (
+        kept.select(
+            F.col("sh"),
+            F.col("doc_id").alias("da"),
+            F.col("pos").alias("pa"),
+        )
+        .join(
+            kept.select(
+                F.col("sh"),
+                F.col("doc_id").alias("db"),
+                F.col("pos").alias("pb"),
+            ),
+            "sh",
+        )
+        .where(F.col("da") < F.col("db"))
+        .drop("sh")
+    )
+    w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = m.withColumn("diag", F.col("pa") - F.col("pb")).withColumn(
+        "isl", F.col("pa") - F.row_number().over(w)
+    )
+    r = runs.groupBy("da", "db", "diag", "isl").agg(
+        F.count(F.lit(1)).alias("len_sh")
+    )
+    return (
+        r.groupBy(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
+        .agg(
+            (F.max("len_sh") + (SUB_N - 1)).cast("long").alias("longest_run_tokens"),
+            F.sum("len_sh").cast("long").alias("n_pos_matches"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+        )
+        .where(F.col("longest_run_tokens") >= SUB_MIN_RUN)
+    )
+
+
+@query(
+    "q_dedup_span_scrub",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, u.i AS idx,
+             array_to_string(t[u.i : u.i + {CHUNK_TOKENS - 1}], ' ') AS chunk
+      FROM tok, UNNEST(range(1, len(t) + 1, {CHUNK_TOKENS})) AS u(i)),
+    df AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY chunk),
+    j AS (SELECT c.doc_id, c.idx, c.chunk, d.nd
+          FROM chunks c JOIN df d ON d.chunk = c.chunk)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_chunks_removed,
+           CAST(coalesce(sum(CASE WHEN nd = 1
+                 THEN len(string_split(chunk, ' ')) END), 0) AS BIGINT)
+               AS n_tokens_kept,
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY idx)
+                        FILTER (WHERE nd = 1), '')) AS cleaned_md5
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (the C4/CCNet cleanup transform, not just
+    the report): every cross-document duplicated CHUNK_TOKENS-token chunk
+    is cut from every document containing it, and the cleaned document is
+    reassembled in original chunk order — proven byte-identical across
+    engines by md5 (the q_text_pii discipline). Removal from EVERY
+    occurrence (rather than keep-one-copy) is the deterministic policy: it
+    needs no canonical-copy election and is what C4 does for repeated
+    lines. Extends q_dedup_chunks from measurement to transformation.
+
+    Scale shape: identical to q_dedup_chunks (zero-shuffle stepped
+    chunking, one hash agg for chunk document-frequency, one join back)
+    plus an ordered per-doc reassembly that rides the same per-doc
+    shuffle — collect_list here is per-document (bounded by doc length),
+    never per-corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    chunk_expr = (
+        f"transform(sequence(1, greatest(size(t), 1), {CHUNK_TOKENS}), "
+        f"i -> array_join(slice(t, i, {CHUNK_TOKENS}), ' '))"
+    )
+    chunks = persist_tracked(
+        d.select("doc_id", F.split("text", " ").alias("t")).select(
+            "doc_id", F.posexplode(F.expr(chunk_expr)).alias("idx", "chunk")
+        )
+    )
+    dfc = chunks.groupBy("chunk").agg(F.count_distinct("doc_id").alias("nd"))
+    j = chunks.join(dfc, "chunk")
+    kept_struct = F.when(F.col("nd") == 1, F.struct("idx", "chunk"))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_chunks_removed"),
+        F.coalesce(
+            F.sum(F.when(F.col("nd") == 1, F.size(F.split("chunk", " ")))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_tokens_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )

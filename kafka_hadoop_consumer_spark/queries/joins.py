@@ -410,3 +410,137 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("ka").eqNullSafe(F.col("kb"))).select(
         F.col("ka").alias("k"), "n_events", "n_custs"
     )
+
+
+# Hand-built Bloom filter (q_join_bloom_prefilter). Engine-neutral integer
+# hashes (no engine hash builtins), 63 usable bits per word so neither
+# engine touches the BIGINT sign bit with 1 << 63. The filter is sized
+# SMALL on purpose (1008 bits for ~300 keys → visible false positives)
+# so the emitted fp accounting actually exercises the bound.
+BLOOM_WORD_BITS = 63
+BLOOM_WORDS = 16
+BLOOM_M = BLOOM_WORDS * BLOOM_WORD_BITS
+BLOOM_HASHES = ((2654435761, 17), (2246822519, 101), (3266489917, 911))
+BLOOM_P = 1000003  # prime modulus before folding into [0, BLOOM_M)
+
+
+def _bloom_pos_sql(key: str, a: int, b: int) -> str:
+    """Bit position of hash (a, b) for integer column ``key`` — identical
+    text is valid Spark SQL and DuckDB SQL (% on BIGINT, same precedence)."""
+    return f"((({key} * {a} + {b}) % {BLOOM_P}) % {BLOOM_M})"
+
+
+@query(
+    "q_join_bloom_prefilter",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT c_custkey AS k FROM customer
+      WHERE c_mktsegment = 'BUILDING'),
+    posn AS (
+      SELECT unnest([{", ".join(_bloom_pos_sql("k", a, b) for a, b in BLOOM_HASHES)}]) AS pos
+      FROM keys),
+    words AS (
+      SELECT pos // {BLOOM_WORD_BITS} AS w,
+             bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INT)) AS bits
+      FROM posn GROUP BY 1),
+    warr AS (
+      SELECT r.i AS w, coalesce(ww.bits, 0::BIGINT) AS bits
+      FROM range(0, {BLOOM_WORDS}) r(i) LEFT JOIN words ww ON ww.w = r.i),
+    bloom AS (SELECT list(bits ORDER BY w) AS arr FROM warr),
+    probe AS (
+      SELECT o.o_orderstatus,
+             ({" AND ".join(
+                 f"(arr[CAST({_bloom_pos_sql('o.o_custkey', a, b)} // {BLOOM_WORD_BITS} AS INT) + 1]"
+                 f" >> CAST({_bloom_pos_sql('o.o_custkey', a, b)} % {BLOOM_WORD_BITS} AS INT)) & 1 = 1"
+                 for a, b in BLOOM_HASHES)}) AS pass_bloom,
+             o.o_custkey IN (SELECT k FROM keys) AS is_true
+      FROM orders o CROSS JOIN bloom)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN pass_bloom THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+           CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+           CAST(sum(CASE WHEN pass_bloom AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_pos,
+           CAST(sum(CASE WHEN is_true AND NOT pass_bloom THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_neg,
+           round(CAST(sum(CASE WHEN pass_bloom AND NOT is_true THEN 1 ELSE 0 END) AS DOUBLE)
+                 / nullif(count(*) - sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0), 6)
+               AS fp_rate
+    FROM probe GROUP BY o_orderstatus
+    """,
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join pruning made explicit and value-checked: a Bloom
+    filter over the build side's join keys (customers in one segment) is
+    constructed AS DATAFRAME OPS — K engine-neutral integer hashes set bits
+    in BLOOM_WORDS 63-bit words via a map-side-combinable bit_or aggregate —
+    then broadcast as one row, and the fact side is probed with pure bit
+    arithmetic before any join. The output books n_pass_bloom against the
+    true join result: n_false_neg is structurally 0 (the Bloom guarantee,
+    visible to the driver as a hash-checked column), n_false_pos / fp_rate
+    shows the deliberately-undersized filter's error — the same accounting
+    Catalyst's InjectRuntimeFilter does internally (tests/test_scale_patterns
+    demos the built-in; THIS key proves the mechanism end-to-end).
+
+    Scale shape: the build agg reduces any build-side cardinality to a
+    CONSTANT BLOOM_WORDS-row table (bit_or partials merge associatively);
+    the probe is a zero-shuffle scan-side predicate, so at 100 TB only the
+    surviving ~|true|+fp·|fact| rows reach the real join's shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    keys = (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    pos = F.explode(
+        F.array(*[F.expr(_bloom_pos_sql("k", a, b)) for a, b in BLOOM_HASHES])
+    ).alias("pos")
+    words = (
+        keys.select(pos)
+        .select(
+            F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("w"),
+            F.expr(f"pos % {BLOOM_WORD_BITS}").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(1L, cast(b AS INT)))").alias("bits"))
+    )
+    bloom = words.groupBy().agg(
+        F.expr(
+            f"transform(sequence(0, {BLOOM_WORDS - 1}), "
+            f"i -> coalesce(element_at(map_from_entries(collect_list(struct(w, bits))), "
+            f"cast(i AS BIGINT)), 0L))"
+        ).alias("arr")
+    )
+    checks = [
+        F.expr(
+            f"(element_at(arr, CAST({_bloom_pos_sql('o_custkey', a, b)} DIV {BLOOM_WORD_BITS} AS INT) + 1)"
+            f" >> CAST({_bloom_pos_sql('o_custkey', a, b)} % {BLOOM_WORD_BITS} AS INT)) & 1 = 1"
+        )
+        for a, b in BLOOM_HASHES
+    ]
+    pass_bloom = checks[0] & checks[1] & checks[2]
+    probe = (
+        o.select("o_orderstatus", "o_custkey")
+        .crossJoin(F.broadcast(bloom))
+        .join(F.broadcast(keys), F.col("o_custkey") == F.col("k"), "left")
+        .select(
+            "o_orderstatus",
+            pass_bloom.alias("pass_bloom"),
+            F.col("k").isNotNull().alias("is_true"),
+        )
+    )
+    n_fp = F.sum(F.when(F.col("pass_bloom") & ~F.col("is_true"), 1).otherwise(0))
+    n_true = F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+    return probe.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("pass_bloom"), 1).otherwise(0)).alias("n_pass_bloom"),
+        n_true.alias("n_true_match"),
+        n_fp.alias("n_false_pos"),
+        F.sum(F.when(F.col("is_true") & ~F.col("pass_bloom"), 1).otherwise(0)).alias(
+            "n_false_neg"
+        ),
+        F.round(
+            n_fp.cast("double") / F.nullif(F.count(F.lit(1)) - n_true, F.lit(0)), 6
+        ).alias("fp_rate"),
+    )

@@ -1292,3 +1292,125 @@ def q_stats_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(did, 4).alias("did_estimate"),
         F.round(did / F.sqrt(F.col("var_did")), 4).alias("z_stat"),
     )
+
+
+CUPED_CUTOFF = "2024-01-16"  # pre-period < cutoff <= experiment period
+
+
+@query(
+    "q_stats_cuped",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'a' ELSE 'b' END AS arm,
+             coalesce(sum(CASE WHEN ts < TIMESTAMP '{CUPED_CUTOFF}'
+                               THEN value END), 0) AS x,
+             coalesce(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOFF}'
+                               THEN value END), 0) AS y
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM per_user),
+    theta AS (
+      SELECT round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS th,
+             round(sx / n, 6) AS xbar
+      FROM g),
+    adj AS (
+      SELECT arm, y, y - th * (x - xbar) AS y_adj
+      FROM per_user CROSS JOIN theta),
+    s AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             sum(y) AS s1, sum(y * y) AS s2,
+             sum(y_adj) AS a1, sum(y_adj * y_adj) AS a2
+      FROM adj GROUP BY arm)
+    SELECT arm, n_users,
+           round(s1 / n_users, 6) AS mean_y,
+           round(a1 / n_users, 6) AS mean_y_adj,
+           round((s2 - s1 * s1 / n_users) / (n_users - 1), 4) AS var_y,
+           round((a2 - a1 * a1 / n_users) / (n_users - 1), 4) AS var_y_adj,
+           round(1.0 - (a2 - a1 * a1 / n_users) / (s2 - s1 * s1 / n_users), 4)
+               + 0.0 AS var_reduction,
+           (SELECT th FROM theta) AS theta
+    FROM s
+    """,
+)
+def q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM 2013):
+    each user's experiment-period metric y is adjusted by their PRE-period
+    covariate x — y_adj = y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled
+    across arms — which strips the variance x explains without biasing the
+    arm difference (θ and x̄ are arm-independent). Emits per-arm raw vs
+    adjusted mean/variance plus the realized variance-reduction ratio —
+    the standard sensitivity upgrade over q_stats_ttest's raw comparison.
+    θ and x̄ are rounded 6dp BEFORE adjustment on both engines so the
+    adjusted power sums share one expression tree.
+
+    Scale shape: one hash agg to per-user (x, y) pairs (the randomization
+    unit — same shuffle as q_stats_delta_ratio), one constant-size pooled
+    power-sum row broadcast back, one per-arm power-sum agg; nothing
+    downstream of the first agg exceeds |users| rows."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(CUPED_CUTOFF).cast("timestamp")
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+    per_user = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < cutoff, F.col("value"))), F.lit(0.0)).alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= cutoff, F.col("value"))), F.lit(0.0)).alias("y"),
+    ).select(arm.alias("arm"), "x", "y")
+    per_user = persist_tracked(per_user)
+    g = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    theta = g.select(
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
+            6,
+        ).alias("th"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("xbar"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "y",
+        (F.col("y") - F.col("th") * (F.col("x") - F.col("xbar"))).alias("y_adj"),
+        "th",
+    )
+    s = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+        F.sum("y_adj").alias("a1"),
+        F.sum(F.col("y_adj") * F.col("y_adj")).alias("a2"),
+        F.first("th").alias("theta"),
+    )
+    n = F.col("n_users")
+    var_y = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    var_adj = (F.col("a2") - F.col("a1") * F.col("a1") / n) / (n - 1)
+    return s.select(
+        "arm",
+        "n_users",
+        F.round(F.col("s1") / n, 6).alias("mean_y"),
+        F.round(F.col("a1") / n, 6).alias("mean_y_adj"),
+        F.round(var_y, 4).alias("var_y"),
+        F.round(var_adj, 4).alias("var_y_adj"),
+        (
+            F.round(
+                F.lit(1.0)
+                - (F.col("a2") - F.col("a1") * F.col("a1") / n)
+                / (F.col("s2") - F.col("s1") * F.col("s1") / n),
+                4,
+            )
+            # + 0.0 canonicalizes IEEE -0.0 (a 4dp-rounded tiny negative)
+            # to +0.0 on both engines so value hashes can't split on the
+            # sign of zero.
+            + F.lit(0.0)
+        ).alias("var_reduction"),
+        "theta",
+    )

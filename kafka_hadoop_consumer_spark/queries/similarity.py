@@ -1393,3 +1393,126 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+RRF_POOL = 20  # per-ranker candidate pool depth
+RRF_C = 60     # RRF smoothing constant (Cormack et al. 2009 default)
+RRF_OUT = 5    # fused results emitted per query
+
+
+@query(
+    "q_sim_rrf_fusion",
+    oracle=_ORACLE_E
+    + f"""
+    , et AS (
+      SELECT vec_id, v[1:{MAT_DIMS}] AS tv,
+             sqrt(list_sum(list_transform(v[1:{MAT_DIMS}], x -> x * x)))
+                 AS tnrm
+      FROM e),
+    full_rank AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(list_zip(a.v, b.v),
+                                                p -> p[1] * p[2]))
+                        / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+      FROM e a JOIN e b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id),
+    trunc_rank AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(list_zip(a.tv, b.tv),
+                                                p -> p[1] * p[2]))
+                        / (a.tnrm * b.tnrm) DESC, b.vec_id) AS rn
+      FROM et a JOIN et b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id),
+    fused AS (
+      SELECT coalesce(f.q_id, t.q_id) AS q_id,
+             coalesce(f.vec_id, t.vec_id) AS vec_id,
+             coalesce(1.0 / ({RRF_C} + f.rn), 0)
+               + coalesce(1.0 / ({RRF_C} + t.rn), 0) AS score
+      FROM (SELECT * FROM full_rank WHERE rn <= {RRF_POOL}) f
+      FULL JOIN (SELECT * FROM trunc_rank WHERE rn <= {RRF_POOL}) t
+        ON t.q_id = f.q_id AND t.vec_id = f.vec_id),
+    ranked AS (
+      SELECT q_id, vec_id, score,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY score DESC, vec_id) AS fused_rank
+      FROM fused)
+    SELECT q_id, vec_id, CAST(fused_rank AS INT) AS fused_rank,
+           round(score, 6) AS rrf_score
+    FROM ranked WHERE fused_rank <= {RRF_OUT}
+    """,
+)
+def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two retrieval
+    rankings — the full 64-dim cosine ranking and the 16-dim matryoshka
+    prefix ranking — score = Σ 1/(RRF_C + rank) over the rankers that
+    placed the doc in their top-RRF_POOL. RRF is the standard way to merge
+    heterogeneous retrievers (dense + sparse, full + truncated) without
+    score calibration, because it consumes only RANKS; ranks here are exact
+    and deterministic (sequential-fold dot products agree bitwise across
+    engines — q_embed_matryoshka precedent), so the fused list is
+    hash-verified end-to-end, including symmetric-score ties broken by
+    vec_id.
+
+    Scale shape: both ranking passes share q_sim_cosine_topk's plan
+    (queries broadcast, corpus streams — at 100 TB swap in the LSH/IVF/PQ
+    shortlists, which emit the same (q_id, vec_id, rn) shape); the fusion
+    itself touches only 2·RRF_POOL rows per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = persist_tracked(
+        e.select("vec_id", _vec_double().alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn("tv", F.slice("v", 1, MAT_DIMS))
+        .withColumn("tnrm", _norm(F.col("tv")))
+    )
+
+    def ranked(vcol: str, ncol: str) -> DataFrame:
+        q = ed.where(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("q_id"),
+            F.col(vcol).alias("qv"),
+            F.col(ncol).alias("qnrm"),
+        )
+        cos = _dot(F.col("qv"), F.col(vcol)) / (F.col("qnrm") * F.col(ncol))
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cos_raw").desc(), F.col("vec_id")
+        )
+        return (
+            ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", cos.alias("cos_raw"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= RRF_POOL)
+            .select("q_id", "vec_id", "rn")
+        )
+
+    full = ranked("v", "nrm")
+    trunc = ranked("tv", "tnrm")
+    fused = (
+        full.withColumnRenamed("rn", "rn_f")
+        .join(
+            trunc.withColumnRenamed("rn", "rn_t")
+            .withColumnRenamed("q_id", "tq")
+            .withColumnRenamed("vec_id", "tv_id"),
+            (F.col("q_id") == F.col("tq")) & (F.col("vec_id") == F.col("tv_id")),
+            "full",
+        )
+        .select(
+            F.coalesce("q_id", "tq").alias("q_id"),
+            F.coalesce("vec_id", "tv_id").alias("vec_id"),
+            (
+                F.coalesce(F.lit(1.0) / (RRF_C + F.col("rn_f")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (RRF_C + F.col("rn_t")), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= RRF_OUT)
+        .select(
+            "q_id",
+            "vec_id",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+            F.round("score", 6).alias("rrf_score"),
+        )
+    )

@@ -213,6 +213,9 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_embed_matryoshka",  # two cosine passes, corpus past broadcast queries
         "q_pack_curriculum",  # crossJoin of broadcast 1-row totals + quantile cuts
         "q_agg_abc",  # crossJoin of the broadcast 1-row revenue total
+        "q_join_bloom_prefilter",  # crossJoin of the broadcast 1-row bloom words
+        "q_stats_cuped",  # crossJoin of the broadcast 1-row (theta, xbar)
+        "q_sim_rrf_fusion",  # two cosine passes, corpus past broadcast queries
     }
     offenders = {}
     for name, fn in QUERIES.items():
