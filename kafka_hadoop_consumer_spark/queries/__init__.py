@@ -27,6 +27,7 @@ from kafka_hadoop_consumer_spark.queries import (  # noqa: E402,F401
     e2e_tpch,
     formats,
     quality,
+    graph,
 )
 
 # ---------------------------------------------------------------------------
@@ -129,6 +130,9 @@ _DEFER_TO_TAIL = (
     "q_join_bloom_prefilter",
     "q_stats_cuped",
     "q_sim_rrf_fusion",
+    "q_graph_triangles",
+    "q_quality_kanon",
+    "q_ml_logreg",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -1414,3 +1414,222 @@ def q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var_reduction"),
         "theta",
     )
+
+
+KANON_K = 5  # minimum safe quasi-identifier group size
+KANON_L = 2  # minimum sensitive-attribute diversity per group
+_SENS_BAND_SQL = (
+    "CASE WHEN c_acctbal < 0 THEN 'neg' "
+    "WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END"
+)
+
+
+@query(
+    "q_quality_kanon",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS sz,
+             count(DISTINCT {_SENS_BAND_SQL}) AS l_div
+      FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT c_nationkey,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(sz) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           CAST(sum(CASE WHEN l_div < {KANON_L} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_groups_low_diversity,
+           round(CAST(sum(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) AS DOUBLE)
+                 / sum(sz), 4) AS risk_rate
+    FROM g GROUP BY c_nationkey
+    """,
+)
+def q_quality_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit — the data-governance gate run
+    before releasing or training on user-adjacent tables: rows whose
+    quasi-identifier combination (nation, market segment) lands in a
+    group smaller than KANON_K are re-identifiable; groups whose
+    sensitive attribute (account-balance band) shows fewer than KANON_L
+    distinct values leak the attribute even when k holds. Reports both
+    risks per nation, exactly. Complements q_text_pii (which scrubs
+    direct identifiers; THIS audits the indirect ones).
+
+    Scale shape: one hash agg to QI-group granularity (bounded by the QI
+    domain, not the row count), one rollup over it — the same
+    two-level-aggregate shape as q_agg_gini; nothing bigger than
+    |QI groups| leaves the first shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.count_distinct(band).alias("l_div"),
+    )
+    at_risk = F.sum(F.when(F.col("sz") < KANON_K, F.col("sz")).otherwise(0))
+    return g.groupBy("c_nationkey").agg(
+        F.sum("sz").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("sz").alias("min_group_size"),
+        at_risk.alias("n_rows_at_risk"),
+        F.sum(F.when(F.col("l_div") < KANON_L, 1).otherwise(0)).alias(
+            "n_groups_low_diversity"
+        ),
+        F.round(at_risk.cast("double") / F.sum("sz"), 4).alias("risk_rate"),
+    )
+
+
+LOGREG_LR = 0.5     # gradient-descent learning rate
+LOGREG_ITERS = 3    # unrolled descent steps
+_DAY_US_LR = 86_400_000_000
+
+
+def _logreg_feats_sql() -> str:
+    """DuckDB: features CTE — label, standardized value, weekend flag."""
+    return f"""
+    s AS (
+      SELECT count(*) AS n, sum(value) AS s1, sum(value * value) AS s2
+      FROM events),
+    st AS (
+      SELECT round(s1 / n, 6) AS mu,
+             round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS sd
+      FROM s),
+    feats AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+             (value - mu) / sd AS x1,
+             CASE WHEN (epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US_LR} + 4) % 7
+                       IN (0, 6) THEN 1.0 ELSE 0.0 END AS x2
+      FROM events CROSS JOIN st)
+    """
+
+
+def _logreg_iter_sql(prev: str, cur: str) -> str:
+    """DuckDB: one descent step from beta CTE ``prev`` to ``cur``."""
+    return f"""
+    {cur} AS (
+      SELECT round(any_value(b0) - {LOGREG_LR} * avg(p - y), 6) AS b0,
+             round(any_value(b1) - {LOGREG_LR} * avg((p - y) * x1), 6) AS b1,
+             round(any_value(b2) - {LOGREG_LR} * avg((p - y) * x2), 6) AS b2
+      FROM (
+        SELECT y, x1, x2, b0, b1, b2,
+               1 / (1 + exp(-(b0 + b1 * x1 + b2 * x2))) AS p
+        FROM feats CROSS JOIN {prev}))
+    """
+
+
+@query(
+    "q_ml_logreg",
+    oracle="WITH "
+    + _logreg_feats_sql().strip().rstrip()
+    + ", it0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),"
+    + ",".join(
+        _logreg_iter_sql(f"it{i}", f"it{i + 1}").strip()
+        for i in range(LOGREG_ITERS)
+    )
+    + f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           any_value(b0) AS b0, any_value(b1) AS b1, any_value(b2) AS b2,
+           round(avg(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END), 4)
+               AS accuracy,
+           round(-avg(y * ln(p) + (1 - y) * ln(1 - p)), 4) AS log_loss
+    FROM (
+      SELECT y, b0, b1, b2,
+             1 / (1 + exp(-(b0 + b1 * x1 + b2 * x2))) AS p
+      FROM feats CROSS JOIN it{LOGREG_ITERS})
+    """,
+)
+def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training as pure DataFrame ops:
+    LOGREG_ITERS unrolled batch-gradient-descent steps fit
+    P(purchase | standardized value, weekend) — each step is ONE
+    map-side-combinable hash agg producing three gradient components, and
+    the 1-row coefficient vector is broadcast back for the next step
+    (the q_embed_kmeans loop discipline, but with an oracle: coefficients
+    are ROUNDED 6dp after every step on both engines, so the nonlinear
+    recurrence stays on one expression tree — the companion to
+    q_ml_ols' closed-form solve for models with no closed form). Final
+    row reports coefficients, training accuracy, and log-loss.
+
+    Scale shape: per step, the fact table is scanned once and reduced to
+    3 doubles; nothing iterative ever exceeds one broadcastable row, so
+    step count — not data size — is the only serial factor. The weekend
+    flag uses exact integer epoch-day arithmetic (q_time_heatmap
+    precedent), never locale-dependent dayofweek."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    st = s.select(
+        F.round(F.col("s1") / F.col("n"), 6).alias("mu"),
+        F.round(
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("sd"),
+    )
+    weekend = F.expr(
+        f"CASE WHEN (unix_micros(cast(ts AS timestamp)) DIV {_DAY_US_LR} + 4) % 7"
+        f" IN (0, 6) THEN 1.0 ELSE 0.0 END"
+    )
+    feats = persist_tracked(
+        e.crossJoin(F.broadcast(st)).select(
+            F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+            ((F.col("value") - F.col("mu")) / F.col("sd")).alias("x1"),
+            weekend.alias("x2"),
+        )
+    )
+    beta = feats.sparkSession.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.col("b0") + F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2")))
+    )
+    for _ in range(LOGREG_ITERS):
+        scored = feats.crossJoin(F.broadcast(beta)).select(
+            "y", "x1", "x2", "b0", "b1", "b2", p.alias("p")
+        )
+        beta = scored.agg(
+            F.round(
+                F.first("b0") - LOGREG_LR * F.avg(F.col("p") - F.col("y")), 6
+            ).alias("b0"),
+            F.round(
+                F.first("b1")
+                - LOGREG_LR * F.avg((F.col("p") - F.col("y")) * F.col("x1")),
+                6,
+            ).alias("b1"),
+            F.round(
+                F.first("b2")
+                - LOGREG_LR * F.avg((F.col("p") - F.col("y")) * F.col("x2")),
+                6,
+            ).alias("b2"),
+        )
+    final = feats.crossJoin(F.broadcast(beta)).select("y", "b0", "b1", "b2", p.alias("p"))
+    return final.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("b0").alias("b0"),
+        F.first("b1").alias("b1"),
+        F.first("b2").alias("b2"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("p") >= 0.5) == (F.col("y") == 1.0), 1.0
+                ).otherwise(0.0)
+            ),
+            4,
+        ).alias("accuracy"),
+        F.round(
+            -F.avg(
+                F.col("y") * F.log(F.col("p"))
+                + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - F.col("p"))
+            ),
+            4,
+        ).alias("log_loss"),
+    )

@@ -216,6 +216,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_join_bloom_prefilter",  # crossJoin of the broadcast 1-row bloom words
         "q_stats_cuped",  # crossJoin of the broadcast 1-row (theta, xbar)
         "q_sim_rrf_fusion",  # two cosine passes, corpus past broadcast queries
+        "q_ml_logreg",  # crossJoins of broadcast 1-row standardization + betas
     }
     offenders = {}
     for name, fn in QUERIES.items():
