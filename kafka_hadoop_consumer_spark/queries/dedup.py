@@ -1108,7 +1108,13 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-cap [2, DF_CAP] bounds per-shingle fan-out at C(64,2) exactly like
     q_dedup_ngram_jaccard; the diagonal windows partition by
     (pair, diagonal) — many small partitions, no global sort."""
-    d = load_table(spark, sf_dir, "documents")
+    return verbatim_runs(load_table(spark, sf_dir, "documents"))
+
+
+def verbatim_runs(d: DataFrame, min_run: int = SUB_MIN_RUN) -> DataFrame:
+    """Shared-run mining core of q_dedup_substring over any
+    (doc_id, text) frame — exposed so tests can plant corpora with known
+    longest runs."""
     ps = persist_tracked(
         d.select("doc_id", F.split("text", " ").alias("t")).select(
             "doc_id", F.posexplode(F.expr(ngram_expr("t", SUB_N))).alias("pos", "sh")
@@ -1152,7 +1158,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("len_sh").cast("long").alias("n_pos_matches"),
             F.count(F.lit(1)).cast("long").alias("n_runs"),
         )
-        .where(F.col("longest_run_tokens") >= SUB_MIN_RUN)
+        .where(F.col("longest_run_tokens") >= min_run)
     )
 
 

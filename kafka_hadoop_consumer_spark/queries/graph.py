@@ -102,6 +102,27 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
+    tri, deg = triangles_from_edges(edges)
+    part = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return part.join(deg, "node").select(
+        F.col("node").alias("user_id"),
+        F.col("d").alias("degree"),
+        "n_triangles",
+        F.round(
+            F.lit(2.0) * F.col("n_triangles") / (F.col("d") * (F.col("d") - 1)), 6
+        ).alias("clustering_coeff"),
+    )
+
+
+def triangles_from_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Degree-ordered triangle enumeration over a distinct undirected edge
+    frame (u, v) with u < v. Returns (triangles(a, b, c), degrees(node, d));
+    each triangle appears exactly once. Exposed so tests can check the
+    orientation count against a brute-force triple join."""
     deg = persist_tracked(
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -134,17 +155,4 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("d2").alias("c"))
     )
     closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"])
-    part = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    return part.join(deg, "node").select(
-        F.col("node").alias("user_id"),
-        F.col("d").alias("degree"),
-        "n_triangles",
-        F.round(
-            F.lit(2.0) * F.col("n_triangles") / (F.col("d") * (F.col("d") - 1)), 6
-        ).alias("clustering_coeff"),
-    )
+    return wedges.join(closing, ["b", "c"]), deg
