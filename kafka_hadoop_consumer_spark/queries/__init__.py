@@ -133,6 +133,7 @@ _DEFER_TO_TAIL = (
     "q_graph_triangles",
     "q_quality_kanon",
     "q_ml_logreg",
+    "q_dedup_semdedup",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -389,14 +389,11 @@ def lsh_topk(ed: DataFrame, queries: DataFrame, top_k: int = TOP_K) -> DataFrame
 IVF_NPROBE = 3
 
 
-def _sim_ivf_oracle() -> str:
-    """Oracle running the IDENTICAL IVF cascade in DuckDB: centroids are
-    computed (avg per (cell, dim)) and rounded 6dp on both engines — the
-    q_embed_centroid precedent — so assignment/probe similarity arithmetic
-    is a sequential double fold over identical inputs on both sides."""
-    return (
-        _ORACLE_E
-        + f""",
+# Shared oracle CTE block: computed-and-rounded centroids (avg per
+# (cell, dim), 6dp — the q_embed_centroid precedent) and nearest-centroid
+# assignment of every vector. Appended after _ORACLE_E; used by the IVF
+# ANN oracle and the SemDeDup oracle so both replay ONE cascade.
+_IVF_ASSIGN_CTES = """,
     cx AS (
       SELECT label AS cell, pos, round(avg(x), 6) AS cx
       FROM (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
@@ -415,7 +412,18 @@ def _sim_ivf_oracle() -> str:
                                                   p -> p[1] * p[2]))
                           / (e.nrm * c.cnrm) DESC, c.cell) AS rn
         FROM e, centn c)
-      WHERE rn = 1),
+      WHERE rn = 1)"""
+
+
+def _sim_ivf_oracle() -> str:
+    """Oracle running the IDENTICAL IVF cascade in DuckDB: centroids are
+    computed (avg per (cell, dim)) and rounded 6dp on both engines — the
+    q_embed_centroid precedent — so assignment/probe similarity arithmetic
+    is a sequential double fold over identical inputs on both sides."""
+    return (
+        _ORACLE_E
+        + _IVF_ASSIGN_CTES
+        + f""",
     probes AS (
       SELECT q_id, qv, qnrm, cell FROM (
         SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qnrm, c.cell,
@@ -443,6 +451,42 @@ def _sim_ivf_oracle() -> str:
     )
 
 
+def _ivf_assign(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Spark side of _IVF_ASSIGN_CTES: computed 6dp-rounded centroids per
+    coarse cell (label-seeded) and nearest-centroid assignment. Returns
+    (cent(cell, cv, cnrm), assigned(vec_id, v, nrm, cell))."""
+    ed = e.select("vec_id", "label", _vec_double().alias("v")).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
+    # element-wise centroid per cell: posexplode → mean per (cell, pos)
+    # → re-assemble ordered arrays
+    cent = (
+        ed.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s.cx,
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cell"), "cv")
+        .withColumn("cnrm", _norm(F.col("cv")))
+    )
+    # assign every vector to its nearest centroid (broadcast centroids)
+    sim_to_cent = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+    assigned = (
+        ed.join(F.broadcast(cent))
+        .select("vec_id", "v", "nrm", "cell", sim_to_cent.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cell")
+    )
+    return cent, assigned
+
+
 @query("q_sim_ivf_topk", oracle=_sim_ivf_oracle())
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k ANN via IVF (inverted-file) coarse quantization.
@@ -465,37 +509,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     nprobe = IVF_NPROBE
     e = load_table(spark, sf_dir, "embeddings")
-    ed = e.select("vec_id", "label", _vec_double().alias("v")).withColumn(
-        "nrm", _norm(F.col("v"))
-    )
-
-    # (1) element-wise centroid per cell: posexplode → mean per (cell, pos)
-    #     → re-assemble ordered arrays
-    cent = (
-        ed.select("label", F.posexplode("v").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("cx"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
-                lambda s: s.cx,
-            ).alias("cv")
-        )
-        .select(F.col("label").alias("cell"), "cv")
-        .withColumn("cnrm", _norm(F.col("cv")))
-    )
-
-    # (2) assign every vector to its nearest centroid (broadcast centroids)
-    sim_to_cent = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
-    assigned = (
-        ed.join(F.broadcast(cent))
-        .select("vec_id", "v", "nrm", "cell", sim_to_cent.alias("c_sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", "cell")
-    )
+    cent, assigned = _ivf_assign(e)
 
     # (3) queries probe their nprobe nearest cells
     w_probe = Window.partitionBy("q_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
@@ -1515,4 +1529,84 @@ def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fused_rank").cast("int").alias("fused_rank"),
             F.round("score", 6).alias("rrf_score"),
         )
+    )
+
+
+SEMDEDUP_TAU = 0.4  # rounded-cosine drop threshold (fixture near-dup level)
+
+
+@query(
+    "q_dedup_semdedup",
+    oracle=_ORACLE_E
+    + _IVF_ASSIGN_CTES
+    + f""",
+    dup AS (
+      SELECT DISTINCT b.cell, b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_sum(list_transform(list_zip(a.v, b.v),
+                                          p -> p[1] * p[2]))
+                  / (a.nrm * b.nrm), 4) >= {SEMDEDUP_TAU}),
+    sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+           FROM assigned GROUP BY cell),
+    dr AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_dropped
+           FROM dup GROUP BY cell)
+    SELECT s.cell, s.n_vecs,
+           coalesce(d.n_dropped, 0) AS n_dropped,
+           round(1.0 - CAST(coalesce(d.n_dropped, 0) AS DOUBLE) / s.n_vecs, 4)
+               AS keep_rate
+    FROM sz s LEFT JOIN dr d ON d.cell = s.cell
+    """,
+)
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    cluster-then-compare — vectors are assigned to coarse cells (the
+    computed-centroid cascade shared with q_sim_ivf_topk), and WITHIN each
+    cell any vector whose rounded cosine to a lower-id cell-mate reaches
+    SEMDEDUP_TAU is dropped (deterministic keep-lowest-id policy — a
+    non-iterative, slightly conservative variant of the paper's greedy
+    removal, chosen so the drop set needs no sequential dependency).
+    Emits per-cell corpus size, drops, and keep rate — the dedup budget
+    report that decides how hard semantic pruning hits each region of
+    embedding space.
+
+    Scale shape: the whole point of SemDeDup is that the O(m²) compare
+    runs per CELL, not per corpus — cell size m ≈ n/k stays constant when
+    k grows with n (at 100 TB, train real k-means centroids with
+    q_embed_kmeans and raise k); assignment is a broadcast-centroid
+    zero-shuffle pass, the compare one equi-join shuffle on cell."""
+    e = load_table(spark, sf_dir, "embeddings")
+    _cent, assigned = _ivf_assign(e)
+    assigned = persist_tracked(assigned)
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "cell",
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dup = (
+        a.join(b, "cell")
+        .where(F.col("ida") < F.col("idb"))
+        .where(F.round(cos, 4) >= SEMDEDUP_TAU)
+        .select("cell", F.col("idb").alias("vec_id"))
+        .distinct()
+    )
+    sz = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    dr = dup.groupBy("cell").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return sz.join(dr, "cell", "left").select(
+        "cell",
+        "n_vecs",
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        F.round(
+            F.lit(1.0)
+            - F.coalesce("n_dropped", F.lit(0)).cast("double") / F.col("n_vecs"),
+            4,
+        ).alias("keep_rate"),
     )
