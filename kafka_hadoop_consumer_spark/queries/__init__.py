@@ -134,6 +134,7 @@ _DEFER_TO_TAIL = (
     "q_quality_kanon",
     "q_ml_logreg",
     "q_dedup_semdedup",
+    "q_text_bpe_encode",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -962,3 +962,85 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_logprob"),
     )
+
+
+# Literal BPE merge table for q_text_bpe_encode — the production shape:
+# the tokenizer is trained offline (q_text_bpe IS that trainer) and the
+# merge rules ship with the job as constants. Applied in rule order; each
+# rule runs two leftmost-non-overlapping replace passes (pass 2 catches
+# the boundary-space consumed by pass 1 between adjacent matches) — both
+# engines' replace() share scan-resume-after-replacement semantics, so
+# even that detail is engine-identical.
+BPE_MERGES = (
+    ("t", "h"), ("th", "e"), ("e", "r"), ("o", "r"), ("o", "w"),
+    ("i", "n"), ("s", "t"), ("a", "r"), ("l", "e"), ("t", "a"),
+)
+
+
+def _bpe_apply(inner: str) -> str:
+    """Chained replace() applying BPE_MERGES to a space-separated symbol
+    string (same text valid in Spark SQL and DuckDB)."""
+    expr = inner
+    for x, y in BPE_MERGES:
+        for _ in range(2):
+            expr = f"replace({expr}, ' {x} {y} ', ' {x}{y} ')"
+    return expr
+
+
+_BPE_WORD_SPARK = _bpe_apply("concat(' ', regexp_replace(w, '(.)', '$1 '))")
+_BPE_WORD_DUCK = _bpe_apply(r"' ' || regexp_replace(w, '(.)', '\1 ', 'g')")
+
+
+@query(
+    "q_text_bpe_encode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                w -> len(string_split(trim({_BPE_WORD_DUCK}), ' '))))
+               AS BIGINT) AS n_bpe_tokens,
+           round(CAST(list_sum(list_transform(string_split(text, ' '),
+                     w -> len(string_split(trim({_BPE_WORD_DUCK}), ' '))))
+                     AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS tokens_per_word,
+           md5(array_to_string(list_transform(string_split(text, ' '),
+               w -> trim({_BPE_WORD_DUCK})), ' | ')) AS encoded_md5
+    FROM documents
+    """,
+)
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION at corpus scale: every word is split to
+    characters and the literal BPE_MERGES table (trained offline — see
+    q_text_bpe, the trainer) is applied as a chain of codegen'd replace
+    passes, exactly how a shipped tokenizer runs inside an ingest job.
+    Emits per-doc BPE token counts, tokens-per-word (the fertility metric
+    that decides context-window budgeting), and an md5 of the full encoded
+    symbol sequence — the encoding itself is hash-verified byte-for-byte
+    against the oracle, not just counted.
+
+    Scale shape: ZERO shuffle — tokenization is a narrow per-row map
+    (split → per-word replace chain → reassemble) that fuses into one
+    WholeStageCodegen stage; at 100 TB it scales with scan bandwidth.
+    A real 32k-merge vocabulary would swap the replace chain for a
+    trie-based Arrow UDF, but the dataflow (merges broadcast as
+    constants, map-only encode) is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    per_word_tokens = (
+        f"aggregate(transform(split(text, ' '), "
+        f"w -> size(split(trim({_BPE_WORD_SPARK}), ' '))), 0, (a, x) -> a + x)"
+    )
+    encoded = (
+        f"array_join(transform(split(text, ' '), "
+        f"w -> trim({_BPE_WORD_SPARK})), ' | ')"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.expr(per_word_tokens).cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.expr(per_word_tokens).cast("double")
+            / F.size(F.split("text", " ")),
+            4,
+        ).alias("tokens_per_word"),
+        F.md5(F.expr(encoded)).alias("encoded_md5"),
+    )
