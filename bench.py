@@ -304,7 +304,9 @@ def main() -> None:
     extras = {
         name: time_query(spark, name, sf_dir)
         for name in ("q_text_heavy_hitters", "q_graph_pagerank",
-                     "q_sim_pq_topk", "q_stats_bootstrap")
+                     "q_sim_pq_topk", "q_stats_bootstrap",
+                     "q_dedup_substring", "q_graph_triangles",
+                     "q_dedup_semdedup", "q_text_bpe_encode")
     }
 
     result = {

@@ -1018,22 +1018,34 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol sequence — the encoding itself is hash-verified byte-for-byte
     against the oracle, not just counted.
 
-    Scale shape: ZERO shuffle — tokenization is a narrow per-row map
-    (split → per-word replace chain → reassemble) that fuses into one
-    WholeStageCodegen stage; at 100 TB it scales with scan bandwidth.
-    A real 32k-merge vocabulary would swap the replace chain for a
-    trie-based Arrow UDF, but the dataflow (merges broadcast as
-    constants, map-only encode) is identical."""
+    Scale shape: the replace chain runs once per DISTINCT word (natural
+    language is Zipf — the codebook is tiny relative to the corpus), the
+    resulting word→encoding codebook is broadcast as one map row, and the
+    document pass is a zero-shuffle map-lookup that fuses into
+    WholeStageCodegen — the memoized-tokenizer pattern (10× faster here
+    than encoding every occurrence; measured in bench r3_ops). A real
+    32k-merge vocabulary with unbounded long tail would cap the codebook
+    at the hot vocabulary and fall back to inline encoding for misses,
+    but the dataflow is identical."""
     d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .select(
+            "w",
+            F.expr(f"trim({_BPE_WORD_SPARK})").alias("enc"),
+        )
+    )
+    codebook = vocab.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "enc"))).alias("cb")
+    )
+    enc_w = "element_at(cb, w)"
     per_word_tokens = (
         f"aggregate(transform(split(text, ' '), "
-        f"w -> size(split(trim({_BPE_WORD_SPARK}), ' '))), 0, (a, x) -> a + x)"
+        f"w -> size(split({enc_w}, ' '))), 0, (a, x) -> a + x)"
     )
-    encoded = (
-        f"array_join(transform(split(text, ' '), "
-        f"w -> trim({_BPE_WORD_SPARK})), ' | ')"
-    )
-    return d.select(
+    encoded = f"array_join(transform(split(text, ' '), w -> {enc_w}), ' | ')"
+    return d.crossJoin(F.broadcast(codebook)).select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_words"),
         F.expr(per_word_tokens).cast("long").alias("n_bpe_tokens"),

@@ -217,6 +217,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_stats_cuped",  # crossJoin of the broadcast 1-row (theta, xbar)
         "q_sim_rrf_fusion",  # two cosine passes, corpus past broadcast queries
         "q_ml_logreg",  # crossJoins of broadcast 1-row standardization + betas
+        "q_text_bpe_encode",  # crossJoin of the broadcast 1-row word codebook
     }
     offenders = {}
     for name, fn in QUERIES.items():
