@@ -964,24 +964,25 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Literal BPE merge table for q_text_bpe_encode — the production shape:
+# Literal BPE merge table for q_text_bpe_encode (named distinctly from
+# the trainer's BPE_MERGES merge-count above) — the production shape:
 # the tokenizer is trained offline (q_text_bpe IS that trainer) and the
 # merge rules ship with the job as constants. Applied in rule order; each
 # rule runs two leftmost-non-overlapping replace passes (pass 2 catches
 # the boundary-space consumed by pass 1 between adjacent matches) — both
 # engines' replace() share scan-resume-after-replacement semantics, so
 # even that detail is engine-identical.
-BPE_MERGES = (
+BPE_MERGE_TABLE = (
     ("t", "h"), ("th", "e"), ("e", "r"), ("o", "r"), ("o", "w"),
     ("i", "n"), ("s", "t"), ("a", "r"), ("l", "e"), ("t", "a"),
 )
 
 
 def _bpe_apply(inner: str) -> str:
-    """Chained replace() applying BPE_MERGES to a space-separated symbol
+    """Chained replace() applying BPE_MERGE_TABLE to a space-separated symbol
     string (same text valid in Spark SQL and DuckDB)."""
     expr = inner
-    for x, y in BPE_MERGES:
+    for x, y in BPE_MERGE_TABLE:
         for _ in range(2):
             expr = f"replace({expr}, ' {x} {y} ', ' {x}{y} ')"
     return expr
@@ -1010,7 +1011,7 @@ _BPE_WORD_DUCK = _bpe_apply(r"' ' || regexp_replace(w, '(.)', '\1 ', 'g')")
 )
 def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION at corpus scale: every word is split to
-    characters and the literal BPE_MERGES table (trained offline — see
+    characters and the literal BPE_MERGE_TABLE (trained offline — see
     q_text_bpe, the trainer) is applied as a chain of codegen'd replace
     passes, exactly how a shipped tokenizer runs inside an ingest job.
     Emits per-doc BPE token counts, tokens-per-word (the fertility metric
