@@ -135,6 +135,8 @@ _DEFER_TO_TAIL = (
     "q_ml_logreg",
     "q_dedup_semdedup",
     "q_text_bpe_encode",
+    "q_pack_mixture_budget",
+    "q_agg_kmv_setops",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

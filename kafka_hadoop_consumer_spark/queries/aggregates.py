@@ -1053,3 +1053,104 @@ def q_agg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_agg_kmv_setops",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 AS in_a,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS in_b
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY user_id),
+    hashed AS (
+      SELECT user_id, in_a, in_b,
+             CAST((user_id * 2654435761) % 4294967296 AS DOUBLE)
+             / 4294967296 AS h
+      FROM m),
+    unionk AS (
+      SELECT in_a, in_b, h FROM hashed ORDER BY h, user_id LIMIT {KMV_K}),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS hk,
+             CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS k_both
+      FROM unionk),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_union,
+             CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS exact_inter
+      FROM m)
+    SELECT e.exact_union, e.exact_inter, s.k_used,
+           round((s.k_used - 1) / s.hk, 2) AS union_est,
+           round(CAST(s.k_both AS DOUBLE) / s.k_used, 4) AS jaccard_est,
+           round(CAST(s.k_both AS DOUBLE) / s.k_used
+                 * (s.k_used - 1) / s.hk, 2) AS inter_est,
+           round(abs(CAST(s.k_both AS DOUBLE) / s.k_used
+                     * (s.k_used - 1) / s.hk - e.exact_inter)
+                 / e.exact_inter, 4) AS inter_rel_error
+    FROM exact e, s
+    """,
+)
+def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS — the reason K-minimum-values beats HLL
+    for composable analytics: from one union sketch (the K smallest
+    engine-neutral hashes of viewers ∪ purchasers, membership flags
+    carried along), estimate union cardinality ((k−1)/h_k), Jaccard
+    (fraction of the union sketch belonging to both sets), and
+    intersection (their product) — emitted next to the exact values and
+    the realized intersection error, all hash-verified like
+    q_agg_kmv_distinct (the approximation itself is deterministic).
+
+    Scale shape: one hash agg to per-user membership flags, then a
+    TakeOrdered k-min pass (per-partition heaps, K rows to one reducer)
+    — at 100 TB each side's sketch is built independently and merged by
+    keeping the K smallest of the union, the mergeability that makes
+    sketch warehouses (per-day sketches → any date-range set algebra)
+    work."""
+    e = load_table(spark, sf_dir, "events")
+    m = (
+        e.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            (F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)) == 1).alias("in_a"),
+            (F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) == 1).alias("in_b"),
+        )
+    )
+    m = persist_tracked(m)
+    hashed = m.select(
+        "user_id",
+        "in_a",
+        "in_b",
+        (
+            ((F.col("user_id") * 2654435761) % 4294967296).cast("double")
+            / 4294967296
+        ).alias("h"),
+    )
+    unionk = hashed.orderBy("h", "user_id").limit(KMV_K)
+    s = unionk.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("hk"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)).alias("k_both"),
+    )
+    exact = m.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)).alias(
+            "exact_inter"
+        ),
+    )
+    union_est = (F.col("k_used") - 1) / F.col("hk")
+    j_est = F.col("k_both").cast("double") / F.col("k_used")
+    return exact.crossJoin(F.broadcast(s)).select(
+        "exact_union",
+        "exact_inter",
+        "k_used",
+        F.round(union_est, 2).alias("union_est"),
+        F.round(j_est, 4).alias("jaccard_est"),
+        F.round(j_est * union_est, 2).alias("inter_est"),
+        F.round(
+            F.abs(j_est * union_est - F.col("exact_inter"))
+            / F.col("exact_inter"),
+            4,
+        ).alias("inter_rel_error"),
+    )

@@ -522,3 +522,105 @@ def q_pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("difficulty"), 6).alias("min_difficulty"),
         F.round(F.max("difficulty"), 6).alias("max_difficulty"),
     )
+
+
+MIXB_ALPHA = 0.3       # temperature exponent (matches q_sample_mixture)
+MIXB_BUDGET = 20_000   # global token budget to materialize
+
+
+@query(
+    "q_pack_mixture_budget",
+    oracle=f"""
+    WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    shares AS (
+      SELECT lang, n_docs / sum(n_docs) OVER () AS share FROM counts),
+    weights AS (
+      SELECT lang,
+             round(pow(share, {MIXB_ALPHA})
+                   / sum(pow(share, {MIXB_ALPHA})) OVER (), 6) AS w
+      FROM shares),
+    budgets AS (
+      SELECT lang, CAST(floor({MIXB_BUDGET} * w) AS BIGINT) AS budget_tokens
+      FROM weights),
+    docs AS (
+      SELECT lang, md5(text) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT lang, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM docs),
+    sel AS (
+      SELECT c.lang, c.n_tokens
+      FROM cum c JOIN budgets b ON b.lang = c.lang
+      WHERE c.running <= b.budget_tokens)
+    SELECT b.lang, b.budget_tokens,
+           CAST(coalesce(count(s.n_tokens), 0) AS BIGINT) AS n_docs_selected,
+           CAST(coalesce(sum(s.n_tokens), 0) AS BIGINT) AS tokens_selected,
+           round(CAST(coalesce(sum(s.n_tokens), 0) AS DOUBLE)
+                 / b.budget_tokens, 4) AS utilization
+    FROM budgets b LEFT JOIN sel s ON s.lang = b.lang
+    GROUP BY b.lang, b.budget_tokens
+    """,
+)
+def q_pack_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a training mixture: the temperature-scaled language
+    weights of q_sample_mixture are turned into per-language TOKEN
+    budgets (floor(B·w_l) of a global budget), and documents are
+    admitted per language in deterministic content-hash order until the
+    running token sum would exceed the budget — the greedy
+    budget-cut that turns mixture WEIGHTS into an actual dataset
+    manifest. Emits per language: budget, docs/tokens admitted, and
+    budget utilization (the shortfall shows quantization loss from
+    whole-document admission).
+
+    Scale shape: one count agg (|langs| rows) for weights; one
+    per-language hash-ordered running-sum window over the corpus — the
+    q_pack_sequences cumulative-cut discipline, partitioned by lang so no
+    global sort; admission is a broadcast join of the |langs|-row budget
+    table."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    wall = Window.partitionBy()
+    share = F.col("n_docs") / F.sum("n_docs").over(wall)
+    pw = F.pow(share, MIXB_ALPHA)
+    budgets = counts.select(
+        "lang",
+        F.floor(MIXB_BUDGET * F.round(pw / F.sum(pw).over(wall), 6))
+        .cast("long")
+        .alias("budget_tokens"),
+    )
+    docs = d.select(
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docs.withColumn("running", F.sum("n_tokens").over(wcum))
+    sel = cum.join(F.broadcast(budgets), "lang").where(
+        F.col("running") <= F.col("budget_tokens")
+    )
+    agg = sel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sel"),
+        F.sum("n_tokens").alias("tok_sel"),
+    )
+    return (
+        budgets.join(agg, "lang", "left")
+        .select(
+            "lang",
+            "budget_tokens",
+            F.coalesce("n_sel", F.lit(0)).alias("n_docs_selected"),
+            F.coalesce("tok_sel", F.lit(0)).alias("tokens_selected"),
+            F.round(
+                F.coalesce("tok_sel", F.lit(0)).cast("double")
+                / F.col("budget_tokens"),
+                4,
+            ).alias("utilization"),
+        )
+    )

@@ -219,6 +219,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_ml_logreg",  # crossJoins of broadcast 1-row standardization + betas
         "q_text_bpe_encode",  # crossJoin of the broadcast 1-row word codebook
         "q_dedup_semdedup",  # every vector × broadcast centroids (shared IVF assign)
+        "q_agg_kmv_setops",  # crossJoin of the broadcast 1-row union sketch stats
     }
     offenders = {}
     for name, fn in QUERIES.items():
