@@ -499,6 +499,34 @@ def test_new_operator_shuffle_budgets(spark):
     assert got == budgets
 
 
+def test_session_r3b_shuffle_budgets(spark):
+    """Shuffle budgets for the second round-3 batch, pinned: span scrub is
+    chunk df-agg + join-back + per-doc rollup; kanon and KMV set-ops are
+    two-level aggregates (+1 k-min TakeOrdered for KMV); BPE encode pays
+    only the distinct-vocab agg + 1-row codebook collect (the document
+    pass is a zero-shuffle broadcast lookup); CUPED is per-user agg +
+    pooled power sums + per-arm agg + final exchange; the Bloom prefilter
+    probe side never shuffles (build-side distinct + word agg + 1-row
+    collect + output agg only); mixture-budget is lang counts + the
+    per-lang running-sum window + admission rollup. SinglePartition
+    exchanges inside these plans all sit on 1-row/|groups|-row aggregates
+    (global sketches, codebooks, betas), never on fact-sized data."""
+    from kafka_hadoop_consumer_spark.plans import n_shuffle_exchanges
+
+    budgets = {
+        "q_dedup_span_scrub": 3,
+        "q_quality_kanon": 3,
+        "q_text_bpe_encode": 2,
+        "q_agg_kmv_setops": 3,
+        "q_stats_cuped": 4,
+        "q_join_bloom_prefilter": 5,
+        "q_pack_mixture_budget": 5,
+        "q_dedup_substring": 6,
+    }
+    got = {k: n_shuffle_exchanges(QUERIES[k](spark, SF_DIR)) for k in budgets}
+    assert got == budgets
+
+
 def test_dpp_join_key_prunes_partitions(spark):
     """q_source_dpp_join's whole point: the partitioned-fact scan must
     carry a dynamicpruning subquery fed by the filtered dim."""
