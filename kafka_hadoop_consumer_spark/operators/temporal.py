@@ -38,7 +38,14 @@ def asof_join(
     tie_break: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the single closest right row at-or-before
-    (``backward``) / at-or-after (``forward``) its timestamp, per ``by`` key.
+    (``backward``) / at-or-after (``forward``) / closest-in-either-direction
+    (``nearest``) its timestamp, per ``by`` key.
+
+    ``nearest`` REQUIRES ``tolerance`` (an unbounded nearest join is a
+    per-key cross product — the bounded band keeps it an equi-join plus a
+    residual, bucketizable at scale) and requires timestamp-typed
+    ts columns (distance is computed on epoch seconds). Equal distances
+    prefer the EARLIER right row, then ``tie_break`` ascending.
 
     ``left_key`` must uniquely identify left rows AND be non-null (the
     winner window partitions on it): a NULL key would collapse every
@@ -55,8 +62,12 @@ def asof_join(
 
     Non-``by`` column names must be disjoint between the two inputs.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest" and tolerance is None:
+        raise ValueError("direction='nearest' requires a tolerance bound")
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join supports how in ('inner','left'), got {how!r}")
     overlap = (set(left.columns) & set(right.columns)) - {by}
@@ -72,11 +83,19 @@ def asof_join(
         order = [rt.desc()]
         if tie_break is not None:
             order.append(F.col(tie_break).desc())
-    else:
+    elif direction == "forward":
         cond = rt >= lt
         if tolerance is not None:
             cond &= rt <= lt + F.lit(tolerance)
         order = [rt.asc()]
+        if tie_break is not None:
+            order.append(F.col(tie_break).asc())
+    else:  # nearest: tolerance is in SECONDS, distance on epoch seconds
+        dist = F.abs(
+            rt.cast("timestamp").cast("double") - lt.cast("timestamp").cast("double")
+        )
+        cond = dist <= F.lit(float(tolerance))
+        order = [dist.asc(), rt.asc()]
         if tie_break is not None:
             order.append(F.col(tie_break).asc())
     w = Window.partitionBy(left_key).orderBy(*order)

@@ -137,6 +137,8 @@ _DEFER_TO_TAIL = (
     "q_text_bpe_encode",
     "q_pack_mixture_budget",
     "q_agg_kmv_setops",
+    "q_join_asof_nearest",
+    "q_quality_drift_embedding",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

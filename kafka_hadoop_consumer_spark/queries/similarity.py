@@ -1610,3 +1610,111 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("keep_rate"),
     )
+
+
+@query(
+    "q_quality_drift_embedding",
+    oracle=_ORACLE_E
+    + """
+    , h AS (
+      SELECT vec_id, label, v, nrm,
+             CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'ref' ELSE 'cur' END AS half
+      FROM e),
+    cx AS (
+      SELECT label, half, pos, round(avg(x), 6) AS cx
+      FROM (SELECT label, half, unnest(v) AS x,
+                   unnest(range(1, len(v) + 1)) AS pos
+            FROM h)
+      GROUP BY label, half, pos),
+    cent AS (
+      SELECT label, half, list(cx ORDER BY pos) AS cv
+      FROM cx GROUP BY label, half),
+    stats AS (
+      SELECT label, half, CAST(count(*) AS BIGINT) AS n, avg(nrm) AS mnrm
+      FROM h GROUP BY label, half)
+    SELECT r.label, rs.n AS n_ref, cs.n AS n_cur,
+           round(list_sum(list_transform(list_zip(r.cv, c.cv),
+                                         p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(r.cv, x -> x * x)))
+                    * sqrt(list_sum(list_transform(c.cv, x -> x * x)))),
+                 4) AS centroid_cosine,
+           round(cs.mnrm - rs.mnrm, 4) + 0.0 AS norm_shift
+    FROM cent r
+    JOIN cent c ON c.label = r.label AND r.half = 'ref' AND c.half = 'cur'
+    JOIN stats rs ON rs.label = r.label AND rs.half = 'ref'
+    JOIN stats cs ON cs.label = r.label AND cs.half = 'cur'
+    """,
+)
+def q_quality_drift_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor — the ML-observability gate run when
+    a new model version or data batch lands: the corpus is split into
+    deterministic hash halves (stand-ins for reference vs current
+    batches), and per label the two halves' centroids (computed, rounded
+    6dp — q_embed_centroid discipline) are compared by cosine, alongside
+    population counts and mean-norm shift. centroid_cosine ≈ 1 means the
+    region of embedding space is stable; a drop localizes drift to a
+    label before it degrades retrieval (complements q_quality_psi, which
+    watches scalar distributions).
+
+    Scale shape: two hash aggs carrying |labels|·|dims| constant-size
+    partials (centroid sums) and |labels| norm averages; the comparison
+    joins touch only the tiny per-label tables — the corpus is scanned
+    once and never shuffled at row granularity."""
+    e = load_table(spark, sf_dir, "embeddings")
+    h = e.select(
+        "vec_id",
+        "label",
+        _vec_double().alias("v"),
+        F.when(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8", "ref"
+        )
+        .otherwise("cur")
+        .alias("half"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    h = persist_tracked(h)
+    cent = (
+        h.select("label", "half", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "half", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .groupBy("label", "half")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s.cx,
+            ).alias("cv")
+        )
+    )
+    stats = h.groupBy("label", "half").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("nrm").alias("mnrm")
+    )
+    r = cent.where(F.col("half") == "ref").select(
+        "label", F.col("cv").alias("rcv")
+    )
+    c = cent.where(F.col("half") == "cur").select(
+        "label", F.col("cv").alias("ccv")
+    )
+    rs = stats.where(F.col("half") == "ref").select(
+        "label", F.col("n").alias("n_ref"), F.col("mnrm").alias("rm")
+    )
+    cs = stats.where(F.col("half") == "cur").select(
+        "label", F.col("n").alias("n_cur"), F.col("mnrm").alias("cm")
+    )
+    cosine = _dot(F.col("rcv"), F.col("ccv")) / (
+        _norm(F.col("rcv")) * _norm(F.col("ccv"))
+    )
+    return (
+        r.join(c, "label")
+        .join(rs, "label")
+        .join(cs, "label")
+        .select(
+            "label",
+            "n_ref",
+            "n_cur",
+            F.round(cosine, 4).alias("centroid_cosine"),
+            # + 0.0 canonicalizes a tiny negative rounded to IEEE -0.0
+            (F.round(F.col("cm") - F.col("rm"), 4) + F.lit(0.0)).alias(
+                "norm_shift"
+            ),
+        )
+    )

@@ -2222,3 +2222,72 @@ def q_time_downtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("t_next_us") - F.col("t_us")).alias("silence_us"),
     )
+
+
+NEAREST_TOL_S = 7200  # ±2h candidate band for the nearest as-of join
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle=f"""
+    SELECT purchase_id, view_id, user_id, offset_us FROM (
+      SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+             epoch_us(CAST(v.ts AS TIMESTAMP))
+               - epoch_us(CAST(p.ts AS TIMESTAMP)) AS offset_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(CAST(v.ts AS TIMESTAMP))
+                            - epoch_us(CAST(p.ts AS TIMESTAMP))),
+                        CAST(v.ts AS TIMESTAMP), v.event_id) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON v.user_id = p.user_id
+       AND abs(epoch_us(CAST(v.ts AS TIMESTAMP))
+               - epoch_us(CAST(p.ts AS TIMESTAMP))) <= {NEAREST_TOL_S * 1_000_000})
+    WHERE rn = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof direction='nearest',
+    per user): each purchase is matched to the closest view in EITHER
+    direction within a ±{NEAREST_TOL_S}s band — the enrichment shape for
+    sensor fusion and sessionless attribution where the relevant context
+    can precede or follow the event. Completes the temporal-join matrix
+    (backward=q_join_asof, forward inside s_stream_asof, interval, range,
+    SCD2 point-in-time). Equal distances prefer the earlier view, then
+    the lower event id — pinned in operators.temporal.asof_join and
+    mirrored in the oracle, so tie outcomes are hash-checked. The signed
+    offset is emitted in exact integer µs.
+
+    Scale shape: the band REQUIREMENT (nearest without a tolerance is a
+    per-key cross product) keeps this an equi-join on user with a banded
+    residual — at scale, bucketize ts by the tolerance and join on
+    (user, bucket±1), the q_join_range recipe."""
+    from kafka_hadoop_consumer_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    return asof_join(
+        p,
+        v,
+        by="user_id",
+        left_ts="p_ts",
+        right_ts="v_ts",
+        left_key="purchase_id",
+        direction="nearest",
+        tolerance=NEAREST_TOL_S,
+        tie_break="view_id",
+    ).select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("v_ts").cast("timestamp"))
+            - F.unix_micros(F.col("p_ts").cast("timestamp"))
+        ).alias("offset_us"),
+    )
