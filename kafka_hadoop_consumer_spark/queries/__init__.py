@@ -139,6 +139,8 @@ _DEFER_TO_TAIL = (
     "q_agg_kmv_setops",
     "q_join_asof_nearest",
     "q_quality_drift_embedding",
+    "q_time_drawdown",
+    "q_sample_coreset",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -1718,3 +1718,99 @@ def q_quality_drift_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+CORESET_STEPS = 4  # greedy selections after the seed (5 points total)
+
+
+def _coreset_oracle() -> str:
+    """Chained-CTE k-center greedy: sel0 holds the seed; each step picks
+    the vector minimizing its 6dp-rounded max cosine to the selected set
+    (= maximizing min angular distance), vec_id tie-break."""
+    step_tpl = """,
+    s{i} AS (
+      SELECT e.vec_id, e.v,
+             round(list_max(list_transform(p.vs,
+                 s -> list_sum(list_transform(list_zip(e.v, s),
+                                              z -> z[1] * z[2]))
+                      / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                         * sqrt(list_sum(list_transform(s, x -> x * x)))))),
+                   6) AS maxcos
+      FROM e CROSS JOIN sel{p} p
+      WHERE NOT list_contains(p.ids, e.vec_id)
+      ORDER BY maxcos, e.vec_id LIMIT 1),
+    sel{i} AS (
+      SELECT list_append(p.ids, n.vec_id) AS ids,
+             list_append(p.vs, n.v) AS vs,
+             list_append(p.cov, n.maxcos) AS cov
+      FROM sel{p} p CROSS JOIN s{i} n)"""
+    steps = "".join(
+        step_tpl.format(i=i, p=i - 1) for i in range(1, CORESET_STEPS + 1)
+    )
+    return (
+        _ORACLE_E
+        + f""",
+    sel0 AS (
+      SELECT [vec_id] AS ids, [v] AS vs, [CAST(NULL AS DOUBLE)] AS cov
+      FROM e WHERE vec_id = 0){steps}
+    SELECT CAST(u.i - 1 AS INT) AS step, c.ids[u.i] AS vec_id,
+           c.cov[u.i] AS max_cos_at_pick
+    FROM sel{CORESET_STEPS} c, UNNEST(range(1, len(c.ids) + 1)) AS u(i)
+    """
+    )
+
+
+@query("q_sample_coreset", oracle=_coreset_oracle())
+def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset selection (farthest-point traversal — the
+    facility-location greedy behind diversity-aware data curation): from
+    a fixed seed, each step admits the vector MINIMIZING its rounded max
+    cosine to everything already selected (equivalently, maximizing the
+    minimum angular distance) — the classic 2-approximation to the
+    k-center cover, emitted with each pick's coverage cosine so the
+    radius curve is visible. Deterministic end-to-end: cosines rounded
+    6dp before the argmin, ties broken by vec_id, and the whole greedy
+    trajectory hash-verified against the oracle's chained-CTE replay.
+
+    Scale shape: each step is one scan of the corpus against a
+    BROADCAST ≤k-vector selected set (zero shuffle) followed by a
+    TakeOrdered-1 reduction; steps are serial by nature of the greedy,
+    so wall-clock is k scans — at 100 TB pick k per partition first and
+    greedy-merge the per-partition candidates (composable, same op)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = persist_tracked(e.select("vec_id", _vec_double().alias("v")))
+    sel = ed.where(F.col("vec_id") == 0).select(
+        F.array("vec_id").alias("ids"),
+        F.array("v").alias("vs"),
+        F.array(F.lit(None).cast("double")).alias("cov"),
+    )
+    for _ in range(CORESET_STEPS):
+        maxcos = F.round(
+            F.array_max(
+                F.transform(
+                    F.col("vs"),
+                    lambda s: _dot(F.col("v"), s)
+                    / (_norm(F.col("v")) * _norm(s)),
+                )
+            ),
+            6,
+        )
+        nxt = (
+            ed.crossJoin(F.broadcast(sel))
+            .where(~F.array_contains(F.col("ids"), F.col("vec_id")))
+            .select("vec_id", "v", "ids", "vs", "cov", maxcos.alias("maxcos"))
+            .orderBy(F.col("maxcos").asc(), F.col("vec_id").asc())
+            .limit(1)
+        )
+        sel = nxt.select(
+            F.concat(F.col("ids"), F.array(F.col("vec_id"))).alias("ids"),
+            F.concat(F.col("vs"), F.array(F.col("v"))).alias("vs"),
+            F.concat(F.col("cov"), F.array(F.col("maxcos"))).alias("cov"),
+        )
+    return sel.select(
+        F.posexplode(F.arrays_zip("ids", "cov")).alias("step", "z")
+    ).select(
+        "step",
+        F.col("z.ids").alias("vec_id"),
+        F.col("z.cov").alias("max_cos_at_pick"),
+    )

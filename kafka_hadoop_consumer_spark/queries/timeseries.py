@@ -2291,3 +2291,81 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("p_ts").cast("timestamp"))
         ).alias("offset_us"),
     )
+
+
+@query(
+    "q_time_drawdown",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {DAY_US} AS day_id,
+             round(sum(value), 2) AS day_val
+      FROM events GROUP BY event_type, day_id),
+    cum AS (
+      SELECT event_type, day_id,
+             sum(day_val) OVER (
+               PARTITION BY event_type ORDER BY day_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM daily),
+    dd AS (
+      SELECT event_type, day_id, running,
+             max(running) OVER (
+               PARTITION BY event_type ORDER BY day_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM cum),
+    ranked AS (
+      SELECT event_type, day_id AS trough_day, running, peak,
+             round(peak - running, 2) AS drawdown,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY round(peak - running, 2) DESC, day_id) AS rn
+      FROM dd)
+    SELECT event_type, trough_day, round(peak, 2) AS peak_value,
+           round(running, 2) AS trough_value, drawdown
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_time_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — the running-peak-to-trough metric
+    (finance's risk staple, equally useful for KPI regression monitoring):
+    daily totals (rounded 2dp so the cumulative base is cross-engine
+    exact) are cumulatively summed, the running peak tracked by an
+    expanding max window, and the single worst (peak − current) day
+    reported per event_type with the peak/trough values. Two stacked
+    expanding windows + argmax SHARE one (event_type, day) ordering, so
+    the whole thing is one shuffle on the collapsed daily aggregate.
+
+    Scale shape: the expanding windows run on the |series|×|days| daily
+    rollup, not raw events — one hash agg reduces the fact table first
+    (q_time_changepoint discipline)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(cast(ts AS timestamp)) DIV {DAY_US}").alias("day_id"),
+    ).agg(F.round(F.sum("value"), 2).alias("day_val"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = (
+        daily.withColumn("running", F.sum("day_val").over(w_cum))
+        .withColumn("peak", F.max(F.sum("day_val").over(w_cum)).over(w_cum))
+    )
+    ranked = dd.withColumn(
+        "drawdown", F.round(F.col("peak") - F.col("running"), 2)
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("drawdown").desc(), F.col("day_id")
+            )
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "event_type",
+        F.col("day_id").alias("trough_day"),
+        F.round("peak", 2).alias("peak_value"),
+        F.round("running", 2).alias("trough_value"),
+        "drawdown",
+    )
