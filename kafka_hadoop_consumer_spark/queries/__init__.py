@@ -141,6 +141,7 @@ _DEFER_TO_TAIL = (
     "q_quality_drift_embedding",
     "q_time_drawdown",
     "q_sample_coreset",
+    "q_cdc_deletes",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -2369,3 +2369,94 @@ def q_time_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("running", 2).alias("trough_value"),
         "drawdown",
     )
+
+
+@query(
+    "q_cdc_deletes",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_type, value
+      FROM (SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events
+            WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{MERGE_CUTOFF}')
+      WHERE rn = 1),
+    delta AS (
+      SELECT user_id, event_type, value,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      FROM (SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events
+            WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{MERGE_CUTOFF}')
+      WHERE rn = 1)
+    SELECT coalesce(d.user_id, b.user_id) AS user_id,
+           CASE WHEN d.op = 'delete' THEN NULL
+                ELSE coalesce(d.event_type, b.event_type) END AS event_type,
+           CASE WHEN d.op = 'delete' THEN NULL
+                ELSE coalesce(d.value, b.value) END AS value,
+           CASE WHEN b.user_id IS NULL AND d.op = 'delete' THEN 'delete_miss'
+                WHEN b.user_id IS NULL THEN 'insert'
+                WHEN d.user_id IS NULL THEN 'unchanged'
+                WHEN d.op = 'delete' THEN 'delete'
+                ELSE 'update' END AS action
+    FROM base b FULL JOIN delta d ON d.user_id = b.user_id
+    """,
+)
+def q_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with TOMBSTONES — completes q_cdc_merge's action matrix with
+    the delete leg every CDC feed needs (Debezium ``op=d``, Delta/Iceberg
+    ``WHEN MATCHED THEN DELETE``): delta rows whose latest state is a
+    tombstone (here: event_type='error' stands in for the delete marker)
+    remove the matched base key, tombstones for absent keys surface as
+    'delete_miss' (the idempotency case a naive MERGE silently swallows),
+    and everything else follows insert/update/unchanged. Deleted rows are
+    emitted with NULLed state so the action audit is one table.
+
+    Scale shape: identical to q_cdc_merge — both sides compact to one row
+    per key on the same user_id partitioning before one FULL outer join
+    over |keys| rows."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp_ntz")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    base = latest(e.where(F.col("ts") < cutoff)).select(
+        F.col("user_id").alias("b_uid"),
+        F.col("event_type").alias("b_type"),
+        F.col("value").alias("b_val"),
+    )
+    delta = latest(e.where(F.col("ts") >= cutoff)).select(
+        F.col("user_id").alias("d_uid"),
+        F.col("event_type").alias("d_type"),
+        F.col("value").alias("d_val"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+    )
+    j = base.join(delta, F.col("b_uid") == F.col("d_uid"), "full")
+    is_del = F.col("op") == "delete"
+    return j.select(
+        F.coalesce("d_uid", "b_uid").alias("user_id"),
+        F.when(is_del, F.lit(None).cast("string"))
+        .otherwise(F.coalesce("d_type", "b_type"))
+        .alias("event_type"),
+        F.when(is_del, F.lit(None).cast("double"))
+        .otherwise(F.coalesce("d_val", "b_val"))
+        .alias("value"),
+        F.when(F.col("b_uid").isNull() & is_del, "delete_miss")
+        .when(F.col("b_uid").isNull(), "insert")
+        .when(F.col("d_uid").isNull(), "unchanged")
+        .when(is_del, "delete")
+        .otherwise("update")
+        .alias("action"),
+    )
