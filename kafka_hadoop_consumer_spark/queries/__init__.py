@@ -142,6 +142,7 @@ _DEFER_TO_TAIL = (
     "q_time_drawdown",
     "q_sample_coreset",
     "q_cdc_deletes",
+    "q_e2e_dedup_cascade",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

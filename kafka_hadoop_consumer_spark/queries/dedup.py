@@ -1232,3 +1232,145 @@ def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cleaned_md5"),
     )
+
+
+CASCADE_SPAN_RATIO = 0.5  # drop docs with > this duplicated-chunk ratio
+
+
+@query(
+    "q_e2e_dedup_cascade",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM s1),
+    sh_all AS (
+      SELECT DISTINCT doc_id, s
+      FROM tok,
+           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)),
+    sh AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh_all)
+      WHERE df <= {DF_CAP}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    drop2 AS (
+      SELECT DISTINCT doc2 AS doc_id FROM inter
+      JOIN sizes z1 ON z1.doc_id = inter.doc1
+      JOIN sizes z2 ON z2.doc_id = inter.doc2
+      WHERE CAST(n_inter AS DOUBLE) / (z1.n_sh + z2.n_sh - n_inter)
+            > {JACCARD_THRESHOLD}),
+    s2 AS (SELECT doc_id, text FROM s1
+           WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+    t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM s2),
+    ch AS (
+      SELECT doc_id,
+             array_to_string(t[u.i : u.i + {CHUNK_TOKENS - 1}], ' ') AS chunk
+      FROM t2, UNNEST(range(1, len(t) + 1, {CHUNK_TOKENS})) AS u(i)),
+    cdf AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk),
+    ratio AS (
+      SELECT c.doc_id,
+             CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS r
+      FROM ch c JOIN cdf d ON d.chunk = c.chunk GROUP BY c.doc_id),
+    drop3 AS (SELECT doc_id FROM ratio WHERE r > {CASCADE_SPAN_RATIO}),
+    n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+    n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
+    n3 AS (SELECT CAST((SELECT n FROM n2) - count(*) AS BIGINT) AS n FROM drop3)
+    SELECT 1 AS stage_ord, 'exact' AS stage, n0.n AS n_in,
+           n0.n - n1.n AS n_dropped, n1.n AS n_out FROM n0, n1
+    UNION ALL
+    SELECT 2, 'near_dup', n1.n, n1.n - n2.n, n2.n FROM n1, n2
+    UNION ALL
+    SELECT 3, 'span_dup', n2.n, n2.n - n3.n, n3.n FROM n2, n3
+    """,
+)
+def q_e2e_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup pipeline END-TO-END, one query: exact dedup
+    (keep-lowest doc per md5 fingerprint) → near-dup removal (df-capped
+    exact 4-shingle Jaccard > {JACCARD_THRESHOLD}, keep-lowest-id per
+    pair) → verbatim-span gate (drop docs whose duplicated-chunk ratio
+    exceeds {CASCADE_SPAN_RATIO} among survivors). Emits the funnel —
+    per stage: docs in, dropped, out — which is the number every corpus
+    curation report leads with. Each stage reuses an already-verified
+    formulation (q_dedup_exact, q_dedup_ngram_jaccard, q_dedup_chunks),
+    so the composition, including stage ordering effects (near-dup
+    removal changes chunk document frequencies for the span gate), is
+    hash-checked as a whole.
+
+    Scale shape: the union of the component shapes — one fingerprint
+    window, one capped posting-list shuffle, one chunk-df agg — each
+    stage filtering before the next so later stages scan less; at 100 TB
+    swap stage 2's exact Jaccard for q_dedup_minhash banding (same
+    in/out contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    s1 = persist_tracked(
+        d.withColumn("fp", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w_fp))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    pairs = exact_jaccard_pairs(shingles(s1)).where(
+        F.col("jaccard") > JACCARD_THRESHOLD
+    )
+    drop2 = pairs.select(F.col("doc2").alias("doc_id")).distinct()
+    s2 = persist_tracked(s1.join(drop2, "doc_id", "left_anti"))
+    chunks = s2.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(text, ' ')), 1), {CHUNK_TOKENS}), "
+                f"i -> array_join(slice(split(text, ' '), i, {CHUNK_TOKENS}), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    chunks = persist_tracked(chunks)
+    cdf = chunks.groupBy("chunk").agg(F.count_distinct("doc_id").alias("nd"))
+    ratio = (
+        chunks.join(cdf, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("r")
+        )
+    )
+    drop3 = ratio.where(F.col("r") > CASCADE_SPAN_RATIO)
+
+    def n_row(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    n0, n1, n2 = n_row(d, "n0"), n_row(s1, "n1"), n_row(s2, "n2")
+    nd3 = n_row(drop3, "nd3")
+    r1 = n0.crossJoin(n1).select(
+        F.lit(1).alias("stage_ord"),
+        F.lit("exact").alias("stage"),
+        F.col("n0").alias("n_in"),
+        (F.col("n0") - F.col("n1")).alias("n_dropped"),
+        F.col("n1").alias("n_out"),
+    )
+    r2 = n1.crossJoin(n2).select(
+        F.lit(2).alias("stage_ord"),
+        F.lit("near_dup").alias("stage"),
+        F.col("n1").alias("n_in"),
+        (F.col("n1") - F.col("n2")).alias("n_dropped"),
+        F.col("n2").alias("n_out"),
+    )
+    r3 = n2.crossJoin(nd3).select(
+        F.lit(3).alias("stage_ord"),
+        F.lit("span_dup").alias("stage"),
+        F.col("n2").alias("n_in"),
+        F.col("nd3").alias("n_dropped"),
+        (F.col("n2") - F.col("nd3")).alias("n_out"),
+    )
+    return r1.unionByName(r2).unionByName(r3)

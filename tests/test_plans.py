@@ -221,6 +221,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_dedup_semdedup",  # every vector × broadcast centroids (shared IVF assign)
         "q_agg_kmv_setops",  # crossJoin of the broadcast 1-row union sketch stats
         "q_sample_coreset",  # corpus past the broadcast 1-row selected set, ×k steps
+        "q_e2e_dedup_cascade",  # crossJoins of 1-row per-stage count aggregates
     }
     offenders = {}
     for name, fn in QUERIES.items():
