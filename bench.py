@@ -306,7 +306,8 @@ def main() -> None:
         for name in ("q_text_heavy_hitters", "q_graph_pagerank",
                      "q_sim_pq_topk", "q_stats_bootstrap",
                      "q_dedup_substring", "q_graph_triangles",
-                     "q_dedup_semdedup", "q_text_bpe_encode")
+                     "q_dedup_semdedup", "q_text_bpe_encode",
+                     "q_e2e_dedup_cascade")
     }
 
     result = {

@@ -143,6 +143,7 @@ _DEFER_TO_TAIL = (
     "q_sample_coreset",
     "q_cdc_deletes",
     "q_e2e_dedup_cascade",
+    "q_stats_power",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

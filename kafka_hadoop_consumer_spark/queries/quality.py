@@ -1633,3 +1633,86 @@ def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("log_loss"),
     )
+
+
+POWER_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+POWER_Z_BETA = 0.841621   # power = 0.80
+POWER_MDE_REL = 0.05      # minimum detectable effect: 5% relative lift
+
+
+@query(
+    "q_stats_power",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(value) AS s1, sum(value * value) AS s2,
+             CAST(count(DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // {86_400_000_000})
+                  AS BIGINT) AS n_days
+      FROM events GROUP BY event_type),
+    m AS (
+      SELECT event_type, n, n_days,
+             round(s1 / n, 6) AS mean,
+             round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS sd
+      FROM s)
+    SELECT event_type, n AS n_observed,
+           mean, sd,
+           round({POWER_MDE_REL} * mean, 6) AS mde_abs,
+           CAST(ceil(2 * pow({POWER_Z_ALPHA} + {POWER_Z_BETA}, 2) * sd * sd
+                     / pow({POWER_MDE_REL} * mean, 2)) AS BIGINT) AS n_per_arm,
+           CAST(ceil(2 * ceil(2 * pow({POWER_Z_ALPHA} + {POWER_Z_BETA}, 2) * sd * sd
+                              / pow({POWER_MDE_REL} * mean, 2))
+                     / (CAST(n AS DOUBLE) / n_days)) AS BIGINT) AS days_needed
+    FROM m
+    """,
+)
+def q_stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning from observed data — the question every
+    A/B test starts with: given this metric's observed variance and
+    traffic, how many units per arm (and how many days at current volume)
+    does an 80%-power, alpha=0.05 test of a {POWER_MDE_REL:.0%} relative
+    lift need? n/arm = 2(z_a+z_b)^2 * sd^2 / mde^2, the standard
+    two-sample normal-approximation formula with the z quantiles shipped
+    as literals (no engine erf). mean/sd come from power sums rounded
+    6dp, so the plan is deterministic cross-engine.
+
+    Scale shape: one map-side-combinable hash agg (count/sum/sumsq +
+    exact distinct-days) per event_type; everything downstream is
+    |types|-row scalar arithmetic. Pairs with q_stats_ttest (the readout
+    this plans for) and q_stats_cuped (whose variance reduction shrinks
+    n_per_arm — rerun THIS on the adjusted metric to see the saving)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(cast(ts AS timestamp)) DIV 86400000000")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+        F.count_distinct(day).alias("n_days"),
+    )
+    mean = F.round(F.col("s1") / F.col("n"), 6)
+    sd = F.round(
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ),
+        6,
+    )
+    m = s.select("event_type", "n", "n_days", mean.alias("mean"), sd.alias("sd"))
+    mde = POWER_MDE_REL * F.col("mean")
+    n_arm = F.ceil(
+        2
+        * F.pow(F.lit(POWER_Z_ALPHA + POWER_Z_BETA), 2)
+        * F.col("sd")
+        * F.col("sd")
+        / F.pow(mde, 2)
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_observed"),
+        "mean",
+        "sd",
+        F.round(mde, 6).alias("mde_abs"),
+        n_arm.cast("long").alias("n_per_arm"),
+        F.ceil(2 * n_arm / (F.col("n").cast("double") / F.col("n_days")))
+        .cast("long")
+        .alias("days_needed"),
+    )
