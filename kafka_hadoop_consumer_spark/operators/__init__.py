@@ -15,12 +15,16 @@ from kafka_hadoop_consumer_spark.queries.dedup import (
     exact_jaccard_pairs,
     minhash_signatures,
     shingles,
+    verbatim_runs,
 )
+from kafka_hadoop_consumer_spark.queries.graph import triangles_from_edges
 
 __all__ = [
     "shingles",
     "minhash_signatures",
     "exact_jaccard_pairs",
+    "verbatim_runs",
+    "triangles_from_edges",
     "salted_join",
     "asof_join",
     "interval_overlap_join",

@@ -144,6 +144,7 @@ _DEFER_TO_TAIL = (
     "q_cdc_deletes",
     "q_e2e_dedup_cascade",
     "q_stats_power",
+    "q_win_attribution_linear",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

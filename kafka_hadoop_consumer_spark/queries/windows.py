@@ -683,3 +683,87 @@ def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
     )
+
+
+@query(
+    "q_win_attribution_linear",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, CAST(ts AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT event_id AS tid, user_id, event_type AS touch_type,
+             CAST(ts AS TIMESTAMP) AS tts
+      FROM events WHERE event_type IN ('click', 'view')),
+    j AS (
+      SELECT p.pid, t.tid, t.touch_type
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND (t.tts, t.tid) < (p.pts, p.pid)
+       AND epoch_us(p.pts) - epoch_us(t.tts)
+           <= {ATTRIBUTION_WINDOW_SEC * 1_000_000}),
+    credit AS (
+      SELECT touch_type,
+             1.0 / count(*) OVER (PARTITION BY pid) AS c
+      FROM j),
+    agg AS (
+      SELECT touch_type, CAST(count(*) AS BIGINT) AS n_credited_touches,
+             sum(c) AS tc
+      FROM credit GROUP BY touch_type)
+    SELECT touch_type, n_credited_touches,
+           round(tc, 6) AS total_credit,
+           round(tc / sum(tc) OVER (), 6) AS credit_share
+    FROM agg
+    """,
+)
+def q_win_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — the fair-share companion to
+    q_win_attribution's last-touch model: every click/view touch in the
+    7-day window before a purchase receives an equal 1/k share of that
+    conversion's credit (k = touches in the window), aggregated into
+    per-channel credited-touch counts, total credit, and credit share.
+    Stream-order precedence ((ts, event_id) lexicographic, a struct
+    comparison on both engines) pins which touches qualify, so the
+    credit table is hash-verified.
+
+    Scale shape: one banded equi-join on user (the q_join_range recipe
+    applies at scale: bucketize ts by the window width), one
+    per-purchase window count riding the join's partitioning, one
+    |channels|-row rollup."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").cast("timestamp").alias("pts"),
+    )
+    t = e.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("t_uid"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").cast("timestamp").alias("tts"),
+    )
+    j = p.join(
+        t,
+        (F.col("t_uid") == F.col("user_id"))
+        & (
+            F.struct(F.col("tts"), F.col("tid"))
+            < F.struct(F.col("pts"), F.col("pid"))
+        )
+        & (
+            F.unix_micros(F.col("pts")) - F.unix_micros(F.col("tts"))
+            <= ATTRIBUTION_WINDOW_SEC * 1_000_000
+        ),
+    ).select("pid", "tid", "touch_type")
+    w_p = Window.partitionBy("pid")
+    credit = j.select(
+        "touch_type", (F.lit(1.0) / F.count(F.lit(1)).over(w_p)).alias("c")
+    )
+    agg = credit.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_credited_touches"), F.sum("c").alias("tc")
+    )
+    w_all = Window.partitionBy()
+    return agg.select(
+        "touch_type",
+        "n_credited_touches",
+        F.round("tc", 6).alias("total_credit"),
+        F.round(F.col("tc") / F.sum("tc").over(w_all), 6).alias("credit_share"),
+    )
