@@ -277,3 +277,103 @@ def run_continuous_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_near_dedup(
+    docs: DataFrame, corpus_dir: str, log_dir: str, checkpoint: str
+) -> None:
+    """Streaming NEAR-dedup ingestion — the LLM-corpus dedup gate running
+    in the ingestion path: each micro-batch of (doc_id, text) is
+    classified against the accumulated corpus as ``exact_dup`` (md5
+    fingerprint already present), ``near_dup`` (MinHash LSH band-bucket
+    collision with an accepted doc — the q_dedup_minhash banding, so
+    only genuinely-similar docs collide), or ``new``. Verdicts append to
+    ``log_dir``; only NEW docs' signatures join the corpus state at
+    ``corpus_dir``, so later batches dedup against everything accepted
+    so far (the streaming face of q_dedup_incremental, upgraded from
+    exact-only to near-dup).
+
+    State is a parquet signature table ((doc_id, fp, band, bucket) — 
+    N_BANDS rows per accepted doc, constant-size per doc regardless of
+    text length), the same mergeable-compact-state discipline as the
+    continuous-aggregate sink; the checkpoint makes batch ids
+    exactly-once so a restart cannot double-accept."""
+    from kafka_hadoop_consumer_spark.queries.dedup import (
+        N_BANDS,
+        ROWS_PER_BAND,
+        minhash_signatures,
+        shingles,
+    )
+
+    def sig_table(d: DataFrame) -> DataFrame:
+        sig = minhash_signatures(shingles(d))
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"m{b * ROWS_PER_BAND + k}") for k in range(ROWS_PER_BAND)]
+                ).alias("bucket"),
+            )
+            for b in range(N_BANDS)
+        ]
+        return sig.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+    def classify(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fps = batch.select("doc_id", F.md5("text").alias("fp"))
+        bands = sig_table(batch).join(fps, "doc_id")
+        bands.cache().count()
+        try:
+            corpus = spark.read.parquet(corpus_dir)
+            have_corpus = True
+        except Exception:  # first batch: empty corpus
+            have_corpus = False
+        if have_corpus:
+            exact = (
+                fps.join(corpus.select("fp").distinct(), "fp")
+                .select("doc_id")
+                .distinct()
+            )
+            near = (
+                bands.join(
+                    corpus.select("band", "bucket").distinct(), ["band", "bucket"]
+                )
+                .select("doc_id")
+                .distinct()
+                .join(exact, "doc_id", "left_anti")
+            )
+        else:
+            exact = fps.select("doc_id").where(F.lit(False))
+            near = exact
+        verdicts = (
+            fps.select("doc_id")
+            .join(exact.withColumn("v", F.lit("exact_dup")), "doc_id", "left")
+            .join(near.withColumn("w", F.lit("near_dup")), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("v", "w", F.lit("new")).alias("verdict"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+        )
+        # localCheckpoint truncates the lineage: caching is best-effort,
+        # and a re-evaluated verdict plan would otherwise re-read the
+        # corpus AFTER this batch's own signatures landed — classifying
+        # the batch's new docs as duplicates of themselves.
+        verdicts = verdicts.localCheckpoint()
+        verdicts.write.mode("append").parquet(log_dir)
+        new_sigs = bands.join(
+            verdicts.where(F.col("verdict") == "new").select("doc_id"), "doc_id"
+        )
+        new_sigs.write.mode("append").parquet(corpus_dir)
+        bands.unpersist()
+
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(classify)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -661,3 +661,52 @@ def test_stateful_counters_on_rocksdb_state_store(spark, events_dir):
             spark.conf.set(provider_conf, saved)
         else:
             spark.conf.unset(provider_conf)
+
+
+def test_incremental_near_dedup_stream(spark, tmp_path):
+    """Streaming near-dedup gate: batch 2's exact copy and near-copy
+    (one token edited in a 200-token doc — LSH collision probability
+    ~1 - 3e-7, and deterministic for fixed content) of batch-1 docs are
+    rejected with the right verdicts, while the novel doc is accepted
+    and joins the corpus state."""
+    import json
+
+    from kafka_hadoop_consumer_spark.streaming.ops import (
+        run_incremental_near_dedup,
+    )
+
+    def doc(prefix, n=200):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    base_a, base_b = doc("alpha"), doc("beta")
+    near_a = " ".join(
+        ["EDITED" if i == 100 else f"alpha{i}" for i in range(200)]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "batch1.json", "w") as f:
+        for i, t in [(1, base_a), (2, base_b)]:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    with open(src / "batch2.json", "w") as f:
+        for i, t in [(3, base_a), (4, near_a), (5, doc("gamma"))]:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    corpus, log = str(tmp_path / "corpus"), str(tmp_path / "log")
+    run_incremental_near_dedup(stream, corpus, log, str(tmp_path / "ck"))
+
+    verdicts = {
+        r.doc_id: r.verdict for r in spark.read.parquet(log).collect()
+    }
+    assert verdicts[1] == "new" and verdicts[2] == "new"
+    assert verdicts[3] == "exact_dup"
+    assert verdicts[4] == "near_dup"
+    assert verdicts[5] == "new"
+    accepted = {
+        r.doc_id for r in spark.read.parquet(corpus).select("doc_id").distinct().collect()
+    }
+    assert accepted == {1, 2, 5}
