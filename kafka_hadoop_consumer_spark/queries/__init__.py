@@ -145,6 +145,8 @@ _DEFER_TO_TAIL = (
     "q_e2e_dedup_cascade",
     "q_stats_power",
     "q_win_attribution_linear",
+    "q_quality_freshness",
+    "q_time_sla_uptime",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

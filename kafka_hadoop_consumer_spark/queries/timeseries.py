@@ -2460,3 +2460,132 @@ def q_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+STALE_LAG_US = 6 * 3_600_000_000  # freshness SLA: stale after 6h silence
+
+
+@query(
+    "q_quality_freshness",
+    oracle=f"""
+    WITH mx AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS gmax FROM events),
+    s AS (
+      SELECT event_type,
+             max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type)
+    SELECT s.event_type, s.n_events,
+           mx.gmax - s.last_us AS lag_us,
+           (mx.gmax - s.last_us) > {STALE_LAG_US} AS is_stale,
+           CAST((SELECT count(*) FROM events e
+                 WHERE e.event_type = s.event_type
+                   AND epoch_us(CAST(e.ts AS TIMESTAMP))
+                       > mx.gmax - {24 * 3_600_000_000}) AS BIGINT)
+               AS n_last_24h
+    FROM s CROSS JOIN mx
+    """,
+)
+def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit — the first check every pipeline-ops dashboard
+    runs: per series, how far behind the corpus watermark (the GLOBAL max
+    timestamp — a deterministic stand-in for wall-clock now) is the last
+    observed event, is it past the staleness SLA, and how much volume
+    arrived in the trailing 24 h. All arithmetic in exact integer µs.
+
+    Scale shape: the 1-row global watermark broadcasts back onto the
+    scan, so the trailing-24h count is a conditional inside ONE
+    per-series hash agg — constant-size partials, one shuffle, nothing
+    row-sized retained."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mx = e.agg(F.max(us).alias("gmax"))
+    s = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.max(us).alias("last_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(us > F.col("gmax") - F.lit(24 * 3_600_000_000), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_last_24h"),
+            F.first("gmax").alias("gmax"),
+        )
+    )
+    return s.select(
+        "event_type",
+        "n_events",
+        (F.col("gmax") - F.col("last_us")).alias("lag_us"),
+        ((F.col("gmax") - F.col("last_us")) > STALE_LAG_US).alias("is_stale"),
+        "n_last_24h",
+    )
+
+
+@query(
+    "q_time_sla_uptime",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+      FROM events),
+    gaps AS (
+      SELECT event_type, t_us,
+             lead(t_us) OVER (PARTITION BY event_type ORDER BY t_us) - t_us
+                 AS gap_us
+      FROM t),
+    agg AS (
+      SELECT event_type,
+             max(t_us) - min(t_us) AS span_us,
+             CAST(coalesce(sum(CASE WHEN gap_us > {DOWNTIME_GAP_US}
+                                    THEN gap_us END), 0) AS BIGINT)
+                 AS downtime_us,
+             CAST(coalesce(sum(CASE WHEN gap_us > {DOWNTIME_GAP_US}
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_outages,
+             CAST(coalesce(max(CASE WHEN gap_us > {DOWNTIME_GAP_US}
+                                    THEN gap_us END), 0) AS BIGINT)
+                 AS longest_outage_us
+      FROM gaps GROUP BY event_type)
+    SELECT event_type, span_us, n_outages, downtime_us, longest_outage_us,
+           round(1.0 - CAST(downtime_us AS DOUBLE) / span_us, 6) AS uptime_pct
+    FROM agg
+    """,
+)
+def q_time_sla_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA uptime report per series — the rollup q_time_downtime's raw
+    silence windows feed: total observed span, outage count, total and
+    longest silence beyond the {2}h threshold, and the resulting uptime
+    percentage — the number an availability SLO is judged on. Exact
+    integer-µs arithmetic end-to-end; only the final percentage divides.
+
+    Scale shape: one lead() window per series (the q_time_downtime
+    shuffle) feeding one hash agg that reuses the same partitioning —
+    nothing leaves the series partition until the 5-row report."""
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    w = Window.partitionBy("event_type").orderBy("t_us")
+    gaps = t.withColumn("gap_us", F.lead("t_us").over(w) - F.col("t_us"))
+    outage = F.col("gap_us") > DOWNTIME_GAP_US
+    agg = gaps.groupBy("event_type").agg(
+        (F.max("t_us") - F.min("t_us")).alias("span_us"),
+        F.coalesce(F.sum(F.when(outage, F.col("gap_us"))), F.lit(0))
+        .cast("long")
+        .alias("downtime_us"),
+        F.sum(F.when(outage, 1).otherwise(0)).cast("long").alias("n_outages"),
+        F.coalesce(F.max(F.when(outage, F.col("gap_us"))), F.lit(0))
+        .cast("long")
+        .alias("longest_outage_us"),
+    )
+    return agg.select(
+        "event_type",
+        "span_us",
+        "n_outages",
+        "downtime_us",
+        "longest_outage_us",
+        F.round(
+            F.lit(1.0) - F.col("downtime_us").cast("double") / F.col("span_us"), 6
+        ).alias("uptime_pct"),
+    )

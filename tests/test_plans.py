@@ -222,6 +222,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_agg_kmv_setops",  # crossJoin of the broadcast 1-row union sketch stats
         "q_sample_coreset",  # corpus past the broadcast 1-row selected set, ×k steps
         "q_e2e_dedup_cascade",  # crossJoins of 1-row per-stage count aggregates
+        "q_quality_freshness",  # crossJoin of the broadcast 1-row watermark
     }
     offenders = {}
     for name, fn in QUERIES.items():
