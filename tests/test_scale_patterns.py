@@ -188,3 +188,48 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
         .count()
     )
     assert n == expected  # the bloom filter is a pre-filter, never lossy
+
+
+def test_cbo_statistics_drive_broadcast_selection(spark, tmp_path_factory):
+    """Cost-based optimization from ANALYZE statistics: with table + column
+    stats computed, Catalyst broadcasts the small side of a join WITHOUT
+    an explicit hint and below-threshold detection comes from catalog
+    stats, not file sizes — the planning mode a 100 TB warehouse runs in
+    (file-size heuristics mislead once tables are partitioned/columnar;
+    row-count + NDV stats are what CBO join reordering consumes)."""
+    warehouse = str(tmp_path_factory.mktemp("cbo_wh"))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS cbo_db LOCATION '{warehouse}'")
+    try:
+        spark.range(0, 500_000).selectExpr(
+            "id AS k", "id % 100 AS grp", "id * 1.0 AS v"
+        ).write.mode("overwrite").saveAsTable("cbo_db.big")
+        spark.range(0, 200).selectExpr(
+            "id AS k", "concat('d', id) AS name"
+        ).write.mode("overwrite").saveAsTable("cbo_db.small")
+        for t in ("cbo_db.big", "cbo_db.small"):
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+        stats = spark.sql("DESC EXTENDED cbo_db.small").collect()
+        stat_row = [r for r in stats if r.col_name == "Statistics"]
+        assert stat_row and "rows" in stat_row[0].data_type, stats
+
+        with_cbo = {
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.cbo.joinReorder.enabled": "true",
+        }
+        old = {k: spark.conf.get(k, None) for k in with_cbo}
+        for k, v in with_cbo.items():
+            spark.conf.set(k, v)
+        try:
+            plan = formatted_plan(
+                spark.table("cbo_db.big").join(
+                    spark.table("cbo_db.small"), "k"
+                )
+            )
+        finally:
+            for k, v in old.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS cbo_db CASCADE")
