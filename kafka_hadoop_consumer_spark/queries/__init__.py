@@ -147,6 +147,8 @@ _DEFER_TO_TAIL = (
     "q_win_attribution_linear",
     "q_quality_freshness",
     "q_time_sla_uptime",
+    "q_pack_epoch_shuffle",
+    "q_fn_ipv4",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

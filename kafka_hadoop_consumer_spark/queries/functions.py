@@ -509,3 +509,79 @@ def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.contains(lc(F.col("typed")), F.lit("IC")), 1).otherwise(0)
         ).alias("n_ci_contains"),
     )
+
+
+def _oct_duck(i: int) -> str:
+    """DuckDB: octet i (1-4) from the user hash — hex pair → int."""
+    return f"CAST(CAST('0x' || substring(h, {2 * i - 1}, 2) AS INTEGER) AS INT)"
+
+
+def _oct_spark(i: int) -> str:
+    """Spark: the same octet via conv(hex, 16, 10)."""
+    return f"CAST(conv(substring(h, {2 * i - 1}, 2), 16, 10) AS INT)"
+
+
+@query(
+    "q_fn_ipv4",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events),
+    h AS (
+      SELECT user_id, md5('ip:' || CAST(user_id AS VARCHAR)) AS h FROM u),
+    ip AS (
+      SELECT user_id,
+             {_oct_duck(1)} AS o1, {_oct_duck(2)} AS o2,
+             {_oct_duck(3)} AS o3, {_oct_duck(4)} AS o4
+      FROM h)
+    SELECT user_id,
+           o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip,
+           CAST(o1 AS BIGINT) * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_int,
+           (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+            OR (o1 = 192 AND o2 = 168)) AS is_private,
+           o1 || '.' || o2 || '.0.0/16' AS subnet16
+    FROM ip
+    """,
+)
+def q_fn_ipv4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 address family for log analytics — parse/format octets, the
+    32-bit integer form (the sargable representation CIDR-range predicates
+    and range joins use at scale), RFC-1918 private-range classification,
+    and the /16 aggregation key. The fixture has no IP column, so
+    addresses derive deterministically from a user-id hash (the
+    q_text_pii synthesize-in-query discipline); the arithmetic is the
+    operator under test and is hash-verified end-to-end, hex parsing
+    included (conv(x,16,10) vs DuckDB's 0x-cast — different spellings,
+    same integers).
+
+    Scale shape: one distinct on user_id, then pure narrow codegen'd
+    expressions — at 100 TB a CIDR-containment join becomes
+    BETWEEN ip_int AND subnet bounds, i.e. the q_join_range recipe on
+    the integer form computed here."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.select("user_id").distinct()
+    h = u.select(
+        "user_id",
+        F.md5(F.concat(F.lit("ip:"), F.col("user_id").cast("string"))).alias("h"),
+    )
+    ip = h.select(
+        "user_id",
+        *[F.expr(_oct_spark(i)).alias(f"o{i}") for i in range(1, 5)],
+    )
+    return ip.select(
+        "user_id",
+        F.concat_ws(".", "o1", "o2", "o3", "o4").alias("ip"),
+        (
+            F.col("o1").cast("long") * 16777216
+            + F.col("o2") * 65536
+            + F.col("o3") * 256
+            + F.col("o4")
+        ).alias("ip_int"),
+        (
+            (F.col("o1") == 10)
+            | ((F.col("o1") == 172) & F.col("o2").between(16, 31))
+            | ((F.col("o1") == 192) & (F.col("o2") == 168))
+        ).alias("is_private"),
+        F.concat(F.col("o1"), F.lit("."), F.col("o2"), F.lit(".0.0/16")).alias(
+            "subnet16"
+        ),
+    )

@@ -624,3 +624,72 @@ def q_pack_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("utilization"),
         )
     )
+
+
+EPOCH_SEEDS = ("ep0", "ep1")  # literal epoch seeds (reproducible runs)
+EPOCH_SHARDS = 16             # hex-nibble sharding of each epoch order
+
+
+@query(
+    "q_pack_epoch_shuffle",
+    oracle=f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    ep AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CASE e.epoch WHEN 0 THEN '{EPOCH_SEEDS[0]}'
+                              ELSE '{EPOCH_SEEDS[1]}' END
+                 || ':' || CAST(d.doc_id AS VARCHAR)) AS h
+      FROM d CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e),
+    sharded AS (
+      SELECT epoch, doc_id, h,
+             CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS INT)
+                 AS shard
+      FROM ep)
+    SELECT epoch, doc_id, shard,
+           CAST(row_number() OVER (
+             PARTITION BY epoch, shard ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM sharded
+    """,
+)
+def q_pack_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffling for training runs: each epoch's
+    document order comes from md5(seed:doc_id) — re-running the pipeline
+    regenerates byte-identical epoch orders (the property data-loading
+    infra needs for resumable/replicable training), and different seeds
+    give independent permutations. Orders are SHARDED by the hash's
+    first nibble with positions assigned within (epoch, shard) — a
+    loader streams shards in sequence, so no global permutation is ever
+    materialized.
+
+    Scale shape: no global sort — the only window partitions by
+    (epoch, shard), i.e. 2×{EPOCH_SHARDS} parallel orderings whose size
+    is |corpus|/shards; at 100 TB raise the nibble count (2 hex chars →
+    256 shards) to keep shard sorts in-memory."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = d.sparkSession.range(2).select(F.col("id").cast("int").alias("epoch"))
+    ep = d.crossJoin(epochs).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.when(F.col("epoch") == 0, EPOCH_SEEDS[0]).otherwise(
+                    EPOCH_SEEDS[1]
+                ),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    sharded = ep.withColumn(
+        "shard",
+        (F.instr(F.lit("0123456789abcdef"), F.substring("h", 1, 1)) - 1).cast(
+            "int"
+        ),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "epoch",
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
