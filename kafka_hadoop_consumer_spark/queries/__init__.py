@@ -149,6 +149,8 @@ _DEFER_TO_TAIL = (
     "q_time_sla_uptime",
     "q_pack_epoch_shuffle",
     "q_fn_ipv4",
+    "q_ml_naive_bayes",
+    "q_agg_assoc_rules",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -1154,3 +1154,110 @@ def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("inter_rel_error"),
     )
+
+
+ASSOC_MIN_PAIR = 10  # minimum co-occurrence count for a rule
+ASSOC_TOP = 20       # rules emitted (by lift)
+
+
+@query(
+    "q_agg_assoc_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS item
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    nb AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM items),
+    sup AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY item),
+    pairs AS (
+      SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS np
+      FROM items a JOIN items b ON a.okey = b.okey AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING count(*) >= {ASSOC_MIN_PAIR}),
+    rules AS (
+      SELECT i1 AS antecedent, i2 AS consequent, np, s1.s AS n_ante, s2.s AS n_cons
+      FROM pairs JOIN sup s1 ON s1.item = i1 JOIN sup s2 ON s2.item = i2
+      UNION ALL
+      SELECT i2, i1, np, s2.s, s1.s
+      FROM pairs JOIN sup s1 ON s1.item = i1 JOIN sup s2 ON s2.item = i2),
+    scored AS (
+      SELECT antecedent, consequent, np AS n_pair,
+             round(CAST(np AS DOUBLE) / nb.n, 6) AS support,
+             round(CAST(np AS DOUBLE) / n_ante, 6) AS confidence,
+             round(CAST(np AS DOUBLE) * nb.n / (CAST(n_ante AS DOUBLE) * n_cons),
+                   6) AS lift
+      FROM rules CROSS JOIN nb)
+    SELECT * FROM scored
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT {ASSOC_TOP}
+    """,
+)
+def q_agg_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (market-basket analysis) over order
+    baskets: brand co-occurrence within orders yields support,
+    confidence, and lift per directed rule, with a minimum-support
+    threshold and the top-{ASSOC_TOP} rules by lift — the
+    recommendation / cross-sell primitive, computed exactly. Integer
+    counts throughout; only the final ratios divide (rounded 6dp, full
+    ordering pinned by the rule pair).
+
+    Scale shape: baskets come from one distinct over the fact join (dim
+    broadcast); pair generation is a self-equi-join on the basket key —
+    fan-out bounded by basket size squared (TPC-H baskets are ~4 items;
+    general carts warrant the df-cap discipline); rule scoring joins the
+    |items|-row support table twice (broadcast). Top-k is
+    TakeOrderedAndProject."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    items = persist_tracked(
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    nb = items.agg(F.count_distinct("okey").alias("n"))
+    sup = items.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    a = items.select("okey", F.col("item").alias("i1"))
+    b = items.select("okey", F.col("item").alias("i2"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .where(F.col("np") >= ASSOC_MIN_PAIR)
+    )
+    s1 = F.broadcast(sup.select(F.col("item").alias("i1"), F.col("s").alias("s1")))
+    s2 = F.broadcast(sup.select(F.col("item").alias("i2"), F.col("s").alias("s2")))
+    joined = persist_tracked(pairs.join(s1, "i1").join(s2, "i2"))
+    fwd = joined.select(
+        F.col("i1").alias("antecedent"),
+        F.col("i2").alias("consequent"),
+        "np",
+        F.col("s1").alias("n_ante"),
+        F.col("s2").alias("n_cons"),
+    )
+    rev = joined.select(
+        F.col("i2").alias("antecedent"),
+        F.col("i1").alias("consequent"),
+        "np",
+        F.col("s2").alias("n_ante"),
+        F.col("s1").alias("n_cons"),
+    )
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(nb))
+    return (
+        rules.select(
+            "antecedent",
+            "consequent",
+            F.col("np").alias("n_pair"),
+            F.round(F.col("np").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(F.col("np").cast("double") / F.col("n_ante"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("np").cast("double")
+                * F.col("n")
+                / (F.col("n_ante").cast("double") * F.col("n_cons")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(ASSOC_TOP)
+    )

@@ -1716,3 +1716,134 @@ def q_stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_needed"),
     )
+
+
+NB_SMOOTH = 1  # add-one (Laplace) smoothing
+
+
+@query(
+    "q_ml_naive_bayes",
+    oracle=f"""
+    WITH split AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS is_train
+      FROM documents),
+    tr_tok AS (
+      SELECT lang, unnest(t) AS tok FROM split WHERE is_train),
+    counts AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tr_tok GROUP BY lang, tok),
+    class_tot AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_tok FROM tr_tok GROUP BY lang),
+    vocab AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tr_tok),
+    priors AS (
+      SELECT lang, ln(CAST(count(*) AS DOUBLE)
+                      / (SELECT count(*) FROM split WHERE is_train)) AS lp
+      FROM split WHERE is_train GROUP BY lang),
+    te_tok AS (
+      SELECT doc_id, lang AS actual_lang, unnest(t) AS tok
+      FROM split WHERE NOT is_train),
+    scored AS (
+      SELECT te.doc_id, te.actual_lang, ct.lang AS cand,
+             sum(ln((coalesce(c.c, 0) + {NB_SMOOTH})
+                    / CAST(ct.n_tok + {NB_SMOOTH} * vocab.v AS DOUBLE))) AS ll
+      FROM te_tok te
+      CROSS JOIN class_tot ct CROSS JOIN vocab
+      LEFT JOIN counts c ON c.lang = ct.lang AND c.tok = te.tok
+      GROUP BY te.doc_id, te.actual_lang, ct.lang, ct.n_tok, vocab.v),
+    best AS (
+      SELECT doc_id, actual_lang, cand AS predicted_lang,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY round(s.ll + p.lp, 6) DESC, cand) AS rn
+      FROM scored s JOIN priors p ON p.lang = s.cand)
+    SELECT actual_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM best WHERE rn = 1
+    GROUP BY actual_lang, predicted_lang
+    """,
+)
+def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multinomial Naive Bayes, trained AND scored in one
+    declarative query: token likelihoods with Laplace smoothing and class
+    priors come from the deterministic hash-train split, every held-out
+    doc is scored against all classes (per-class token log-probs joined
+    onto exploded test tokens, unseen tokens falling to the smoothed
+    floor), and the argmax prediction (6dp-rounded log-likelihood, class
+    tie-break) rolls up into a confusion matrix. The fixture corpus is
+    word-salad, so accuracy is honest chance-level — the operator under
+    test is the distributed train/score machinery, not the fixture's
+    separability (the q_text_langid caveat).
+
+    Scale shape: training is two map-side-combinable hash aggs ((class,
+    token) counts + class totals); scoring explodes test docs once and
+    joins the Zipf-small likelihood table (broadcastable, like
+    q_text_tfidf's vocabulary); the per-(doc, class) sum rides one
+    shuffle. No iteration — NB's closed form is why it stays one pass at
+    any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    split = d.select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("t"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8").alias(
+            "is_train"
+        ),
+    )
+    split = persist_tracked(split)
+    tr_tok = persist_tracked(
+        split.where("is_train").select("lang", F.explode("t").alias("tok"))
+    )
+    counts = tr_tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    class_tot = tr_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok"))
+    vocab = tr_tok.agg(F.count_distinct("tok").alias("v"))
+    n_train = split.where("is_train").agg(
+        F.count(F.lit(1)).cast("double").alias("n_tr")
+    )
+    priors = (
+        split.where("is_train")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(n_train))
+        .select("lang", F.log(F.col("n_docs") / F.col("n_tr")).alias("lp"))
+    )
+    te_tok = split.where(~F.col("is_train")).select(
+        "doc_id", F.col("lang").alias("actual_lang"), F.explode("t").alias("tok")
+    )
+    scored = (
+        te_tok.crossJoin(F.broadcast(class_tot.withColumnRenamed("lang", "cand")))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            counts.select(
+                F.col("lang").alias("cand_c"), F.col("tok").alias("tok_c"), "c"
+            ),
+            (F.col("cand") == F.col("cand_c")) & (F.col("tok") == F.col("tok_c")),
+            "left",
+        )
+        .groupBy("doc_id", "actual_lang", "cand")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + NB_SMOOTH)
+                    / (F.col("n_tok") + NB_SMOOTH * F.col("v")).cast("double")
+                )
+            ).alias("ll")
+        )
+    )
+    best = (
+        scored.join(
+            F.broadcast(priors.withColumnRenamed("lang", "cand")), "cand"
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.round(F.col("ll") + F.col("lp"), 6).desc(), F.col("cand")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return best.groupBy(
+        "actual_lang", F.col("cand").alias("predicted_lang")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))

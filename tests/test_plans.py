@@ -223,6 +223,9 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_sample_coreset",  # corpus past the broadcast 1-row selected set, ×k steps
         "q_e2e_dedup_cascade",  # crossJoins of 1-row per-stage count aggregates
         "q_quality_freshness",  # crossJoin of the broadcast 1-row watermark
+        "q_pack_epoch_shuffle",  # crossJoin of the 2-row epoch-seed frame
+        "q_ml_naive_bayes",  # test tokens × broadcast class/vocab tables
+        "q_agg_assoc_rules",  # crossJoin of the broadcast 1-row basket count
     }
     offenders = {}
     for name, fn in QUERIES.items():
