@@ -151,6 +151,7 @@ _DEFER_TO_TAIL = (
     "q_fn_ipv4",
     "q_ml_naive_bayes",
     "q_agg_assoc_rules",
+    "q_quality_behavior_entropy",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -1847,3 +1847,65 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy(
         "actual_lang", F.col("cand").alias("predicted_lang")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+BOT_MIN_EVENTS = 50      # volume floor for the low-diversity flag
+BOT_MAX_NORM_ENTROPY = 0.6  # flag heavy users below this diversity
+
+
+@query(
+    "q_quality_behavior_entropy",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type),
+    sh AS (
+      SELECT user_id, c,
+             c / CAST(sum(c) OVER (PARTITION BY user_id) AS DOUBLE) AS p
+      FROM c),
+    u AS (
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_types,
+             round(-sum(p * ln(p)) / ln(5), 6) AS norm_entropy
+      FROM sh GROUP BY user_id)
+    SELECT user_id, n_events, n_types, norm_entropy,
+           (n_events >= {BOT_MIN_EVENTS}
+            AND norm_entropy < {BOT_MAX_NORM_ENTROPY}) AS low_diversity_flag
+    FROM u
+    """,
+)
+def q_quality_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity audit — the bot/scripted-traffic signature:
+    per user, Shannon entropy of the event-type distribution normalized
+    by ln(|types|), with heavy-volume low-diversity accounts flagged
+    (a human mixes views/clicks/purchases; a scraper hammers one type).
+    Complements q_graph_triangles (coordination structure) and
+    q_win_time_range (velocity) as the third abuse-detection axis.
+
+    Scale shape: one (user, type) hash agg, then a per-user rollup —
+    the entropy sum needs each type's share of the user total, taken
+    from a window over the TINY (user, type) aggregate that reuses its
+    partitioning; nothing row-granular survives the first shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w_u = Window.partitionBy("user_id")
+    share = F.col("c") / F.sum("c").over(w_u).cast("double")
+    u = (
+        c.withColumn("term", -share * F.log(share))
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.sum("term") / F.log(F.lit(5.0)), 6).alias("norm_entropy"),
+        )
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "norm_entropy",
+        (
+            (F.col("n_events") >= BOT_MIN_EVENTS)
+            & (F.col("norm_entropy") < BOT_MAX_NORM_ENTROPY)
+        ).alias("low_diversity_flag"),
+    )
