@@ -152,6 +152,9 @@ _DEFER_TO_TAIL = (
     "q_ml_naive_bayes",
     "q_agg_assoc_rules",
     "q_quality_behavior_entropy",
+    "q_time_gap_histogram",
+    "q_agg_percentile_weighted",
+    "q_graph_link_predict",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

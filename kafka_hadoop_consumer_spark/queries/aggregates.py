@@ -1261,3 +1261,69 @@ def q_agg_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "antecedent", "consequent")
         .limit(ASSOC_TOP)
     )
+
+
+@query(
+    "q_agg_percentile_weighted",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v, l_quantity AS wt
+      FROM lineitem),
+    tot AS (SELECT g, sum(wt) AS tw FROM w GROUP BY g),
+    cum AS (
+      SELECT g, v, wt,
+             sum(wt) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cw
+      FROM w)
+    SELECT c.g,
+           CAST(t.tw AS BIGINT) AS total_weight,
+           min(CASE WHEN c.cw >= 0.5 * t.tw THEN c.v END) AS wp50,
+           min(CASE WHEN c.cw >= 0.9 * t.tw THEN c.v END) AS wp90,
+           min(CASE WHEN c.cw >= 0.99 * t.tw THEN c.v END) AS wp99
+    FROM cum c JOIN tot t ON t.g = c.g
+    GROUP BY c.g, t.tw
+    """,
+)
+def q_agg_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED exact percentiles — the quantile every importance-weighted
+    corpus (token-weighted doc stats, quantity-weighted price bands)
+    actually needs and percentile_disc can't express: the smallest value
+    whose cumulative weight reaches q·Σw, per group, for p50/p90/p99.
+    Weights here are integral (quantities), so cumulative sums are exact
+    in doubles and the threshold crossings are bit-deterministic; ties on
+    the value column cannot change the selected value (all tied rows
+    share it).
+
+    Scale shape: one running-weight window per group (the scalable-rank
+    discipline — partitioned, no global sort) and a group rollup sharing
+    its partitioning; the tiny totals table joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").alias("wt"),
+    )
+    tot = w.groupBy("g").agg(F.sum("wt").alias("tw"))
+    win = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = w.withColumn("cw", F.sum("wt").over(win))
+    return (
+        cum.join(F.broadcast(tot), "g")
+        .groupBy("g", "tw")
+        .agg(
+            F.min(F.when(F.col("cw") >= 0.5 * F.col("tw"), F.col("v"))).alias("wp50"),
+            F.min(F.when(F.col("cw") >= 0.9 * F.col("tw"), F.col("v"))).alias("wp90"),
+            F.min(F.when(F.col("cw") >= 0.99 * F.col("tw"), F.col("v"))).alias("wp99"),
+        )
+        .select(
+            "g",
+            F.col("tw").cast("long").alias("total_weight"),
+            "wp50",
+            "wp90",
+            "wp99",
+        )
+    )

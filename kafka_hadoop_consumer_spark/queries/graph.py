@@ -156,3 +156,113 @@ def triangles_from_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     return wedges.join(closing, ["b", "c"]), deg
+
+
+LP_TOP = 25  # candidate links emitted (by score)
+
+
+@query(
+    "q_graph_link_predict",
+    oracle=f"""
+    WITH pu AS (
+      SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // {HOUR_US} AS hr,
+                      user_id
+      FROM events WHERE event_type = 'purchase'),
+    ok AS (SELECT hr FROM pu GROUP BY hr
+           HAVING count(*) BETWEEN 2 AND {TRI_BUCKET_CAP}),
+    edges AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM pu a JOIN pu b ON a.hr = b.hr AND a.user_id < b.user_id
+      WHERE a.hr IN (SELECT hr FROM ok)),
+    adj AS (  -- symmetric adjacency
+      SELECT u AS node, v AS nb FROM edges
+      UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node),
+    common AS (  -- non-adjacent pairs sharing >= 1 neighbor
+      SELECT a.node AS x, b.node AS y, CAST(count(*) AS BIGINT) AS cn
+      FROM adj a JOIN adj b ON a.nb = b.nb AND a.node < b.node
+      GROUP BY a.node, b.node),
+    cand AS (
+      SELECT c.x, c.y, c.cn, dx.d AS dx, dy.d AS dy
+      FROM common c
+      JOIN deg dx ON dx.node = c.x JOIN deg dy ON dy.node = c.y
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.u = c.x AND e.v = c.y))
+    SELECT x AS user_a, y AS user_b, cn AS n_common, dx + dy - cn AS n_union,
+           round(CAST(cn AS DOUBLE) / (dx + dy - cn), 6) AS jaccard_score
+    FROM cand
+    ORDER BY jaccard_score DESC, x, y LIMIT {LP_TOP}
+    """,
+)
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard — the classic
+    common-neighbors feature behind friend/product recommendation: for
+    every NON-adjacent node pair of the capped co-purchase graph that
+    shares at least one neighbor, score |N(x)∩N(y)| / |N(x)∪N(y)| and
+    emit the top-{LP_TOP} predicted links. Candidate pairs come only
+    from shared-neighbor wedges (posting-list style on the adjacency —
+    never all pairs), the q_dedup_ngram_jaccard shape applied to graph
+    structure.
+
+    Scale shape: adjacency and degrees are one union + hash agg; wedge
+    pairing is one equi-join on the shared neighbor with fan-out bounded
+    by the capped degree; the known-edge exclusion is an anti join. Same
+    cap discipline as q_graph_triangles."""
+    e = load_table(spark, sf_dir, "events")
+    hr = F.expr(f"unix_micros(cast(ts AS timestamp)) DIV {HOUR_US}")
+    pu = persist_tracked(
+        e.where(F.col("event_type") == "purchase")
+        .select(hr.alias("hr"), "user_id")
+        .distinct()
+    )
+    ok = (
+        pu.groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= TRI_BUCKET_CAP))
+        .select("hr")
+    )
+    capped = pu.join(ok, "hr")
+    edges = persist_tracked(
+        capped.select("hr", F.col("user_id").alias("u"))
+        .join(capped.select("hr", F.col("user_id").alias("v")), "hr")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    adj = persist_tracked(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+            edges.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+        )
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    common = (
+        adj.select(F.col("node").alias("x"), "nb")
+        .join(adj.select(F.col("node").alias("y"), "nb"), "nb")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = (
+        common.join(
+            edges.select(F.col("u").alias("x"), F.col("v").alias("y")),
+            ["x", "y"],
+            "left_anti",
+        )
+        .join(deg.select(F.col("node").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("node").alias("y"), F.col("d").alias("dy")), "y")
+    )
+    return (
+        cand.select(
+            F.col("x").alias("user_a"),
+            F.col("y").alias("user_b"),
+            F.col("cn").alias("n_common"),
+            (F.col("dx") + F.col("dy") - F.col("cn")).alias("n_union"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("dx") + F.col("dy") - F.col("cn")),
+                6,
+            ).alias("jaccard_score"),
+        )
+        .orderBy(F.col("jaccard_score").desc(), "user_a", "user_b")
+        .limit(LP_TOP)
+    )

@@ -2589,3 +2589,61 @@ def q_time_sla_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("downtime_us").cast("double") / F.col("span_us"), 6
         ).alias("uptime_pct"),
     )
+
+
+@query(
+    "q_time_gap_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+      FROM events),
+    gaps AS (
+      SELECT event_type,
+             lead(t_us) OVER (PARTITION BY event_type ORDER BY t_us) - t_us
+                 AS gap_us
+      FROM t),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN gap_us < 1000000 THEN 0          -- < 1 s
+                  WHEN gap_us < 10000000 THEN 1         -- 1-10 s
+                  WHEN gap_us < 60000000 THEN 2         -- 10-60 s
+                  WHEN gap_us < 600000000 THEN 3        -- 1-10 min
+                  WHEN gap_us < 3600000000 THEN 4       -- 10-60 min
+                  ELSE 5 END AS bin                     -- >= 1 h
+      FROM gaps WHERE gap_us IS NOT NULL)
+    SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n_gaps
+    FROM binned GROUP BY event_type, bin
+    """,
+)
+def q_time_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per series, bucketed on a
+    log-ish scale (sub-second through hour-plus) — the latency/cadence
+    profile that distinguishes steady telemetry from bursty human
+    traffic and calibrates the q_time_downtime / q_time_sla_uptime
+    thresholds empirically instead of by fiat. Exact integer-µs gap
+    computation, literal bin edges identical on both engines.
+
+    Scale shape: the same per-series lead() shuffle as the SLA rollup
+    feeding a map-side-combinable (series, bin) hash agg — output is at
+    most |series|×6 rows."""
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us")
+    )
+    w = Window.partitionBy("event_type").orderBy("t_us")
+    gaps = t.withColumn(
+        "gap_us", F.lead("t_us").over(w) - F.col("t_us")
+    ).where(F.col("gap_us").isNotNull())
+    bin_col = (
+        F.when(F.col("gap_us") < 1_000_000, 0)
+        .when(F.col("gap_us") < 10_000_000, 1)
+        .when(F.col("gap_us") < 60_000_000, 2)
+        .when(F.col("gap_us") < 600_000_000, 3)
+        .when(F.col("gap_us") < 3_600_000_000, 4)
+        .otherwise(5)
+    )
+    return (
+        gaps.select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
