@@ -233,3 +233,49 @@ def test_cbo_statistics_drive_broadcast_selection(spark, tmp_path_factory):
         assert "BroadcastHashJoin" in plan, plan
     finally:
         spark.sql("DROP DATABASE IF EXISTS cbo_db CASCADE")
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE partition coalescing: with shuffle.partitions cranked to 256,
+    a small aggregate's post-shuffle read collapses to far fewer
+    partitions at runtime — the knob that lets one global setting serve
+    both the 100 TB shuffle and its 1 MB final reduction without manual
+    repartition() calls."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
+    try:
+        df = (
+            spark.range(0, 100_000)
+            .groupBy((F.col("id") % 50).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in plan and "coalesced" in plan, plan
+        n_parts = df.rdd.getNumPartitions()
+        assert n_parts < 256, n_parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_max_partition_bytes_controls_scan_splits(spark, tmp_path):
+    """Input-split sizing: shrinking spark.sql.files.maxPartitionBytes
+    multiplies the scan's partition count — the lever that matches scan
+    parallelism to executor count when files are few but large (the
+    openCostInBytes floor keeps tiny files from over-splitting)."""
+    p = str(tmp_path / "wide")
+    spark.range(0, 200_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1).write.parquet(p)
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        coarse = spark.read.parquet(p).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        fine = spark.read.parquet(p).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+    assert fine > coarse and fine >= 8, (coarse, fine)
