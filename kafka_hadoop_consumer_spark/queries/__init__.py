@@ -155,6 +155,7 @@ _DEFER_TO_TAIL = (
     "q_time_gap_histogram",
     "q_agg_percentile_weighted",
     "q_graph_link_predict",
+    "q_source_csv_dirty",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

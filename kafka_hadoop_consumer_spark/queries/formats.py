@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
 
 
 def _out_dir(sf_dir: str, fmt: str) -> str:
@@ -490,4 +490,71 @@ def q_source_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+    )
+
+
+DIRTY_MOD = 50  # every 50th row is corrupted in the written CSV
+
+
+@query(
+    "q_source_csv_dirty",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             doc_id % {DIRTY_MOD} = 0 AS is_bad
+      FROM documents)
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+      CAST(sum(CASE WHEN NOT is_bad THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+      CAST(sum(CASE WHEN NOT is_bad THEN n_chars END) AS BIGINT)
+          AS clean_total_chars,
+      CAST(count(DISTINCT CASE WHEN NOT is_bad THEN lang END) AS BIGINT)
+          AS clean_langs
+    FROM d
+    """,
+)
+def q_source_csv_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch dead-letter handling for malformed input — the PERMISSIVE-mode
+    contract every production CSV ingest depends on: a CSV is written with
+    every {DIRTY_MOD}th row deliberately corrupted (wrong arity /
+    non-numeric field), re-read with a _corrupt_record column, and split
+    into clean rows vs quarantine. The counts and clean-side aggregates
+    hash-check against the oracle's model of which rows were corrupted —
+    proving malformed lines neither vanish nor poison parsed columns
+    (the batch face of the streaming quarantine test in
+    tests/test_streaming.py).
+
+    Scale shape: corruption detection is scan-side (no shuffle); the
+    split is two filters over one cached read; only the 5-column audit
+    aggregate shuffles."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = _out_dir(sf_dir, "csv_dirty")
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % DIRTY_MOD == 0,
+            F.concat_ws(",", F.col("doc_id"), F.lit("oops\",broken")),
+        )
+        .otherwise(F.concat_ws(",", "doc_id", "lang", "n_chars"))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, lang string, n_chars bigint, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    back = persist_tracked(back)
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_quarantined"),
+        F.sum(F.when(~bad, 1).otherwise(0)).alias("n_clean"),
+        F.sum(F.when(~bad, F.col("n_chars"))).alias("clean_total_chars"),
+        F.count_distinct(F.when(~bad, F.col("lang"))).alias("clean_langs"),
     )
