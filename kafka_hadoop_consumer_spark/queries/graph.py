@@ -20,6 +20,39 @@ HOUR_US = 3_600_000_000
 TRI_BUCKET_CAP = 64  # drop hour buckets with more co-purchasers than this
 
 
+def copurchase_edges(e: DataFrame) -> DataFrame:
+    """Distinct co-purchase edges (u < v): users purchasing in the same
+    hour bucket, hot buckets capped. Pair generation is posting-list
+    style — one shuffle groups users per bucket, pairs explode from each
+    sorted posting (the pair_overlap_counts pattern, measured faster
+    than a bucket self-join and moving |buckets| rows instead of 2×
+    probe streams); the cap bounds per-bucket fan-out at C(cap, 2)."""
+    hr = F.expr(f"unix_micros(cast(ts AS timestamp)) DIV {HOUR_US}")
+    pu = (
+        e.where(F.col("event_type") == "purchase")
+        .select(hr.alias("hr"), "user_id")
+        .distinct()
+    )
+    posts = (
+        pu.groupBy("hr")
+        .agg(F.sort_array(F.collect_list("user_id")).alias("us"))
+        .where((F.size("us") >= 2) & (F.size("us") <= TRI_BUCKET_CAP))
+    )
+    return (
+        posts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(us, (x, i) ->"
+                    " transform(slice(us, i + 2, size(us) - i - 1),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
+
+
 @query(
     "q_graph_triangles",
     oracle=f"""
@@ -82,26 +115,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shuffle by src — wedges for one node co-locate); no global sort, no
     driver collect."""
     e = load_table(spark, sf_dir, "events")
-    hr = F.expr(f"unix_micros(cast(ts AS timestamp)) DIV {HOUR_US}")
-    pu = persist_tracked(
-        e.where(F.col("event_type") == "purchase")
-        .select(hr.alias("hr"), "user_id")
-        .distinct()
-    )
-    ok = (
-        pu.groupBy("hr")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where((F.col("n") >= 2) & (F.col("n") <= TRI_BUCKET_CAP))
-        .select("hr")
-    )
-    capped = pu.join(ok, "hr")
-    edges = persist_tracked(
-        capped.select("hr", F.col("user_id").alias("u"))
-        .join(capped.select("hr", F.col("user_id").alias("v")), "hr")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    edges = persist_tracked(copurchase_edges(e))
     tri, deg = triangles_from_edges(edges)
     part = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
@@ -158,7 +172,8 @@ def triangles_from_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     return wedges.join(closing, ["b", "c"]), deg
 
 
-LP_TOP = 25  # candidate links emitted (by score)
+LP_TOP = 25      # candidate links emitted (by score)
+LP_DEG_CAP = 64  # hub cap: nodes above this degree don't generate wedges
 
 
 @query(
@@ -178,9 +193,12 @@ LP_TOP = 25  # candidate links emitted (by score)
       SELECT u AS node, v AS nb FROM edges
       UNION ALL SELECT v, u FROM edges),
     deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node),
-    common AS (  -- non-adjacent pairs sharing >= 1 neighbor
+    wadj AS (  -- hub-capped wedge generation: only low-degree centers
+      SELECT a.node, a.nb FROM adj a
+      JOIN deg dn ON dn.node = a.nb WHERE dn.d <= {LP_DEG_CAP}),
+    common AS (  -- non-adjacent pairs sharing >= 1 non-hub neighbor
       SELECT a.node AS x, b.node AS y, CAST(count(*) AS BIGINT) AS cn
-      FROM adj a JOIN adj b ON a.nb = b.nb AND a.node < b.node
+      FROM wadj a JOIN wadj b ON a.nb = b.nb AND a.node < b.node
       GROUP BY a.node, b.node),
     cand AS (
       SELECT c.x, c.y, c.cn, dx.d AS dx, dy.d AS dy
@@ -209,35 +227,20 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the capped degree; the known-edge exclusion is an anti join. Same
     cap discipline as q_graph_triangles."""
     e = load_table(spark, sf_dir, "events")
-    hr = F.expr(f"unix_micros(cast(ts AS timestamp)) DIV {HOUR_US}")
-    pu = persist_tracked(
-        e.where(F.col("event_type") == "purchase")
-        .select(hr.alias("hr"), "user_id")
-        .distinct()
-    )
-    ok = (
-        pu.groupBy("hr")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where((F.col("n") >= 2) & (F.col("n") <= TRI_BUCKET_CAP))
-        .select("hr")
-    )
-    capped = pu.join(ok, "hr")
-    edges = persist_tracked(
-        capped.select("hr", F.col("user_id").alias("u"))
-        .join(capped.select("hr", F.col("user_id").alias("v")), "hr")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    edges = persist_tracked(copurchase_edges(e))
     adj = persist_tracked(
         edges.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
             edges.select(F.col("v").alias("node"), F.col("u").alias("nb"))
         )
     )
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    deg = persist_tracked(adj.groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    low_centers = deg.where(F.col("d") <= LP_DEG_CAP).select(
+        F.col("node").alias("nb")
+    )
+    wadj = persist_tracked(adj.join(low_centers, "nb"))
     common = (
-        adj.select(F.col("node").alias("x"), "nb")
-        .join(adj.select(F.col("node").alias("y"), "nb"), "nb")
+        wadj.select(F.col("node").alias("x"), "nb")
+        .join(wadj.select(F.col("node").alias("y"), "nb"), "nb")
         .where(F.col("x") < F.col("y"))
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("cn"))
