@@ -132,10 +132,30 @@ def _synth_embeddings(spark, n: int, out_dir: str) -> None:
     )
 
 
+def _synth_documents(spark, n: int, out_dir: str) -> None:
+    """Deterministic word-salad corpus shaped like the documents fixture,
+    with every 10th doc a 1-token edit of its predecessor (planted
+    near-dups whose shared runs the substring miner must find; the
+    40-word vocabulary makes accidental 8-gram collisions negligible)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    vocab = np.array([f"w{i}" for i in range(40)])
+    texts = [" ".join(rng.choice(vocab, size=80)) for _ in range(n)]
+    for i in range(10, n, 10):
+        texts[i] = texts[i - 1].replace(texts[i - 1].split(" ")[40], "EDIT", 1)
+    pdf = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"), "text": texts})
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+
 def _time_scaling(spark) -> dict:
     import numpy as np
     from pyspark.sql import functions as F
 
+    from kafka_hadoop_consumer_spark.queries.dedup import verbatim_runs
     from kafka_hadoop_consumer_spark.queries.similarity import (
         _vec_double,
         embedding_near_dup_pairs,
@@ -161,6 +181,13 @@ def _time_scaling(spark) -> dict:
     try:
         _synth_embeddings(spark, SCALE_N1, d1)
         _synth_embeddings(spark, SCALE_N1 * SCALE_FACTOR, d10)
+        _synth_documents(spark, SCALE_N1, d1)
+        _synth_documents(spark, SCALE_N1 * SCALE_FACTOR, d10)
+
+        def runs(d):
+            return verbatim_runs(
+                spark.read.parquet(os.path.join(d, "documents.parquet"))
+            )
 
         def lsh(d):
             ed = load_ed(d)
@@ -184,6 +211,7 @@ def _time_scaling(spark) -> dict:
                 lambda: dedup(d1, SCALE_DEDUP_BITS_1X),
                 lambda: dedup(d10, SCALE_DEDUP_BITS_10X),
             ),
+            ("q_dedup_substring", lambda: runs(d1), lambda: runs(d10)),
         ):
             t1, t10 = timed(b1), timed(b10)
             out[name] = {
