@@ -156,6 +156,7 @@ _DEFER_TO_TAIL = (
     "q_agg_percentile_weighted",
     "q_graph_link_predict",
     "q_source_csv_dirty",
+    "q_source_compaction_plan",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

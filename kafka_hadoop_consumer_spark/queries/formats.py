@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
@@ -557,4 +557,86 @@ def q_source_csv_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~bad, 1).otherwise(0)).alias("n_clean"),
         F.sum(F.when(~bad, F.col("n_chars"))).alias("clean_total_chars"),
         F.count_distinct(F.when(~bad, F.col("lang"))).alias("clean_langs"),
+    )
+
+
+COMPACT_TARGET_ROWS = 1000  # rows per planned compaction output group
+
+
+@query(
+    "q_source_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT regexp_extract(filename, '([^/]+/[^/]+)$', 1) AS f,
+             CAST(count(*) AS BIGINT) AS n_rows
+      -- oracle path pins the t2 scale factor (the driver and the pytest
+      -- mirror both run oracles at sf0.01; the Spark side derives the
+      -- same dir from sf_dir)
+      FROM read_parquet('/tmp/khcs_formats/sf0.01/compact_in/*/*.parquet',
+                        filename=true)
+      GROUP BY 1),
+    keyed AS (
+      SELECT f, n_rows, split_part(f, '/', 1) AS part_dir
+      FROM files),
+    planned AS (
+      SELECT part_dir, f, n_rows,
+             coalesce(sum(n_rows) OVER (
+               PARTITION BY part_dir ORDER BY n_rows DESC, f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+      FROM keyed)
+    SELECT part_dir,
+           CAST(cum_before // {COMPACT_TARGET_ROWS} AS BIGINT) AS grp,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_rows) AS BIGINT) AS total_rows
+    FROM planned GROUP BY part_dir, grp
+    """,
+)
+def q_source_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the lakehouse OPTIMIZE primitive:
+    events are written partitioned with deliberately many small files,
+    per-file row counts are recovered from the scan's _metadata column
+    (no extra listing pass), and files are banded into merge groups by a
+    size-ordered running-sum cut against a target group size (the
+    q_pack_sequences discipline over FILES instead of tokens). The plan —
+    per (partition, group): file count and total rows — is hash-checked
+    against DuckDB reading the SAME physical files by name, so the
+    file-accounting itself is verified, not just the arithmetic.
+
+    Scale shape: the planning input is one row per FILE (millions of
+    rows for a petabyte table — trivial); the per-partition running-sum
+    window never crosses partition dirs. Executing the plan is then one
+    repartition-per-group write, not planned here."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _out_dir(sf_dir, "compact_in")
+    e.repartition(8).write.mode("overwrite").partitionBy("event_type").parquet(
+        path
+    )
+    files = (
+        spark.read.parquet(path)
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+            ).alias("f")
+        )
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    keyed = files.withColumn("part_dir", F.split("f", "/").getItem(0))
+    w = (
+        Window.partitionBy("part_dir")
+        .orderBy(F.col("n_rows").desc(), "f")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = keyed.withColumn(
+        "cum_before", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+    )
+    return planned.groupBy(
+        "part_dir",
+        F.expr(f"cum_before DIV {COMPACT_TARGET_ROWS}").alias("grp"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("total_rows"),
     )
