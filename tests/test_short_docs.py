@@ -65,7 +65,16 @@ def test_shingles_short_docs(spark, short_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["q_text_ngram", "q_text_repetition", "q_dedup_ngram_jaccard", "q_text_stats"],
+    [
+        "q_text_ngram",
+        "q_text_repetition",
+        "q_dedup_ngram_jaccard",
+        "q_text_stats",
+        # round-3 gram/chunk-based additions
+        "q_dedup_substring",
+        "q_dedup_span_scrub",
+        "q_text_bpe_encode",
+    ],
 )
 def test_short_docs_match_oracle(spark, short_oracle, short_dir, name):
     assert_matches_oracle(spark, short_oracle, name, sf_dir=short_dir)
