@@ -157,6 +157,7 @@ _DEFER_TO_TAIL = (
     "q_graph_link_predict",
     "q_source_csv_dirty",
     "q_source_compaction_plan",
+    "q_dedup_sorted_neighborhood",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

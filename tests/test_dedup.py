@@ -151,3 +151,23 @@ def test_minhash_recall_cross_checked_against_spark_ml(spark):
     assert truth, "no planted pairs found"
     assert len(ml_pairs & truth) >= 0.9 * len(truth)
     assert len(ours & truth) >= 0.9 * len(truth)
+
+
+def test_sorted_neighborhood_pairs_subset_of_exact_truth(spark):
+    """Sorted-neighborhood blocking must never invent pairs: every
+    reported pair at the exact-operator's threshold is also found by the
+    all-candidate exact Jaccard operator (recall is partial by design —
+    prefix sorting only surfaces neighbors whose edits come late enough —
+    but precision against the shared shingle space is structural)."""
+    from tests.conftest import SF_DIR
+
+    sn = {
+        tuple(sorted((r.doc_a, r.doc_b)))
+        for r in QUERIES["q_dedup_sorted_neighborhood"](spark, SF_DIR).collect()
+        if r.jaccard > 0.6
+    }
+    truth = {
+        tuple(sorted((r.doc1, r.doc2)))
+        for r in QUERIES["q_dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    }
+    assert sn and sn <= truth, (sn - truth, len(sn))
