@@ -158,6 +158,8 @@ _DEFER_TO_TAIL = (
     "q_source_csv_dirty",
     "q_source_compaction_plan",
     "q_dedup_sorted_neighborhood",
+    "q_sim_eval_ndcg",
+    "q_ml_knn",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

@@ -1814,3 +1814,226 @@ def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.ids").alias("vec_id"),
         F.col("z.cov").alias("max_cos_at_pick"),
     )
+
+
+NDCG_K = 10  # evaluation depth for the retrieval-quality report
+
+
+@query(
+    "q_sim_eval_ndcg",
+    oracle=_ORACLE_E
+    + f"""
+    , et AS (
+      SELECT vec_id, v[1:{MAT_DIMS}] AS tv,
+             sqrt(list_sum(list_transform(v[1:{MAT_DIMS}], x -> x * x)))
+                 AS tnrm
+      FROM e),
+    full_rank AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(list_zip(a.v, b.v),
+                                                p -> p[1] * p[2]))
+                        / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+      FROM e a JOIN e b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id),
+    truth AS (
+      SELECT q_id, vec_id, rn, {NDCG_K + 1} - rn AS rel
+      FROM full_rank WHERE rn <= {NDCG_K}),
+    approx AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_sum(list_transform(list_zip(a.tv, b.tv),
+                                                p -> p[1] * p[2]))
+                        / (a.tnrm * b.tnrm) DESC, b.vec_id) AS rn
+      FROM et a JOIN et b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id),
+    atop AS (SELECT q_id, vec_id, rn FROM approx WHERE rn <= {NDCG_K}),
+    dcg AS (
+      SELECT a.q_id,
+             sum(coalesce(t.rel, 0) / ln(a.rn + 1)) AS dcg
+      FROM atop a LEFT JOIN truth t
+        ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+      GROUP BY a.q_id),
+    idcg AS (
+      SELECT q_id, sum(rel / ln(rn + 1)) AS idcg FROM truth GROUP BY q_id),
+    mrr AS (
+      SELECT t.q_id, 1.0 / min(a.rn) AS rr
+      FROM truth t JOIN atop a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+      WHERE t.rn = 1 GROUP BY t.q_id)
+    SELECT d.q_id,
+           round(d.dcg / i.idcg, 6) AS ndcg_at_k,
+           round(coalesce(m.rr, 0.0), 6) AS mrr_top1,
+           CAST((SELECT count(*) FROM atop a2 JOIN truth t2
+                 ON t2.q_id = a2.q_id AND t2.vec_id = a2.vec_id
+                 WHERE a2.q_id = d.q_id) AS BIGINT) AS overlap_at_k
+    FROM dcg d JOIN idcg i ON i.q_id = d.q_id
+    LEFT JOIN mrr m ON m.q_id = d.q_id
+    """,
+)
+def q_sim_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — NDCG@{NDCG_K}, MRR of the true
+    top-1, and overlap@{NDCG_K} for the matryoshka-truncated ranking
+    against the full-dimension ground truth: the standard IR scorecard
+    (graded relevance = inverse ground-truth rank, log-discounted) that
+    turns 'the cheap index looks fine' into a number with an SLO. The
+    same harness evaluates any approximate ranking that emits
+    (q_id, vec_id, rn) — LSH, IVF, PQ shortlists slot in unchanged.
+
+    Scale shape: both ranking passes share the broadcast-queries plan;
+    the metric joins touch only the two k-row-per-query toplists.
+    ln is libm (q_text_lmscore precedent); metrics rounded 6dp."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = persist_tracked(
+        e.select("vec_id", _vec_double().alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn("tv", F.slice("v", 1, MAT_DIMS))
+        .withColumn("tnrm", _norm(F.col("tv")))
+    )
+
+    def ranked(vcol: str, ncol: str) -> DataFrame:
+        q = ed.where(F.col("vec_id") < N_QUERY).select(
+            F.col("vec_id").alias("q_id"),
+            F.col(vcol).alias("qv"),
+            F.col(ncol).alias("qnrm"),
+        )
+        cos = _dot(F.col("qv"), F.col(vcol)) / (F.col("qnrm") * F.col(ncol))
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cos_raw").desc(), F.col("vec_id")
+        )
+        return (
+            ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", cos.alias("cos_raw"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= NDCG_K)
+            .select("q_id", "vec_id", "rn")
+        )
+
+    truth = persist_tracked(
+        ranked("v", "nrm").withColumn("rel", F.lit(NDCG_K + 1) - F.col("rn"))
+    )
+    atop = persist_tracked(ranked("tv", "tnrm"))
+    dcg = (
+        atop.join(
+            truth.select("q_id", "vec_id", "rel"), ["q_id", "vec_id"], "left"
+        )
+        .groupBy("q_id")
+        .agg(
+            F.sum(
+                F.coalesce("rel", F.lit(0)) / F.log(F.col("rn") + 1)
+            ).alias("dcg")
+        )
+    )
+    idcg = truth.groupBy("q_id").agg(
+        F.sum(F.col("rel") / F.log(F.col("rn") + 1)).alias("idcg")
+    )
+    mrr = (
+        truth.where(F.col("rn") == 1)
+        .select("q_id", "vec_id")
+        .join(atop.withColumnRenamed("rn", "arn"), ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg((F.lit(1.0) / F.min("arn")).alias("rr"))
+    )
+    overlap = atop.join(truth.select("q_id", "vec_id"), ["q_id", "vec_id"]).groupBy(
+        "q_id"
+    ).agg(F.count(F.lit(1)).alias("overlap_at_k"))
+    return (
+        dcg.join(idcg, "q_id")
+        .join(mrr, "q_id", "left")
+        .join(overlap, "q_id")
+        .select(
+            "q_id",
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+            F.round(F.coalesce("rr", F.lit(0.0)), 6).alias("mrr_top1"),
+            "overlap_at_k",
+        )
+    )
+
+
+KNN_K = 5  # neighbors voting in the kNN classifier
+
+
+@query(
+    "q_ml_knn",
+    oracle=_ORACLE_E
+    + f"""
+    , split AS (
+      SELECT vec_id, label, v, nrm,
+             substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8' AS is_train
+      FROM e),
+    nn AS (
+      SELECT q.vec_id AS q_id, q.label AS actual, t.label AS nb_label,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_sum(list_transform(list_zip(q.v, t.v),
+                                                p -> p[1] * p[2]))
+                        / (q.nrm * t.nrm) DESC, t.vec_id) AS rn
+      FROM split q JOIN split t ON NOT q.is_train AND t.is_train),
+    votes AS (
+      SELECT q_id, actual, nb_label, CAST(count(*) AS BIGINT) AS n_votes
+      FROM nn WHERE rn <= {KNN_K} GROUP BY q_id, actual, nb_label),
+    best AS (
+      SELECT q_id, actual, nb_label AS predicted,
+             row_number() OVER (
+               PARTITION BY q_id ORDER BY n_votes DESC, nb_label) AS vr
+      FROM votes)
+    SELECT actual AS actual_label, predicted AS predicted_label,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM best WHERE vr = 1
+    GROUP BY actual, predicted
+    """,
+)
+def q_ml_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor classification over the embedding corpus: every
+    held-out vector (deterministic hash split) is labeled by majority
+    vote of its {KNN_K} nearest TRAIN vectors by exact cosine — the
+    lazy-learning baseline every embedding space is sanity-checked with
+    (labels here are real cluster structure, so accuracy is
+    substantive, unlike the word-salad text classifiers). Vote ties
+    break to the lower label; the confusion matrix is hash-verified.
+
+    Scale shape: brute-force scoring with the TEST side as the
+    broadcast probe set (train corpus streams, never shuffles); at
+    corpus scale swap the exact pass for the LSH/IVF/PQ shortlists —
+    the voting stage reads the same (q_id, neighbor, rn) shape. Vote
+    rollup is two hash aggs on k-bounded rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    split = persist_tracked(
+        e.select("vec_id", "label", _vec_double().alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn(
+            "is_train",
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "8",
+        )
+    )
+    q = split.where(~F.col("is_train")).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("actual"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    t = split.where(F.col("is_train")).select(
+        "vec_id", F.col("label").alias("nb_label"), "v", "nrm"
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    nn = (
+        t.join(F.broadcast(q))
+        .select("q_id", "actual", "nb_label", cos.alias("cos_raw"), "vec_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+    )
+    votes = nn.groupBy("q_id", "actual", "nb_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    best = votes.withColumn(
+        "vr",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(
+                F.col("n_votes").desc(), F.col("nb_label")
+            )
+        ),
+    ).where(F.col("vr") == 1)
+    return best.groupBy(
+        F.col("actual").alias("actual_label"),
+        F.col("nb_label").alias("predicted_label"),
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))

@@ -226,6 +226,8 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_pack_epoch_shuffle",  # crossJoin of the 2-row epoch-seed frame
         "q_ml_naive_bayes",  # test tokens × broadcast class/vocab tables
         "q_agg_assoc_rules",  # crossJoin of the broadcast 1-row basket count
+        "q_sim_eval_ndcg",  # two cosine passes, corpus past broadcast queries
+        "q_ml_knn",  # train corpus streams past the broadcast test probes
     }
     offenders = {}
     for name, fn in QUERIES.items():
