@@ -160,6 +160,7 @@ _DEFER_TO_TAIL = (
     "q_dedup_sorted_neighborhood",
     "q_sim_eval_ndcg",
     "q_ml_knn",
+    "q_pack_length_batches",
 )
 for _k in _DEFER_TO_TAIL:
     if _k in QUERIES:

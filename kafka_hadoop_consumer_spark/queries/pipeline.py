@@ -693,3 +693,75 @@ def q_pack_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+LB_BATCH_DOCS = 16  # documents per training batch within a length band
+
+
+@query(
+    "q_pack_length_batches",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CASE WHEN len(string_split(text, ' ')) < 40 THEN 0
+                  WHEN len(string_split(text, ' ')) < 80 THEN 1
+                  WHEN len(string_split(text, ' ')) < 120 THEN 2
+                  ELSE 3 END AS band
+      FROM documents),
+    batched AS (
+      SELECT band, n_tokens,
+             CAST((row_number() OVER (
+               PARTITION BY band ORDER BY h, doc_id) - 1)
+               // {LB_BATCH_DOCS} AS BIGINT) AS batch_id
+      FROM d)
+    SELECT band, batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS batch_seq_len,
+           CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+               AS padding_waste,
+           round(CAST(max(n_tokens) * count(*) - sum(n_tokens) AS DOUBLE)
+                 / (max(n_tokens) * count(*)), 4) AS waste_ratio
+    FROM batched GROUP BY band, batch_id
+    """,
+)
+def q_pack_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching — the padding-minimization prep
+    every efficient training loader runs: documents are banded by token
+    length (literal edges), hash-shuffled WITHIN their band, and cut into
+    fixed-size batches; each batch pads to its own longest member, and
+    the emitted padding_waste / waste_ratio quantify exactly what the
+    banding buys (unbanded batches pad everything to the corpus max —
+    this report is the before/after evidence). Deterministic: band
+    edges, hash order, and integer token counts.
+
+    Scale shape: one per-band row_number window (bands are few and
+    independent — at scale range-partition within band like the epoch
+    shuffler) and one (band, batch) rollup riding its partitioning."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    band = (
+        F.when(F.col("n_tokens") < 40, 0)
+        .when(F.col("n_tokens") < 80, 1)
+        .when(F.col("n_tokens") < 120, 2)
+        .otherwise(3)
+    )
+    w = Window.partitionBy("band").orderBy("h", "doc_id")
+    batched = d.withColumn("band", band).withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / LB_BATCH_DOCS).cast("long"),
+    )
+    waste = F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens")
+    return batched.groupBy("band", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.max("n_tokens").alias("batch_seq_len"),
+        waste.alias("padding_waste"),
+        F.round(
+            waste.cast("double") / (F.max("n_tokens") * F.count(F.lit(1))), 4
+        ).alias("waste_ratio"),
+    )
