@@ -48,6 +48,11 @@ R3B_KEYS = [
     "q_agg_percentile_weighted",
     "q_graph_link_predict",
     "q_source_csv_dirty",
+    "q_source_compaction_plan",
+    "q_dedup_sorted_neighborhood",
+    "q_sim_eval_ndcg",
+    "q_ml_knn",
+    "q_pack_length_batches",
 ]
 
 
