@@ -39,9 +39,26 @@ def _driver_checked_keys() -> set:
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                seen.update(json.load(f))
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
+        for key, row in rows.items():
+            if not isinstance(row, dict):
+                seen.add(key)
+                continue
+            err = row.get("err")
+            green = (
+                err is None
+                and row.get("hash_match")
+                and row.get("rows_match")
+                and row.get("schema_match")
+            )
+            rows_recorded = err == "no_oracle" and row.get("spark_rows") is not None
+            # A key counts as driver-checked only if its row is green (or a
+            # rows-only record, by design). Failed keys re-enter the
+            # fresh-first window so a fix earns a fresh driver row.
+            if green or rows_recorded:
+                seen.add(key)
     return seen
 
 

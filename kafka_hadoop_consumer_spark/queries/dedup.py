@@ -625,7 +625,7 @@ BOILER_TOP = 50     # report the hottest N
                                  i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s))
     SELECT s AS shingle, df, sample_docs FROM (
       SELECT s, CAST(count(*) AS BIGINT) AS df,
-             list_sort(list(doc_id))[1:3] AS sample_docs,
+             array_to_string(list_sort(list(doc_id))[1:3], ',') AS sample_docs,
              row_number() OVER (ORDER BY count(*) DESC, s) AS rn
       FROM sh GROUP BY s
       HAVING count(*) >= {BOILER_MIN_DF})
@@ -655,7 +655,13 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy("sh")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 3).alias("sample_docs"),
+            # Stringified (not a raw array column): the driver canonicalizer
+            # sorts pandas values and dies on unhashable ndarray cells — every
+            # driver-facing output column must be a sortable scalar type
+            # (enforced by tests/test_registry.py::test_no_complex_output_columns).
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 3), ","
+            ).alias("sample_docs"),
         )
         .where(F.col("df") >= BOILER_MIN_DF)
         .orderBy(F.col("df").desc(), F.col("sh"))

@@ -39,6 +39,70 @@ def test_driver_window_shaping_preserves_registry():
     assert tail == list(_DEFER_TO_TAIL)
 
 
+def test_no_complex_output_columns(spark):
+    """No driver-facing key may return an Array/Map/Struct-typed column:
+    the driver's canonicalizer sorts raw pandas values and dies on
+    unhashable ndarray cells (r3's only red row, q_text_boilerplate —
+    CORRECTNESS_r03.json). Complex payloads must be stringified
+    (array_join / to_json) in BOTH engines. Schema-only: builds each
+    plan at sf0.001 without executing it."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for key, fn in QUERIES.items():
+        schema = fn(spark, "/root/testdata/sf0.001").schema
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            offenders[key] = complex_cols
+    assert not offenders, (
+        "driver-facing keys returning complex-typed columns (stringify them "
+        f"in both engines): {offenders}"
+    )
+
+
+def test_failed_driver_rows_reenter_fresh_window(tmp_path, monkeypatch):
+    """_driver_checked_keys must count only green (or rows-recorded) rows:
+    a key whose CORRECTNESS row carries an error re-enters the fresh-first
+    window so its fix earns a fresh driver check (VERDICT r3 item 2)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    rows = {
+        "green_key": {
+            "rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": 1, "oracle_rows": 1, "err": None,
+        },
+        "failed_key": {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": "TypeError: boom",
+        },
+        "rows_only_key": {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": 7, "oracle_rows": None, "err": "no_oracle",
+        },
+        "mismatch_key": {
+            "rows_match": True, "schema_match": True, "hash_match": False,
+            "spark_rows": 5, "oracle_rows": 5, "err": None,
+        },
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rows))
+    monkeypatch.setattr(
+        entrymod.os.path, "dirname", lambda _: str(tmp_path)
+    )
+    checked = entrymod._driver_checked_keys()
+    assert "green_key" in checked
+    assert "rows_only_key" in checked
+    assert "failed_key" not in checked, "failed rows must re-enter the window"
+    assert "mismatch_key" not in checked, "hash-mismatch rows must re-enter"
+
+
 def test_cluster_profile_lands_on_session(spark):
     """The 100 TB overlay's runtime-settable knobs must round-trip through
     SparkSession.conf — guards against typo'd config keys that Spark would
