@@ -51,15 +51,23 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
 
 
 def n_shuffle_exchanges(df: DataFrame) -> int:
-    """Shuffle Exchange nodes in the plan tree (BroadcastExchange
+    """DISTINCT shuffle Exchange nodes in the plan tree (BroadcastExchange
     excluded) — the number of data-movement barriers a 1000-executor run
-    would pay. Counts the tree section only (node details repeat names)."""
+    would pay. Counts unique node ids: EXPLAIN FORMATTED re-prints a
+    cached (InMemoryRelation) subtree at every reference, so a raw line
+    count would bill the same exchange once per consumer of the cache."""
     tree = formatted_plan(df).split("\n\n")[0]
-    return sum(
-        1
-        for line in tree.splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line
-    )
+    ids = set()
+    unnumbered = 0
+    for line in tree.splitlines():
+        if "Exchange" not in line or "BroadcastExchange" in line:
+            continue
+        m = re.search(r"Exchange.*\((\d+)\)\s*$", line)
+        if m:
+            ids.add(m.group(1))
+        else:  # defensive: count unnumbered lines individually
+            unnumbered += 1
+    return len(ids) + unnumbered
 
 
 def has_take_ordered(df: DataFrame) -> bool:

@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
+from kafka_hadoop_consumer_spark.queries.registry import (
+    distributed_prefix,
+    persist_tracked,
+    query,
+)
 
 
 @query(
@@ -878,21 +882,25 @@ def q_agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin later in the order is dominated — pinned identically in both
     engines).
 
-    Scale shape: a single-dimension ordered sweep is a global-order
-    window — at 100 TB run it as two passes via the
-    q_win_ntile_scalable recipe (range-partition by price, carry each
-    partition's max size forward); the fixture key keeps the canonical
-    single-window form, input |part| rows, output the (small)
-    frontier. Values are pass-through columns, no rounding."""
+    Scale shape: the single-dimension ordered sweep runs as the
+    distributed_prefix two-pass (range-partition by price with the
+    p_partkey tie-break, carry each partition's max size forward as a
+    broadcast literal — no SinglePartition sort, plan-asserted
+    globally). Input |part| rows, output the (small) frontier. Values
+    are pass-through columns, no rounding."""
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
-    w = (
-        Window.orderBy(F.col("p_retailprice").asc(), F.col("p_partkey"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    swept = distributed_prefix(
+        p,
+        (F.col("p_retailprice").asc(), F.col("p_partkey")),
+        "p_size",
+        op="max",
+        out_col="best_size",
+        include_current=False,
     )
     return (
-        p.withColumn("best_size", F.max("p_size").over(w))
+        swept
         .where(F.col("best_size").isNull() | (F.col("p_size") > F.col("best_size")))
         .select("p_partkey", "p_retailprice", "p_size")
     )
@@ -1008,26 +1016,30 @@ def q_agg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums to drift across engines; boundary parts classify identically.
 
     Scale shape: the fact table collapses to |parts| rows first; the
-    cumulative window runs over that aggregate ordered by revenue — a
-    per-aggregate global sweep like q_agg_skyline (same
-    range-partitioned two-pass recipe applies at extreme |parts|);
-    final rollup is 3 rows."""
+    cumulative sweep over that (still-large at TPC-H scale: |parts| =
+    200k·SF) aggregate runs as the distributed_prefix two-pass — range
+    partition by (revenue desc, partkey), broadcast per-partition
+    prefix sums — and the global total rides a broadcast 1-row
+    crossJoin, so there is no SinglePartition window anywhere
+    (plan-asserted globally); final rollup is 3 rows."""
     li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(
-            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-        ).alias("rev_cents")
+    rev = persist_tracked(
+        li.groupBy("l_partkey").agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("rev_cents")
+        )
     )
-    w_cum = (
-        Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_tot = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey",
+    swept = distributed_prefix(
+        rev,
+        (F.col("rev_cents").desc(), F.col("l_partkey")),
         "rev_cents",
-        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
-        F.sum("rev_cents").over(w_tot).alias("tot_cents"),
+        op="sum",
+        out_col="cum_cents",
+    )
+    tot_1row = rev.agg(F.sum("rev_cents").alias("tot_cents"))
+    ranked = swept.crossJoin(F.broadcast(tot_1row)).select(
+        "l_partkey", "rev_cents", "cum_cents", "tot_cents"
     )
     classed = ranked.select(
         "rev_cents",

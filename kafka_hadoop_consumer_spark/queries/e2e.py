@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
 
 
 @query(
@@ -437,26 +437,26 @@ def q_e2e_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-group value vs a global-total threshold
     (brands holding > 2% of total revenue, with their share).
 
-    Scale shape: Q11's scalar subquery is expressed as ``sum OVER ()``
-    on the ALREADY-AGGREGATED frame — the window runs over |groups| rows
-    (25 brands), not the fact table, so the single-partition window is
-    a no-op at any scale; the fact table is read once. The unrounded
-    threshold compare is safe at a 2%-vs-4% margin; displayed values
-    are rounded (cross-engine sum order, SURVEY.md §7 R2)."""
-    from pyspark.sql import Window
-
+    Scale shape: Q11's scalar subquery is the global total of the
+    ALREADY-AGGREGATED |brands| frame (25 rows at any scale) — computed
+    as a broadcast 1-row crossJoin rather than an empty-frame window, so
+    no SinglePartition node (plan-asserted globally); the fact table is
+    read once (the brand aggregate is persisted across the two plan
+    branches). The unrounded threshold compare is safe at a 2%-vs-4%
+    margin; displayed values are rounded (cross-engine sum order,
+    SURVEY.md §7 R2)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    v = (
+    v = persist_tracked(
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
         )
     )
-    total = F.sum("val").over(Window.partitionBy())
+    total_1row = v.agg(F.sum("val").alias("total"))
     return (
-        v.withColumn("total", total)
+        v.crossJoin(F.broadcast(total_1row))
         .where(F.col("val") > 0.02 * F.col("total"))
         .select(
             "p_brand",

@@ -582,13 +582,25 @@ def q_pack_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort; admission is a broadcast join of the |langs|-row budget
     table."""
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    wall = Window.partitionBy()
-    share = F.col("n_docs") / F.sum("n_docs").over(wall)
-    pw = F.pow(share, MIXB_ALPHA)
-    budgets = counts.select(
+    counts = persist_tracked(
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    # Both global totals (doc count, Σ share^α) over the |langs|-row frame
+    # ride broadcast 1-row crossJoins — no SinglePartition window
+    # (plan-asserted globally).
+    n_total = counts.agg(F.sum("n_docs").alias("n_total"))
+    shared = persist_tracked(
+        counts.crossJoin(F.broadcast(n_total)).withColumn(
+            "share_raw", F.col("n_docs") / F.col("n_total")
+        )
+    )
+    pw_total = shared.agg(
+        F.sum(F.pow("share_raw", MIXB_ALPHA)).alias("pw_total")
+    )
+    pw = F.pow("share_raw", MIXB_ALPHA)
+    budgets = shared.crossJoin(F.broadcast(pw_total)).select(
         "lang",
-        F.floor(MIXB_BUDGET * F.round(pw / F.sum(pw).over(wall), 6))
+        F.floor(MIXB_BUDGET * F.round(pw / F.col("pw_total"), 6))
         .cast("long")
         .alias("budget_tokens"),
     )

@@ -68,6 +68,95 @@ def _on_query_start(name: str) -> None:
         _TRACKED_OWNER = name
 
 
+# Range-partition fan-out for distributed global prefix computations.
+# On a real cluster set to ~2x total cores; the prefix arithmetic is
+# boundary-agnostic (the ordering key is a total order), so the value
+# affects parallelism only, never results.
+PREFIX_RANGE_PARTS = 32
+
+
+def distributed_prefix(
+    df: DataFrame,
+    order_exprs,
+    value_col: str,
+    *,
+    op: str = "sum",
+    out_col: str,
+    include_current: bool = True,
+):
+    """Global-order running ``sum``/``max`` WITHOUT a single-partition
+    sort — the two-pass exact-rank recipe shared by q_win_ntile_scalable,
+    q_agg_skyline and q_agg_abc:
+
+    1. ``repartitionByRange`` on the (total-order) key → non-overlapping
+       sorted ranges across PREFIX_RANGE_PARTS tasks.
+    2. Per-partition aggregate of ``value_col`` → exclusive prefix per
+       partition, computed driver-side from a bounded collect
+       (≤ PREFIX_RANGE_PARTS rows — the k-means-centroid legitimacy
+       class) and broadcast back as a literal map.
+    3. Local window within each range partition, combined with the
+       partition's carried-in prefix (``+`` for sum, ``greatest`` for
+       max, which skips the NULL empty-prefix case natively).
+
+    ``order_exprs`` MUST be a total order (include a unique tie-break);
+    range boundaries then never split a peer group, so results are exact
+    regardless of where sampling puts them. Returns the range-partitioned
+    frame with ``out_col`` added (callers may re-aggregate it freely; no
+    SinglePartition node anywhere — plan-asserted globally in
+    tests/test_plans.py)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if op not in ("sum", "max"):
+        raise ValueError(f"op must be sum or max, got {op!r}")
+    agg_fn = F.sum if op == "sum" else F.max
+
+    ranged = persist_tracked(
+        df.repartitionByRange(PREFIX_RANGE_PARTS, *order_exprs).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    per_part = sorted(
+        (r["__pid"], r["v"])
+        for r in ranged.groupBy("__pid").agg(agg_fn(value_col).alias("v")).collect()
+    )
+    offsets: dict[int, object] = {}
+    acc = None
+    for pid, v in per_part:
+        offsets[pid] = acc
+        if acc is None:
+            acc = v
+        elif op == "sum":
+            acc = acc + v
+        else:
+            acc = max(acc, v)
+
+    off_entries = []
+    for pid, v in offsets.items():
+        off_entries.append(F.lit(pid))
+        off_entries.append(F.lit(v))
+    off_expr = F.element_at(F.create_map(*off_entries), F.col("__pid"))
+
+    end = Window.currentRow if include_current else -1
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = agg_fn(value_col).over(w)
+    if op == "sum":
+        combined = F.coalesce(off_expr, F.lit(0)) + F.coalesce(local, F.lit(0))
+        # All-null (first row, exclusive frame, no prefix) stays null.
+        combined = F.when(
+            off_expr.isNull() & local.isNull(), F.lit(None)
+        ).otherwise(combined)
+    else:
+        # greatest() skips NULLs: first-partition/exclusive-frame rows with
+        # no prefix fall back to the local max (or NULL when both empty).
+        combined = F.greatest(off_expr, local)
+    return ranged.withColumn(out_col, combined)
+
+
 @dataclass(frozen=True)
 class QueryMeta:
     name: str

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import query
+from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
 
 
 @query(
@@ -140,22 +140,32 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     upweights low-resource languages for training-data balancing.
 
     Scale shape: one count-by-lang hash agg over the corpus (map-side
-    combinable); everything after runs on |langs| rows, so the
-    single-partition windows are no-ops at any scale. pow() is libm →
-    weights rounded 6dp on both engines; the share division itself is
-    exact (int counts → double)."""
+    combinable); everything after runs on the persisted |langs|-row
+    frame, with the two global totals (doc count, Σ share^α) as
+    broadcast 1-row crossJoins — no SinglePartition window
+    (plan-asserted globally). pow() is libm → weights rounded 6dp on
+    both engines; the share division itself is exact (int counts →
+    double)."""
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    w = Window.partitionBy()
-    shares = counts.withColumn(
-        "share_raw", F.col("n_docs") / F.sum("n_docs").over(w)
+    counts = persist_tracked(
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    pw = F.pow("share_raw", MIX_ALPHA)
-    return shares.select(
+    n_total = counts.agg(F.sum("n_docs").alias("n_total"))
+    shares = persist_tracked(
+        counts.crossJoin(F.broadcast(n_total)).withColumn(
+            "share_raw", F.col("n_docs") / F.col("n_total")
+        )
+    )
+    pw_total = shares.agg(
+        F.sum(F.pow("share_raw", MIX_ALPHA)).alias("pw_total")
+    )
+    return shares.crossJoin(F.broadcast(pw_total)).select(
         "lang",
         "n_docs",
         F.round("share_raw", 6).alias("share"),
-        F.round(pw / F.sum(pw).over(w), 6).alias("weight"),
+        F.round(F.pow("share_raw", MIX_ALPHA) / F.col("pw_total"), 6).alias(
+            "weight"
+        ),
     )
 
 

@@ -167,19 +167,14 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over a global order.
 
-    A global window is a single-partition sort by construction; kept as
-    the literal-semantics key, with q_win_ntile_scalable as the 100 TB
-    execution of the SAME result (range-partitioned two-pass rank).
-    """
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return o.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
-    )
+    The literal formulation (``Window.orderBy`` with no partitionBy) is a
+    single-partition sort by construction — the one plan shape banned from
+    this registry (tests/test_plans.py asserts no SinglePartition node
+    globally). Since r4 this key EXECUTES via the range-partitioned
+    two-pass exact rank (see q_win_ntile_scalable for the full recipe);
+    results are identical (same oracle, driver-green r1 on the literal
+    plan, strict-sim green on this one)."""
+    return q_win_ntile_scalable(spark, sf_dir)
 
 
 # Range-partition fan-out for the scalable global rank. On a real cluster
@@ -486,9 +481,10 @@ def q_win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the window input is the |nations| aggregate (25 rows at
     any data scale), NOT the fact table — the share-of-total windows,
     including the unpartitioned global one, are computed after the
-    rollup, so the empty-frame global window is a 25-row SinglePartition
-    (constant-size, the legitimate exception to the no-global-window
-    rule; the fact-table shuffles are the join + one hash agg). Revenue
+    rollup (25 rows at any scale); the global denominator is a broadcast
+    1-row crossJoin rather than an empty-frame window, so no
+    SinglePartition node (plan-asserted globally; the fact-table
+    shuffles are the join + one hash agg). Revenue
     is rounded BEFORE the share division so both engines divide
     identical numerators into identical denominators... except the
     denominator is a sum of rounded terms — associative in exact 2dp
@@ -499,23 +495,23 @@ def q_win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_regionkey", "n_name"
     )
     r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    rev = (
+    rev = persist_tracked(
         o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
-    w_glob = Window.partitionBy()
+    glob_1row = rev.agg(F.sum("revenue").alias("rev_global"))
     w_reg = Window.partitionBy("region")
     w_rank = Window.partitionBy("region").orderBy(
         F.col("revenue").desc(), F.col("nation")
     )
-    return rev.select(
+    return rev.crossJoin(F.broadcast(glob_1row)).select(
         "nation",
         "region",
         "revenue",
-        F.round(F.col("revenue") / F.sum("revenue").over(w_glob), 6).alias(
+        F.round(F.col("revenue") / F.col("rev_global"), 6).alias(
             "share_global"
         ),
         F.round(F.col("revenue") / F.sum("revenue").over(w_reg), 6).alias(
@@ -757,13 +753,17 @@ def q_win_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     credit = j.select(
         "touch_type", (F.lit(1.0) / F.count(F.lit(1)).over(w_p)).alias("c")
     )
-    agg = credit.groupBy("touch_type").agg(
-        F.count(F.lit(1)).alias("n_credited_touches"), F.sum("c").alias("tc")
+    agg = persist_tracked(
+        credit.groupBy("touch_type").agg(
+            F.count(F.lit(1)).alias("n_credited_touches"), F.sum("c").alias("tc")
+        )
     )
-    w_all = Window.partitionBy()
-    return agg.select(
+    # Global credit total over the |channels|-row aggregate as a broadcast
+    # 1-row crossJoin — no SinglePartition window (plan-asserted globally).
+    tc_1row = agg.agg(F.sum("tc").alias("tc_total"))
+    return agg.crossJoin(F.broadcast(tc_1row)).select(
         "touch_type",
         "n_credited_touches",
         F.round("tc", 6).alias("total_credit"),
-        F.round(F.col("tc") / F.sum("tc").over(w_all), 6).alias("credit_share"),
+        F.round(F.col("tc") / F.col("tc_total"), 6).alias("credit_share"),
     )

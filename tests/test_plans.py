@@ -228,6 +228,11 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_agg_assoc_rules",  # crossJoin of the broadcast 1-row basket count
         "q_sim_eval_ndcg",  # two cosine passes, corpus past broadcast queries
         "q_ml_knn",  # train corpus streams past the broadcast test probes
+        "q_e2e_q11",  # crossJoin of the broadcast 1-row global revenue total
+        "q_sample_mixture",  # crossJoins of 1-row doc-count + pow-sum totals
+        "q_pack_mixture_budget",  # same mixture-weight 1-row totals
+        "q_win_ratio_to_report",  # crossJoin of the 1-row global revenue
+        "q_win_attribution_linear",  # crossJoin of the 1-row credit total
     }
     offenders = {}
     for name, fn in QUERIES.items():
@@ -437,6 +442,50 @@ def test_ntile_scalable_has_no_single_partition(spark):
     assert "SinglePartition" not in plan
 
 
+def test_no_single_partition_sort_or_window_anywhere(spark):
+    """Whole-inventory plan lint (VERDICT r3 item 6): no registered
+    operator may plan a Sort or Window whose input is an Exchange
+    SinglePartition — the full-data single-task sort that dies at 100 TB
+    (q_win_ntile's old literal plan). An Exchange SinglePartition feeding
+    a FINAL aggregate remains legitimate: map-side partials mean only
+    #partitions pre-aggregated rows cross it (the global-scalar pattern).
+
+    Detection walks the executed-plan tree text: for every Exchange
+    SinglePartition line, the nearest preceding line at lower indentation
+    is its parent; Sort/Window(/WindowGroupLimit) parents fail."""
+    import re
+
+    def first_alpha(line):
+        for i, ch in enumerate(line):
+            if ch.isalpha():
+                return i
+        return len(line)
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = (
+            fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        )
+        lines = plan.splitlines()
+        bad = []
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            ind = first_alpha(line)
+            for j in range(i - 1, -1, -1):
+                if first_alpha(lines[j]) < ind:
+                    parent = re.split(r"[\s\[(]", lines[j].strip().lstrip("+-: *("))[0]
+                    if parent in ("Sort", "Window", "WindowGroupLimit"):
+                        bad.append(parent)
+                    break
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"single-partition Sort/Window plans (use distributed_prefix or a "
+        f"broadcast 1-row crossJoin): {offenders}"
+    )
+
+
 def test_round3_shuffle_budgets(spark):
     """Docstring shuffle claims for the round-3 operators, pinned:
     attribution is ONE per-user window shuffle; KS is agg + window on the
@@ -498,7 +547,9 @@ def test_new_operator_shuffle_budgets(spark):
     budgets = {
         "q_time_rolling_median": 1,
         "q_time_forecast_snaive": 2,
-        "q_win_ratio_to_report": 2,
+        # join + rollup + the 1-row global-revenue agg (replacing the old
+        # SinglePartition share-of-total window with a broadcast crossJoin)
+        "q_win_ratio_to_report": 3,
         "q_dedup_url": 2,
         "q_text_heavy_hitters": 3,
         "q_stats_bootstrap": 3,
@@ -525,11 +576,14 @@ def test_session_r3b_shuffle_budgets(spark):
         "q_dedup_span_scrub": 3,
         "q_quality_kanon": 3,
         "q_text_bpe_encode": 2,
-        "q_agg_kmv_setops": 3,
-        "q_stats_cuped": 4,
+        "q_agg_kmv_setops": 2,   # unique-id counting: cached subtree no longer double-billed
+        "q_stats_cuped": 3,      # unique-id counting, as above
         "q_join_bloom_prefilter": 5,
-        "q_pack_mixture_budget": 5,
-        "q_dedup_substring": 6,
+        # +1 vs r3: the mixture weights' two 1-row totals are broadcast
+        # crossJoins now (no SinglePartition window); one extra tiny agg
+        # exchange of a 5-row frame
+        "q_pack_mixture_budget": 6,
+        "q_dedup_substring": 4,  # unique-id counting, as above
     }
     got = {k: n_shuffle_exchanges(QUERIES[k](spark, SF_DIR)) for k in budgets}
     assert got == budgets
