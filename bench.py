@@ -144,7 +144,12 @@ def _synth_documents(spark, n: int, out_dir: str) -> None:
     vocab = np.array([f"w{i}" for i in range(40)])
     texts = [" ".join(rng.choice(vocab, size=80)) for _ in range(n)]
     for i in range(10, n, 10):
-        texts[i] = texts[i - 1].replace(texts[i - 1].split(" ")[40], "EDIT", 1)
+        # positional edit (not str.replace: "w3" is a prefix of "w30"/"w31",
+        # and the token may occur earlier — a substring replace would move
+        # the planted edit away from position 40)
+        toks = texts[i - 1].split(" ")
+        toks[40] = "EDIT"
+        texts[i] = " ".join(toks)
     pdf = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"), "text": texts})
     spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
@@ -196,21 +201,41 @@ def _time_scaling(spark) -> dict:
             )
             return lsh_topk(ed, q)
 
-        def dedup(d, bits):
-            planes = (
+        def planes_for(bits):
+            return (
                 np.random.RandomState(7)
                 .randn(SCALE_DEDUP_TABLES, bits, 64)
                 .tolist()
             )
-            return embedding_near_dup_pairs(load_ed(d), planes)
+
+        def dedup(d, bits):
+            return embedding_near_dup_pairs(load_ed(d), planes_for(bits))
+
+        def n_candidate_pairs(d, bits):
+            """Σ C(bucket_size, 2) over all (table, bucket) groups — the
+            exact number of pairs the cascade will cosine-verify; the
+            like-for-like quadratic-vs-linear evidence behind the wall
+            clock numbers."""
+            from kafka_hadoop_consumer_spark.queries.similarity import (
+                _table_buckets,
+            )
+
+            ed = load_ed(d)
+            bucketed = ed.select(
+                F.posexplode(
+                    F.array(*_table_buckets(F.col("v"), planes_for(bits)))
+                ).alias("l", "bucket")
+            )
+            row = (
+                bucketed.groupBy("l", "bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("pairs"))
+                .first()
+            )
+            return int(row["pairs"] or 0)
 
         for name, b1, b10 in (
             ("q_sim_lsh_topk", lambda: lsh(d1), lambda: lsh(d10)),
-            (
-                "q_dedup_embedding",
-                lambda: dedup(d1, SCALE_DEDUP_BITS_1X),
-                lambda: dedup(d10, SCALE_DEDUP_BITS_10X),
-            ),
             ("q_dedup_substring", lambda: runs(d1), lambda: runs(d10)),
         ):
             t1, t10 = timed(b1), timed(b10)
@@ -221,6 +246,32 @@ def _time_scaling(spark) -> dict:
                 "sec_10x": t10,
                 "ratio": round(t10 / t1, 2) if t1 else None,
             }
+
+        # Embedding near-dup: report BOTH 10x points (VERDICT r3 item 4) —
+        # same-config (bits=1x's, the true like-for-like scaling ratio) and
+        # re-tuned (bits grown ~log2(n), the production posture) — plus the
+        # candidate-pair counts that explain them.
+        t1 = timed(lambda: dedup(d1, SCALE_DEDUP_BITS_1X))
+        t10_same = timed(lambda: dedup(d10, SCALE_DEDUP_BITS_1X))
+        t10_tuned = timed(lambda: dedup(d10, SCALE_DEDUP_BITS_10X))
+        out["q_dedup_embedding"] = {
+            "n_1x": SCALE_N1,
+            "n_10x": SCALE_N1 * SCALE_FACTOR,
+            "sec_1x": t1,
+            "sec_10x_same_config": t10_same,
+            "ratio_same_config": round(t10_same / t1, 2) if t1 else None,
+            "sec_10x_retuned": t10_tuned,
+            "ratio_retuned": round(t10_tuned / t1, 2) if t1 else None,
+            "bits_1x": SCALE_DEDUP_BITS_1X,
+            "bits_10x_retuned": SCALE_DEDUP_BITS_10X,
+            "candidate_pairs_1x": n_candidate_pairs(d1, SCALE_DEDUP_BITS_1X),
+            "candidate_pairs_10x_same_config": n_candidate_pairs(
+                d10, SCALE_DEDUP_BITS_1X
+            ),
+            "candidate_pairs_10x_retuned": n_candidate_pairs(
+                d10, SCALE_DEDUP_BITS_10X
+            ),
+        }
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d10, ignore_errors=True)
@@ -234,9 +285,49 @@ def _time_scaling(spark) -> dict:
 # thing that dies at scale), the explicit salted_join operator (AQE off —
 # pure operator effect), and plain join with AQE skew handling on (the
 # runtime fix). Reported under "skew_join"; not part of the headline total.
+#
+# Wall-clock on local[32] understates the claim: with 32 cores and one hot
+# task, the other 31 cores absorb the non-hot work, so total time barely
+# moves. The metric that scales to a 1000-executor cluster is the
+# STRAGGLER — the longest single task (REST status API, max task duration
+# over the stages each run completes): a job is as slow as its slowest
+# task, and salting's whole point is to cut that maximum.
 SKEW_ROWS = 8_000_000
 SKEW_HOT_FRACTION = 0.5
 SKEW_N_KEYS = 1_000
+
+
+def _rest_base(spark) -> str | None:
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    return f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}"
+
+
+def _completed_stage_ids(base: str) -> set[int]:
+    import urllib.request
+
+    with urllib.request.urlopen(f"{base}/stages?status=complete", timeout=10) as r:
+        return {s["stageId"] for s in json.load(r)}
+
+
+def _max_task_ms(base: str, stage_ids: set[int]) -> float | None:
+    """Longest task duration (ms) across the given completed stages."""
+    import urllib.error
+    import urllib.request
+
+    mx = None
+    for sid in stage_ids:
+        url = f"{base}/stages/{sid}/0/taskSummary?quantiles=1.0"
+        try:
+            with urllib.request.urlopen(url, timeout=10) as r:
+                summary = json.load(r)
+        except (urllib.error.URLError, urllib.error.HTTPError, OSError):
+            continue  # stage with no task data (skipped/reused)
+        dur = summary.get("duration") or []
+        if dur:
+            mx = max(mx or 0.0, float(dur[0]))
+    return mx
 
 
 def _time_skew_join(spark) -> dict:
@@ -261,19 +352,28 @@ def _time_skew_join(spark) -> dict:
     no_broadcast = {"spark.sql.autoBroadcastJoinThreshold": "-1",
                     "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1"}
 
+    rest = _rest_base(spark)
+
     def run(extra_conf: dict, build):
+        """(median wall sec, straggler: max single-task ms across the timed
+        runs' stages — None when the UI/REST API is unavailable)."""
         keys = list(extra_conf) + list(no_broadcast)
         saved = {k: spark.conf.get(k, None) for k in keys}
         try:
             for k, v in {**no_broadcast, **extra_conf}.items():
                 spark.conf.set(k, v)
             build().write.format("noop").mode("overwrite").save()  # warm
+            before = _completed_stage_ids(rest) if rest else set()
             runs = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 build().write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
-            return round(statistics.median(runs), 3)
+            straggler = None
+            if rest:
+                new_ids = _completed_stage_ids(rest) - before
+                straggler = _max_task_ms(rest, new_ids)
+            return round(statistics.median(runs), 3), straggler
         finally:
             for k, v in saved.items():
                 if v is None:
@@ -287,17 +387,23 @@ def _time_skew_join(spark) -> dict:
         )
 
     aqe_off = {"spark.sql.adaptive.skewJoin.enabled": "false"}
+    naive_sec, naive_straggler = run(aqe_off, lambda: agg(fact.join(dim, "k")))
+    salted_sec, salted_straggler = run(
+        aqe_off, lambda: agg(salted_join(fact, dim, on="k", n_salts=32))
+    )
+    aqe_sec, aqe_straggler = run(
+        {"spark.sql.adaptive.skewJoin.enabled": "true"},
+        lambda: agg(fact.join(dim, "k")),
+    )
     return {
         "rows": SKEW_ROWS,
         "hot_fraction": SKEW_HOT_FRACTION,
-        "naive_no_aqe_sec": run(aqe_off, lambda: agg(fact.join(dim, "k"))),
-        "salted_no_aqe_sec": run(
-            aqe_off, lambda: agg(salted_join(fact, dim, on="k", n_salts=32))
-        ),
-        "aqe_skew_sec": run(
-            {"spark.sql.adaptive.skewJoin.enabled": "true"},
-            lambda: agg(fact.join(dim, "k")),
-        ),
+        "naive_no_aqe_sec": naive_sec,
+        "salted_no_aqe_sec": salted_sec,
+        "aqe_skew_sec": aqe_sec,
+        "naive_max_task_ms": naive_straggler,
+        "salted_max_task_ms": salted_straggler,
+        "aqe_skew_max_task_ms": aqe_straggler,
     }
 
 
@@ -318,7 +424,17 @@ def time_query(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+    # UI on (free port) so the skew probe can read per-task straggler
+    # times off the REST status API; overhead is in-memory listener state
+    # only (no event log), negligible vs multi-second queries.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "0",
+            "spark.ui.retainedStages": "5000",
+        },
+    )
 
     timings = {name: time_query(spark, name, sf_dir) for name in HEADLINE}
 
@@ -338,19 +454,37 @@ def main() -> None:
                      "q_e2e_dedup_cascade")
     }
 
+    scaling = _time_scaling(spark)
+    skew = _time_skew_join(spark)
+
+    # Control rerun (VERDICT r3 item 5): a second pass over the headline
+    # set at the END of the bench. Ambient CPU contention is the dominant
+    # variance source on the shared 32-core box (BASELINE.md variance
+    # protocol: same code moved the total ~1.5x boot-to-boot); two samples
+    # an entire bench apart let the reader separate contention from real
+    # regressions IN the recorded file, and the advisory gate below takes
+    # the per-query min of the two passes as its point estimate.
+    control = {name: time_query(spark, name, sf_dir) for name in HEADLINE}
+    control["s_ingest_e2e"] = timings["s_ingest_e2e"]  # FS-bound; not re-run
+
     result = {
         "metric": "headline query wall-clock (median of 3, noop sink)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "control_rerun": {
+            "value": round(sum(control.values()), 3),
+            "queries": control,
+        },
         "ingest_rows_per_sec": round(ingest_rows / ingest_sec),
         "r3_ops": extras,
-        "scaling_10x": _time_scaling(spark),
-        "skew_join": _time_skew_join(spark),
+        "scaling_10x": scaling,
+        "skew_join": skew,
         "sf": float(sf),
     }
     print(json.dumps(result))
-    check_regressions(timings, sf)
+    best = {k: min(v, control.get(k, v)) for k, v in timings.items()}
+    check_regressions(best, sf)
 
 
 # Regression guardrail: refactors must not silently slow the headline

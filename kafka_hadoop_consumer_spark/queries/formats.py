@@ -562,6 +562,15 @@ def q_source_csv_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COMPACT_TARGET_ROWS = 1000  # rows per planned compaction output group
 
+# The driver (and the pytest mirror) always run oracles at sf0.01; the
+# oracle glob is built from the SAME _out_dir helper the Spark side uses,
+# so the two can never drift apart. DuckDB's read_parquet fails loudly on
+# a zero-match glob ("No files found"), so a standalone oracle run
+# without the engine pass errors instead of passing against nothing; a
+# STALE compact_in from an earlier run is caught by the hash compare
+# (the Spark side re-writes the dir every invocation).
+_COMPACT_ORACLE_GLOB = _out_dir("/root/testdata/sf0.01", "compact_in") + "/*/*.parquet"
+
 
 @query(
     "q_source_compaction_plan",
@@ -569,11 +578,7 @@ COMPACT_TARGET_ROWS = 1000  # rows per planned compaction output group
     WITH files AS (
       SELECT regexp_extract(filename, '([^/]+/[^/]+)$', 1) AS f,
              CAST(count(*) AS BIGINT) AS n_rows
-      -- oracle path pins the t2 scale factor (the driver and the pytest
-      -- mirror both run oracles at sf0.01; the Spark side derives the
-      -- same dir from sf_dir)
-      FROM read_parquet('/tmp/khcs_formats/sf0.01/compact_in/*/*.parquet',
-                        filename=true)
+      FROM read_parquet('{_COMPACT_ORACLE_GLOB}', filename=true)
       GROUP BY 1),
     keyed AS (
       SELECT f, n_rows, split_part(f, '/', 1) AS part_dir

@@ -1866,7 +1866,12 @@ BOT_MAX_NORM_ENTROPY = 0.6  # flag heavy users below this diversity
     u AS (
       SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
              CAST(count(*) AS BIGINT) AS n_types,
-             round(-sum(p * ln(p)) / ln(5), 6) AS norm_entropy
+             -- normalize by the OBSERVED type cardinality, not a literal:
+             -- a fixture domain change shifts the normalization (and the
+             -- BOT_MAX_NORM_ENTROPY meaning) identically on both engines
+             round(-sum(p * ln(p))
+                   / ln((SELECT count(DISTINCT event_type) FROM events)), 6)
+                 AS norm_entropy
       FROM sh GROUP BY user_id)
     SELECT user_id, n_events, n_types, norm_entropy,
            (n_events >= {BOT_MIN_EVENTS}
@@ -1885,9 +1890,18 @@ def q_quality_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (user, type) hash agg, then a per-user rollup —
     the entropy sum needs each type's share of the user total, taken
     from a window over the TINY (user, type) aggregate that reuses its
-    partitioning; nothing row-granular survives the first shuffle."""
+    partitioning; nothing row-granular survives the first shuffle. The
+    normalizer ln(|observed types|) is a broadcast 1-row crossJoin of a
+    distinct-count over the persisted (user, type) aggregate (not a
+    hard-coded ln(5): a fixture domain change shifts the normalization
+    identically on both engines instead of silently de-normalizing)."""
     e = load_table(spark, sf_dir, "events")
-    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    c = persist_tracked(
+        e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    )
+    k_1row = c.agg(
+        F.log(F.count_distinct("event_type").cast("double")).alias("ln_k")
+    )
     w_u = Window.partitionBy("user_id")
     share = F.col("c") / F.sum("c").over(w_u).cast("double")
     u = (
@@ -1896,7 +1910,14 @@ def q_quality_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").alias("n_events"),
             F.count(F.lit(1)).alias("n_types"),
-            F.round(F.sum("term") / F.log(F.lit(5.0)), 6).alias("norm_entropy"),
+            F.sum("term").alias("ent_sum"),
+        )
+        .crossJoin(F.broadcast(k_1row))
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.round(F.col("ent_sum") / F.col("ln_k"), 6).alias("norm_entropy"),
         )
     )
     return u.select(

@@ -43,8 +43,12 @@ def ensure_session_defaults(spark: SparkSession) -> None:
 
 def get_spark(app_name: str = "kafka_hadoop_consumer_spark",
               master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
-    """Build (or reuse) a SparkSession with the engine's pinned configs."""
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's pinned configs.
+    ``extra_conf`` overlays builder-time configs (e.g. bench.py enables
+    the UI so the REST status API can report per-task straggler times);
+    it only takes effect when this call actually creates the session."""
     builder = (
         SparkSession.builder
         .master(master or f"local[{DEFAULT_CPUS}]")
@@ -63,6 +67,8 @@ def get_spark(app_name: str = "kafka_hadoop_consumer_spark",
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

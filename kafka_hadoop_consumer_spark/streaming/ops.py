@@ -12,6 +12,7 @@ analogue.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Iterator
 from typing import Any
@@ -293,11 +294,19 @@ def run_incremental_near_dedup(
     so far (the streaming face of q_dedup_incremental, upgraded from
     exact-only to near-dup).
 
-    State is a parquet signature table ((doc_id, fp, band, bucket) — 
+    State is a parquet signature table ((doc_id, fp, band, bucket) —
     N_BANDS rows per accepted doc, constant-size per doc regardless of
     text length), the same mergeable-compact-state discipline as the
-    continuous-aggregate sink; the checkpoint makes batch ids
-    exactly-once so a restart cannot double-accept."""
+    continuous-aggregate sink.
+
+    Exactly-once is enforced IN the sink, not just by the checkpoint:
+    both outputs land in ``batch_id=N`` partition directories with
+    overwrite semantics, and classification reads only ``batch_id < N``
+    corpus state — so a replay of batch N (failure after the writes but
+    before the checkpoint commit) overwrites its own partitions and
+    classifies against exactly the same prior corpus, never against its
+    own first-attempt signatures (which would have re-classified its new
+    docs as exact_dups of themselves)."""
     from kafka_hadoop_consumer_spark.queries.dedup import (
         N_BANDS,
         ROWS_PER_BAND,
@@ -321,14 +330,24 @@ def run_incremental_near_dedup(
         ).select("doc_id", "bb.band", "bb.bucket")
 
     def classify(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         fps = batch.select("doc_id", F.md5("text").alias("fp"))
         bands = sig_table(batch).join(fps, "doc_id")
         bands.cache().count()
         try:
-            corpus = spark.read.parquet(corpus_dir)
+            # batch_id is the partition column of corpus_dir; < batch_id
+            # makes a replayed batch blind to its own first attempt.
+            corpus = spark.read.parquet(corpus_dir).where(
+                F.col("batch_id") < batch_id
+            )
             have_corpus = True
-        except Exception:  # first batch: empty corpus
+        except AnalysisException:
+            # Missing path / no partitions yet = genuinely empty corpus.
+            # Anything else (corrupt parquet, permissions) PROPAGATES and
+            # fails the batch — silently accepting every doc as new on a
+            # read error would poison the corpus.
             have_corpus = False
         if have_corpus:
             exact = (
@@ -354,7 +373,6 @@ def run_incremental_near_dedup(
             .select(
                 "doc_id",
                 F.coalesce("v", "w", F.lit("new")).alias("verdict"),
-                F.lit(batch_id).alias("batch_id"),
             )
         )
         # localCheckpoint truncates the lineage: caching is best-effort,
@@ -362,11 +380,19 @@ def run_incremental_near_dedup(
         # corpus AFTER this batch's own signatures landed — classifying
         # the batch's new docs as duplicates of themselves.
         verdicts = verdicts.localCheckpoint()
-        verdicts.write.mode("append").parquet(log_dir)
+        # Idempotent per-batch sinks: hive-style batch_id=N partition dirs
+        # with overwrite, so a replayed batch replaces its first attempt
+        # instead of appending duplicate rows (batch_id comes back as the
+        # partition column on read).
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(log_dir, f"batch_id={batch_id}")
+        )
         new_sigs = bands.join(
             verdicts.where(F.col("verdict") == "new").select("doc_id"), "doc_id"
         )
-        new_sigs.write.mode("append").parquet(corpus_dir)
+        new_sigs.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"batch_id={batch_id}")
+        )
         bands.unpersist()
 
     q = (

@@ -233,6 +233,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_pack_mixture_budget",  # same mixture-weight 1-row totals
         "q_win_ratio_to_report",  # crossJoin of the 1-row global revenue
         "q_win_attribution_linear",  # crossJoin of the 1-row credit total
+        "q_quality_behavior_entropy",  # crossJoin of the 1-row ln(|types|)
     }
     offenders = {}
     for name, fn in QUERIES.items():

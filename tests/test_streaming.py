@@ -710,3 +710,35 @@ def test_incremental_near_dedup_stream(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(corpus).select("doc_id").distinct().collect()
     }
     assert accepted == {1, 2, 5}
+
+    # Replay idempotence: a crash AFTER the batch-2 sink writes but BEFORE
+    # the checkpoint commit replays batch 2 on restart. The batch_id
+    # partition-overwrite sink + the batch_id < N corpus filter must make
+    # the replay byte-for-byte equivalent: same verdicts (batch 2's docs
+    # must NOT re-classify as dups of their own first-attempt signatures),
+    # no duplicate log rows, same accepted set.
+    import os
+
+    commits = sorted(
+        f for f in os.listdir(tmp_path / "ck" / "commits") if not f.startswith(".")
+    )
+    os.remove(tmp_path / "ck" / "commits" / commits[-1])
+    crc = tmp_path / "ck" / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():  # local-FS checksum sidecar blocks the replay's rename
+        os.remove(crc)
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    run_incremental_near_dedup(stream2, corpus, log, str(tmp_path / "ck"))
+
+    rows = spark.read.parquet(log).collect()
+    assert len(rows) == 5, "replay appended duplicate verdict rows"
+    verdicts2 = {r.doc_id: r.verdict for r in rows}
+    assert verdicts2 == verdicts, "replay changed verdicts (self-dup bug)"
+    accepted2 = {
+        r.doc_id
+        for r in spark.read.parquet(corpus).select("doc_id").distinct().collect()
+    }
+    assert accepted2 == {1, 2, 5}
