@@ -927,6 +927,20 @@ MMR_CAND_K = 20
 MMR_OUT_K = 5
 
 
+def _round_half_up(x: float, dp: int) -> float:
+    """Decimal-exact HALF_UP rounding of a float64 — the same semantics
+    as Spark's F.round and DuckDB's round() on DOUBLE (both round the
+    exact decimal expansion of the double, ties away from zero). Python's
+    built-in round() is banker's and numpy.round is too; using either in
+    a cross-engine-hashed path is the -0.0-class trap of rounding."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-dp)
+    return float(
+        decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    ) + 0.0
+
+
 def mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{MMR_CAND_K} exact-cosine candidates per query vector, carrying
     both vectors — the input stage q_sim_mmr_rerank reranks (shared with
@@ -956,7 +970,13 @@ def _mmr_rerank_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """Greedy maximal-marginal-relevance over one query's candidate set.
     Pure numpy float64 (similarities recomputed HERE so the pytest mirror
     is bit-identical); candidates scanned in vec_id order with strict >
-    so ties resolve to the lowest vec_id, deterministically."""
+    so ties resolve to the lowest vec_id, deterministically.
+
+    The selection compares scores rounded HALF_UP to 6dp — the cross-
+    engine determinism contract with the DuckDB oracle: numpy's BLAS
+    dot products (pairwise summation) and the oracle's sequential
+    list_sum folds differ in the last ulp, and the 6dp round collapses
+    that before the argmax so both engines walk the same trajectory."""
     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
     V = np.stack(pdf["v"].to_numpy())
     qv = np.asarray(pdf["qv"].iloc[0])
@@ -972,7 +992,9 @@ def _mmr_rerank_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             if i in selected:
                 continue
             pen = max((S[i][j] for j in selected), default=0.0)
-            score = MMR_LAMBDA * simq[i] - (1 - MMR_LAMBDA) * pen
+            score = _round_half_up(
+                MMR_LAMBDA * simq[i] - (1 - MMR_LAMBDA) * pen, 6
+            )
             if score > best_score:
                 best_i, best_score = i, score
         selected.append(best_i)
@@ -981,15 +1003,73 @@ def _mmr_rerank_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                 int(pdf["q_id"].iloc[0]),
                 int(pdf["vec_id"].iloc[best_i]),
                 rank,
-                round(float(best_score), 4),
+                _round_half_up(float(best_score), 4),
             )
         )
     return pd.DataFrame(out, columns=["q_id", "vec_id", "mmr_rank", "mmr_score"])
 
 
-@query("q_sim_mmr_rerank")  # rows-only: iterative greedy selection is not
-# SQL-expressible; exactness gated by the numpy mirror in
-# tests/test_similarity.py (SURVEY.md §7 R4)
+def _mmr_oracle() -> str:
+    """Chained-CTE greedy MMR replay (the q_sample_coreset treatment,
+    upgraded from rows-only in r4): candidates are the top-{MMR_CAND_K}
+    per query by UNROUNDED cosine (bit-equal cross-engine: both sides
+    are sequential folds), then {MMR_OUT_K} unrolled steps each pick the
+    per-query argmax of round(λ·simq − (1−λ)·max_pen, 6) with vec_id
+    tie-break — the same 6dp-rounded comparison the Spark UDF makes, so
+    BLAS-vs-sequential last-ulp drift cannot fork the trajectory."""
+    lam = repr(MMR_LAMBDA)
+    oml = repr(1.0 - MMR_LAMBDA)  # float64 literal, NOT '0.3'
+    step_tpl = """,
+    s{i} AS (
+      SELECT q_id, vec_id, nv, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY score DESC, vec_id) AS rn
+        FROM (
+          SELECT c.q_id, c.vec_id, c.nv,
+                 round({lam} * c.cos_raw - {oml} *
+                       coalesce(list_max(list_transform(p.nvs,
+                           s -> list_sum(list_transform(list_zip(c.nv, s),
+                                                        z -> z[1] * z[2])))),
+                                0.0), 6) AS score
+          FROM cand c JOIN sel{p} p USING (q_id)
+          WHERE NOT list_contains(p.ids, c.vec_id)))
+      WHERE rn = 1),
+    sel{i} AS (
+      SELECT q_id, list_append(p.ids, n.vec_id) AS ids,
+             list_append(p.nvs, n.nv) AS nvs,
+             list_append(p.scores, n.score) AS scores
+      FROM sel{p} p JOIN s{i} n USING (q_id))"""
+    steps = "".join(
+        step_tpl.format(i=i, p=i - 1, lam=lam, oml=oml)
+        for i in range(1, MMR_OUT_K + 1)
+    )
+    return (
+        _ORACLE_E
+        + f""",
+    q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
+          FROM e WHERE vec_id < {N_QUERY}),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             list_transform(e.v, x -> x / e.nrm) AS nv,
+             list_sum(list_transform(list_zip(e.v, q.qv), z -> z[1] * z[2]))
+               / (e.nrm * q.qnrm) AS cos_raw
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+    cand AS (
+      SELECT q_id, vec_id, nv, cos_raw FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_raw DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= {MMR_CAND_K}),
+    sel0 AS (SELECT q_id, []::BIGINT[] AS ids, []::DOUBLE[][] AS nvs,
+                    []::DOUBLE[] AS scores
+             FROM q){steps}
+    SELECT q_id, ids[u.i] AS vec_id, CAST(u.i AS INT) AS mmr_rank,
+           round(scores[u.i], 4) AS mmr_score
+    FROM sel{MMR_OUT_K}, UNNEST(range(1, len(ids) + 1)) AS u(i)
+    """
+    )
+
+
+@query("q_sim_mmr_rerank", oracle=_mmr_oracle())
 def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance reranking: from each query's
     top-{MMR_CAND_K} cosine candidates, greedily pick {MMR_OUT_K}
@@ -1001,7 +1081,12 @@ def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (corpus never shuffles); the greedy stage is inherently
     sequential PER QUERY, so it runs as grouped applyInPandas over
     candidate sets BOUNDED at {MMR_CAND_K} rows — O(k²) work per query
-    regardless of corpus size, Arrow-batched, one shuffle on q_id."""
+    regardless of corpus size, Arrow-batched, one shuffle on q_id.
+
+    SQL-oracled as of r4 (was rows-only): the full greedy trajectory is
+    hash-verified against a chained-CTE DuckDB replay (_mmr_oracle);
+    selection compares 6dp-HALF_UP-rounded scores on both engines so the
+    check is exact, not tolerance-based."""
     return (
         mmr_candidates(spark, sf_dir)
         .groupBy("q_id")

@@ -172,6 +172,7 @@ def test_mmr_rerank_matches_numpy_mirror(spark):
         MMR_CAND_K,
         MMR_LAMBDA,
         MMR_OUT_K,
+        _round_half_up,
         mmr_candidates,
     )
 
@@ -198,12 +199,14 @@ def test_mmr_rerank_matches_numpy_mirror(spark):
                 if i in sel:
                     continue
                 pen = max((S[i][j] for j in sel), default=0.0)
-                score = MMR_LAMBDA * simq[i] - (1 - MMR_LAMBDA) * pen
+                score = _round_half_up(
+                    MMR_LAMBDA * simq[i] - (1 - MMR_LAMBDA) * pen, 6
+                )
                 if score > best:
                     best_i, best = i, score
             sel.append(best_i)
             rows.append((q_id, int(g["vec_id"].iloc[best_i]), rank,
-                         round(float(best), 4)))
+                         _round_half_up(float(best), 4)))
         # diversity sanity: the picked set is not simply raw top-k by simq
         # unless top-k already diverse; at minimum scores are decreasing
         scores = [r[3] for r in rows if r[0] == q_id]
