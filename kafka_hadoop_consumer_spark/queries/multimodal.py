@@ -114,7 +114,23 @@ def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("q_multimodal_binary")  # no oracle: mapInPandas plumbing op (R4)
+@query(
+    "q_multimodal_binary",
+    oracle="""
+    WITH dec AS (
+      SELECT doc_id, source,
+             octet_length(encode(text)) AS blen,
+             substring(sha256(text), 1, 16) AS checksum
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(blen) AS BIGINT) AS total_bytes,
+           round(avg(blen % 640 + 1), 2) AS avg_width,
+           round(avg(blen % 480 + 1), 2) AS avg_height,
+           CAST(count(DISTINCT checksum) AS BIGINT) AS n_distinct
+    FROM dec GROUP BY source
+    """,
+)
 def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload pipeline: opaque bytes + typed metadata → Arrow-batched
     mapInPandas "decode" → per-item features, aggregated per source.
@@ -124,6 +140,12 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, batch iterator, schema contract, downstream aggregation — is
     real and scale-shaped (decode is partition-parallel, no shuffle until
     the final small aggregate).
+
+    SQL-oracled as of r4 (was rows-only): the stub's feature derivation
+    is a pure byte function (length mods + sha256), so DuckDB replays it
+    exactly — the hash check covers the Arrow plumbing end-to-end, not
+    just row counts. The averages divide exact integer sums (< 2^53) so
+    no cross-engine sum-order drift; rounded 2dp regardless.
     """
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select(
@@ -184,8 +206,12 @@ def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 rows["frame_idx"].append(idx)
                 rows["out_width"].append(max(1, int(w * scale)))
                 rows["out_height"].append(max(1, int(h * scale)))
+                # payload + DECIMAL-STRING frame index (not raw int bytes):
+                # printable suffix keeps the formula expressible in the
+                # DuckDB oracle (sha256 there is VARCHAR-only and a
+                # blob→VARCHAR cast escapes bytes rather than passing them)
                 rows["frame_checksum"].append(
-                    hashlib.sha256(bytes(payload) + idx.to_bytes(4, "big"))
+                    hashlib.sha256(bytes(payload) + str(idx).encode())
                     .hexdigest()[:12]
                 )
         yield pd.DataFrame(rows).astype(
@@ -193,7 +219,31 @@ def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         )
 
 
-@query("q_multimodal_frames")  # no oracle: mapInPandas plumbing op (R4)
+@query(
+    "q_multimodal_frames",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) % 24 + 1 AS n_frames,
+             octet_length(encode(text)) % 640 + 1 AS w,
+             octet_length(encode(text)) % 480 + 1 AS h
+      FROM documents),
+    s AS (
+      SELECT doc_id, text, w, h,
+             least(1.0, CAST({RESIZE_MAX} AS DOUBLE) / greatest(w, h)) AS scale,
+             u.idx
+      FROM d, UNNEST(range(0, n_frames, {FRAME_STRIDE})) AS u(idx))
+    SELECT doc_id,
+           CAST(idx AS INTEGER) AS frame_idx,
+           CAST(greatest(1, CAST(trunc(w * scale) AS INTEGER)) AS INTEGER)
+               AS out_width,
+           CAST(greatest(1, CAST(trunc(h * scale) AS INTEGER)) AS INTEGER)
+               AS out_height,
+           substring(sha256(text || CAST(idx AS VARCHAR)), 1, 12)
+               AS frame_checksum
+    FROM s
+    """,
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling + resize over binary "video" payloads: every
     {FRAME_STRIDE}-th frame, thumbnailed to ≤{RESIZE_MAX}px — the
@@ -204,6 +254,12 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the frame stream is written straight to the sink partitioned
     by whatever downstream training wants. Determinism of the stub lets
     tests assert exact sampled-frame counts (tests/test_multimodal.py).
+
+    SQL-oracled as of r4 (was rows-only): the stub's 1→N frame explosion
+    and resize arithmetic replay exactly in DuckDB (UNNEST(range(...))
+    mirrors the stride loop; trunc/greatest mirror Python int()/max();
+    the scalar float ops are IEEE-identical), so the driver hash-checks
+    the full per-frame output, not just the row count.
     """
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
