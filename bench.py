@@ -304,11 +304,19 @@ def _rest_base(spark) -> str | None:
     return f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}"
 
 
-def _completed_stage_ids(base: str) -> set[int]:
+def _completed_stage_ids(base: str) -> set[int] | None:
+    """None on any REST failure — the probe then skips the straggler
+    metric for that run instead of killing the whole bench."""
+    import urllib.error
     import urllib.request
 
-    with urllib.request.urlopen(f"{base}/stages?status=complete", timeout=10) as r:
-        return {s["stageId"] for s in json.load(r)}
+    try:
+        with urllib.request.urlopen(
+            f"{base}/stages?status=complete", timeout=10
+        ) as r:
+            return {s["stageId"] for s in json.load(r)}
+    except (urllib.error.URLError, urllib.error.HTTPError, OSError, ValueError):
+        return None
 
 
 def _max_task_ms(base: str, stage_ids: set[int]) -> float | None:
@@ -363,16 +371,17 @@ def _time_skew_join(spark) -> dict:
             for k, v in {**no_broadcast, **extra_conf}.items():
                 spark.conf.set(k, v)
             build().write.format("noop").mode("overwrite").save()  # warm
-            before = _completed_stage_ids(rest) if rest else set()
+            before = _completed_stage_ids(rest) if rest else None
             runs = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 build().write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
             straggler = None
-            if rest:
-                new_ids = _completed_stage_ids(rest) - before
-                straggler = _max_task_ms(rest, new_ids)
+            if rest and before is not None:
+                after = _completed_stage_ids(rest)
+                if after is not None:
+                    straggler = _max_task_ms(rest, after - before)
             return round(statistics.median(runs), 3), straggler
         finally:
             for k, v in saved.items():
