@@ -928,16 +928,22 @@ MMR_OUT_K = 5
 
 
 def _round_half_up(x: float, dp: int) -> float:
-    """Decimal-exact HALF_UP rounding of a float64 — the same semantics
-    as Spark's F.round and DuckDB's round() on DOUBLE (both round the
-    exact decimal expansion of the double, ties away from zero). Python's
-    built-in round() is banker's and numpy.round is too; using either in
-    a cross-engine-hashed path is the -0.0-class trap of rounding."""
+    """HALF_UP rounding of a float64 with the same semantics as Spark's
+    F.round AND DuckDB's round() on DOUBLE: both round the SHORTEST
+    decimal representation of the double (Spark goes through
+    BigDecimal.valueOf = Double.toString), NOT its exact binary
+    expansion — e.g. 0.1234565 (stored as 0.123456499999...) rounds UP
+    to 0.123457 on both engines because its shortest repr ends in 5.
+    Python repr() is the same shortest round-trip decimal, so
+    Decimal(repr(x)) reproduces it exactly (property-tested against both
+    engines in tests/test_properties.py). Python's built-in round() and
+    numpy.round are banker's — using either in a cross-engine-hashed
+    path is the -0.0-class trap of rounding."""
     import decimal
 
     q = decimal.Decimal(1).scaleb(-dp)
     return float(
-        decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
     ) + 0.0
 
 

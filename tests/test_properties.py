@@ -368,3 +368,83 @@ def test_url_canonicalization_idempotent_and_collapsing(spark):
     assert canons == {"https://x.example.com/p/7?a=1&b=2"}, canons
     for r in out:
         assert r["c2"] == r["c1"], (r["url"], r["c1"], r["c2"])
+
+
+def test_distributed_prefix_equals_reference_window(spark):
+    """registry.distributed_prefix (the r4 two-pass global running
+    sum/max behind q_win_ntile / q_agg_skyline / q_agg_abc) must equal
+    the literal single-partition window it replaces, for every (op,
+    frame) combination — including duplicate order-values that straddle
+    range-partition boundaries, empty exclusive frames on partition
+    heads, and negative values (the max-offset null path)."""
+    from pyspark.sql import Window
+
+    from kafka_hadoop_consumer_spark.queries.registry import (
+        distributed_prefix,
+        release_tracked,
+    )
+
+    # 10k rows, heavy duplicate keys (k has ~50 distinct values) so range
+    # boundaries are forced to split peer groups; unique id tie-break.
+    df = spark.range(10_000).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id"), F.lit(50))).alias("k"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)) - 500).alias("v"),
+    )
+    order = (F.col("k").asc(), F.col("id").asc())
+    for op, incl in (("sum", True), ("sum", False), ("max", True), ("max", False)):
+        got = distributed_prefix(
+            df, order, "v", op=op, out_col="got", include_current=incl
+        ).select("id", "got")
+        end = Window.currentRow if incl else -1
+        w = (
+            Window.orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, end)
+        )
+        agg = F.sum("v") if op == "sum" else F.max("v")
+        want = df.select("id", agg.over(w).alias("want"))
+        diff = (
+            got.join(want, "id")
+            .where(
+                ~(
+                    (F.col("got") == F.col("want"))
+                    | (F.col("got").isNull() & F.col("want").isNull())
+                )
+            )
+            .count()
+        )
+        assert diff == 0, f"distributed_prefix({op}, include_current={incl})"
+        release_tracked()
+
+
+def test_round_half_up_matches_engines():
+    """similarity._round_half_up must agree with BOTH Spark's F.round
+    (BigDecimal HALF_UP on the exact double) and DuckDB's round() —
+    the rounding contract every cross-engine-hashed UDF path relies on.
+    Sweeps sign, magnitude, and near-tie values."""
+    import duckdb
+
+    from kafka_hadoop_consumer_spark.queries.similarity import _round_half_up
+
+    vals = [
+        0.2590005, -0.2590005, 0.1234565, -0.1234565, 0.9999995,
+        -0.9999995, 1e-07, -1e-07, 0.0, 0.7 - 0.3, 0.1 + 0.2,
+        0.30000000000000004, -0.0000005, 0.0000005, 123.4567894999,
+    ]
+    con = duckdb.connect()
+    for v in vals:
+        duck = con.execute(
+            "SELECT round(CAST(? AS DOUBLE), 6)", [v]
+        ).fetchone()[0]
+        assert _round_half_up(v, 6) == duck + 0.0, (v, _round_half_up(v, 6), duck)
+
+
+def test_round_half_up_matches_spark_round(spark):
+    from kafka_hadoop_consumer_spark.queries.similarity import _round_half_up
+
+    vals = [0.2590005, -0.1234565, 0.9999995, 0.30000000000000004, 0.1 + 0.2]
+    rows = spark.createDataFrame([(v,) for v in vals], "v double").select(
+        "v", F.round("v", 6).alias("r")
+    ).collect()
+    for r in rows:
+        assert _round_half_up(r["v"], 6) == r["r"] + 0.0, (r["v"], r["r"])
