@@ -180,7 +180,48 @@ def _ffd_pack(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-@query("q_pack_bins")  # no oracle: greedy FFD is inherently sequential (R4)
+@query(
+    "q_pack_bins",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY len(string_split(text, ' ')) DESC,
+                                              doc_id) AS BIGINT) AS rn
+      FROM documents),
+    r AS (
+      SELECT lang, CAST(0 AS BIGINT) AS step,
+             []::INT[] AS remaining, []::BIGINT[] AS doc_ids, []::INT[] AS bins
+      FROM (SELECT DISTINCT lang FROM toks)
+      UNION ALL
+      SELECT lang, step,
+             CASE WHEN fit IS NULL
+                  THEN list_append(remaining, {BIN_BUDGET} - nt)
+                  ELSE list_transform(range(1, len(remaining) + 1),
+                                      i -> CASE WHEN i = fit
+                                                THEN remaining[i] - nt
+                                                ELSE remaining[i] END)::INT[]
+             END AS remaining,
+             list_append(doc_ids, doc_id) AS doc_ids,
+             list_append(bins, CAST(CASE WHEN fit IS NULL THEN len(remaining)
+                                         ELSE fit - 1 END AS INT)) AS bins
+      FROM (
+        SELECT r.lang, r.step + 1 AS step, r.remaining, r.doc_ids, r.bins,
+               t.doc_id, t.n_tokens AS nt,
+               list_min(list_filter(range(1, len(r.remaining) + 1),
+                                    i -> r.remaining[i] >= t.n_tokens)) AS fit
+        FROM r JOIN toks t ON t.lang = r.lang AND t.rn = r.step + 1))
+    SELECT t.doc_id, t.lang, t.n_tokens, b.bin_id
+    FROM (
+      SELECT lang, doc_ids[u.i] AS doc_id, bins[u.i] AS bin_id
+      FROM (SELECT lang, doc_ids, bins,
+                   row_number() OVER (PARTITION BY lang ORDER BY step DESC) AS q
+            FROM r) last, UNNEST(range(1, len(doc_ids) + 1)) AS u(i)
+      WHERE q = 1) b
+    JOIN toks t ON t.doc_id = b.doc_id
+    """,
+)
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing sequence packing: per language, pack docs
     into bins of ≤{BIN_BUDGET} tokens (oversize docs get singleton
@@ -193,6 +234,13 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash prefix, keeping groups bounded while preserving within-shard
     packing quality (the standard compromise). Properties (no bin over
     budget, every doc exactly once) gated in tests/test_properties.py.
+
+    SQL-oracled as of r4 (was rows-only): the per-lang greedy is
+    replayed by a DuckDB RECURSIVE CTE stepping one doc per iteration in
+    the same (tokens desc, doc_id) order, list-typed bin state carried
+    through the recursion and first-fit chosen via
+    list_min(list_filter(...)) — all-integer arithmetic, so the full
+    (doc → bin) assignment hash-matches exactly.
     """
     d = load_table(spark, sf_dir, "documents")
     with_tokens = d.select(
