@@ -6,6 +6,9 @@ Usage:
     python tools/drive_strict.py q_key1 q_key2 ...   # specific keys
     python tools/drive_strict.py --all               # whole oracled registry
     python tools/drive_strict.py --fresh50           # projected driver window
+    python tools/drive_strict.py --rows-only         # rows-only keys (the
+        driver still executes + canonicalizes these; a crash or a
+        complex-typed column would be a red CORRECTNESS row)
 
 Exit nonzero on any mismatch. Two canonicalizers are applied:
 
@@ -67,26 +70,35 @@ def main(argv: list[str]) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     queries, oracles = e.queries(), e.oracle_sql()
+    rows_only_mode = bool(argv) and argv[0] == "--rows-only"
     if argv and argv[0] == "--all":
         keys = [k for k in queries if k in oracles]
     elif argv and argv[0] == "--fresh50":
         keys = [k for k in queries if k in oracles][:50]
+    elif rows_only_mode:
+        keys = [k for k in queries if k not in oracles]
     else:
         keys = argv
     if not keys:
-        print("no keys given (use --all, --fresh50, or key names)")
+        print("no keys given (use --all, --fresh50, --rows-only, or key names)")
         return 2
 
     failures = 0
     for name in keys:
         try:
             sdf = queries[name](spark, sf).toPandas()
-            odf = con.execute(oracles[name]).fetchdf()
             # Driver-style canonicalization must not raise (complex types).
             driver_canon(sdf)
-            driver_canon(odf)
-            ok = len(sdf) == len(odf) and vhash(sdf) == vhash(odf) and len(sdf) > 0
-            print(f"{name}: rows {len(sdf)}/{len(odf)} strict_ok={ok}", flush=True)
+            if name in oracles:
+                odf = con.execute(oracles[name]).fetchdf()
+                driver_canon(odf)
+                ok = (
+                    len(sdf) == len(odf) and vhash(sdf) == vhash(odf) and len(sdf) > 0
+                )
+                print(f"{name}: rows {len(sdf)}/{len(odf)} strict_ok={ok}", flush=True)
+            else:  # rows-only: executes + canonicalizes, rows recorded
+                ok = len(sdf) > 0
+                print(f"{name}: rows {len(sdf)} rows_only_ok={ok}", flush=True)
         except Exception as exc:  # noqa: BLE001 — report, keep sweeping
             print(f"{name}: ERROR {type(exc).__name__}: {exc}", flush=True)
             ok = False
