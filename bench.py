@@ -404,15 +404,32 @@ def _time_skew_join(spark) -> dict:
         {"spark.sql.adaptive.skewJoin.enabled": "true"},
         lambda: agg(fact.join(dim, "k")),
     )
+    # Tuned-AQE point (VERDICT r4 item 6): default thresholds (256 MB) are
+    # sized for cluster-scale partitions and decline to split this local
+    # probe's ~100 MB hot partition. Lowering the skew threshold to 16 MB
+    # (advisory target 8 MB) makes AQE's OptimizeSkewedJoin fire at local
+    # scale — demonstrating the runtime fix works, and that its trigger is
+    # a size threshold, not a capability gap.
+    aqe_tuned_sec, aqe_tuned_straggler = run(
+        {
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+        lambda: agg(fact.join(dim, "k")),
+    )
     return {
         "rows": SKEW_ROWS,
         "hot_fraction": SKEW_HOT_FRACTION,
         "naive_no_aqe_sec": naive_sec,
         "salted_no_aqe_sec": salted_sec,
         "aqe_skew_sec": aqe_sec,
+        "aqe_tuned_sec": aqe_tuned_sec,
         "naive_max_task_ms": naive_straggler,
         "salted_max_task_ms": salted_straggler,
         "aqe_skew_max_task_ms": aqe_straggler,
+        "aqe_tuned_max_task_ms": aqe_tuned_straggler,
+        "aqe_tuned_threshold": "16m",
     }
 
 
@@ -476,7 +493,7 @@ def main() -> None:
     control = {name: time_query(spark, name, sf_dir) for name in HEADLINE}
     control["s_ingest_e2e"] = timings["s_ingest_e2e"]  # FS-bound; not re-run
 
-    result = {
+    detail = {
         "metric": "headline query wall-clock (median of 3, noop sink)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -491,9 +508,73 @@ def main() -> None:
         "skew_join": skew,
         "sf": float(sf),
     }
-    print(json.dumps(result))
+    # Full detail to a committed sidecar + stderr; the driver's tail buffer
+    # only holds ~2000 chars, so everything stderr/diagnostic prints BEFORE
+    # the final compact stdout line (r4 post-mortem: control_rerun grew the
+    # single JSON line past the buffer and the driver recorded parsed:null).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=2)
+    print(json.dumps(detail), file=sys.stderr)
     best = {k: min(v, control.get(k, v)) for k, v in timings.items()}
     check_regressions(best, sf)
+    print(format_final_line(detail), flush=True)
+
+
+# The driver captures only the last ~2000 chars of combined output and
+# parses the final JSON line it finds there. Keep the final line compact
+# and well under that budget (guard + fallback below, locked by a test).
+FINAL_LINE_BUDGET = 1600
+
+
+def format_final_line(detail: dict) -> str:
+    """Compact one-line JSON for the driver: headline numbers verbatim,
+    everything else summarized (full payload lives in bench_detail.json).
+    Falls back to a minimal line if a pathological payload overflows."""
+    control = detail.get("control_rerun", {})
+    ratios = [
+        sec / detail["queries"][k]
+        for k, sec in control.get("queries", {}).items()
+        if detail["queries"].get(k)
+    ]
+    scaling = {
+        name: {k: v for k, v in d.items() if k.startswith("ratio")}
+        for name, d in detail.get("scaling_10x", {}).items()
+    }
+    skew = {
+        k: v
+        for k, v in detail.get("skew_join", {}).items()
+        if k.endswith("_max_task_ms") or k.endswith("_sec")
+    }
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": detail["unit"],
+        "queries": detail["queries"],
+        "control": {
+            "value": control.get("value"),
+            "max_query_ratio": round(max(ratios), 2) if ratios else None,
+        },
+        "ingest_rows_per_sec": detail.get("ingest_rows_per_sec"),
+        "extras": detail.get("r3_ops", {}),
+        "scaling_10x_ratios": scaling,
+        "skew_join": skew,
+        "detail": "bench_detail.json",
+        "sf": detail["sf"],
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > FINAL_LINE_BUDGET:
+        minimal = {
+            "metric": detail["metric"],
+            "value": detail["value"],
+            "unit": detail["unit"],
+            "queries": detail["queries"],
+            "sf": detail["sf"],
+        }
+        line = json.dumps(minimal, separators=(",", ":"))
+    return line
 
 
 # Regression guardrail: refactors must not silently slow the headline

@@ -1,0 +1,99 @@
+"""The driver captures only the last ~2000 chars of bench output and
+parses the final JSON line found there. Round 4 lost its bench evidence
+because the (single) JSON line outgrew that buffer. These tests lock the
+contract: the final stdout line is valid JSON, stays under the budget
+with a full-size realistic payload, and carries the evidence the judge
+reads (control summary, scaling ratios, skew straggler incl. the
+tuned-AQE point)."""
+
+import json
+
+import bench
+
+
+def _full_detail() -> dict:
+    """A payload at least as large as a real round's (r4 shapes)."""
+    headline = dict.fromkeys(bench.HEADLINE, 12.345)
+    headline["s_ingest_e2e"] = 12.345
+    return {
+        "metric": "headline query wall-clock (median of 3, noop sink)",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": headline,
+        "control_rerun": {"value": 123.456, "queries": dict(headline)},
+        "ingest_rows_per_sec": 155364,
+        "r3_ops": {
+            k: 12.345
+            for k in (
+                "q_text_heavy_hitters", "q_graph_pagerank", "q_sim_pq_topk",
+                "q_stats_bootstrap", "q_dedup_substring", "q_graph_triangles",
+                "q_dedup_semdedup", "q_text_bpe_encode", "q_e2e_dedup_cascade",
+            )
+        },
+        "scaling_10x": {
+            "q_sim_lsh_topk": {
+                "n_1x": 2000, "n_10x": 20000,
+                "sec_1x": 1.234, "sec_10x": 12.345, "ratio": 10.01,
+            },
+            "q_dedup_substring": {
+                "n_1x": 2000, "n_10x": 20000,
+                "sec_1x": 1.234, "sec_10x": 12.345, "ratio": 10.01,
+            },
+            "q_dedup_embedding": {
+                "n_1x": 2000, "n_10x": 20000, "sec_1x": 1.234,
+                "sec_10x_same_config": 12.345, "ratio_same_config": 10.01,
+                "sec_10x_retuned": 2.345, "ratio_retuned": 1.9,
+                "bits_1x": 5, "bits_10x_retuned": 8,
+                "candidate_pairs_1x": 123456,
+                "candidate_pairs_10x_same_config": 123456789,
+                "candidate_pairs_10x_retuned": 12345678,
+            },
+        },
+        "skew_join": {
+            "rows": 8_000_000, "hot_fraction": 0.5,
+            "naive_no_aqe_sec": 12.345, "salted_no_aqe_sec": 12.345,
+            "aqe_skew_sec": 12.345, "aqe_tuned_sec": 12.345,
+            "naive_max_task_ms": 1592.0, "salted_max_task_ms": 717.0,
+            "aqe_skew_max_task_ms": 1500.0, "aqe_tuned_max_task_ms": 600.0,
+            "aqe_tuned_threshold": "16m",
+        },
+        "sf": 0.1,
+    }
+
+
+def test_final_line_parses_and_fits_budget():
+    line = bench.format_final_line(_full_detail())
+    assert "\n" not in line
+    assert len(line) <= bench.FINAL_LINE_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["value"] == 123.456
+    assert parsed["sf"] == 0.1
+    assert set(parsed["queries"]) == set(bench.HEADLINE) | {"s_ingest_e2e"}
+
+
+def test_final_line_carries_judge_evidence():
+    parsed = json.loads(bench.format_final_line(_full_detail()))
+    # control summary (r3 verdict item 5) survives compaction
+    assert parsed["control"]["value"] == 123.456
+    assert parsed["control"]["max_query_ratio"] == 1.0
+    # scaling ratios incl. the like-for-like vs retuned embedding pair
+    emb = parsed["scaling_10x_ratios"]["q_dedup_embedding"]
+    assert emb["ratio_same_config"] == 10.01 and emb["ratio_retuned"] == 1.9
+    # skew straggler evidence incl. the tuned-AQE point (r4 verdict item 6)
+    assert parsed["skew_join"]["salted_max_task_ms"] == 717.0
+    assert parsed["skew_join"]["aqe_tuned_max_task_ms"] == 600.0
+    assert parsed["extras"]["q_graph_triangles"] == 12.345
+
+
+def test_overflow_falls_back_to_minimal_line():
+    detail = _full_detail()
+    detail["metric"] = "x" * 2000  # pathological: force the fallback
+    line = bench.format_final_line(detail)
+    parsed = json.loads(line)
+    assert set(parsed) == {"metric", "value", "unit", "queries", "sf"}
+
+
+def test_budget_is_under_driver_tail_buffer():
+    # The driver tail holds ~2000 chars; leave margin for a trailing
+    # newline and any final progress-bar erase sequences.
+    assert bench.FINAL_LINE_BUDGET <= 1700
