@@ -225,22 +225,32 @@ def test_sequence_packing_invariants(spark, lengths):
 
 
 def test_pack_bins_respects_budget_and_covers_all_docs(spark):
-    """FFD packing invariants: every doc placed exactly once; no bin's
-    token sum exceeds the budget unless it is a singleton oversize doc;
-    result deterministic across runs."""
+    """FFD packing invariants under the sharded (lang, shard) grouping:
+    every doc placed exactly once; no bin's token sum exceeds the budget
+    unless it is a singleton oversize doc; groups genuinely bounded
+    (every language with enough docs splits into >1 shard); result
+    deterministic across runs."""
     from kafka_hadoop_consumer_spark.catalog import load_table
     from kafka_hadoop_consumer_spark.queries import QUERIES
-    from kafka_hadoop_consumer_spark.queries.udfs import BIN_BUDGET
+    from kafka_hadoop_consumer_spark.queries.udfs import BIN_BUDGET, N_PACK_SHARDS
     from tests.conftest import SF_DIR
 
     packed = QUERIES["q_pack_bins"](spark, SF_DIR).toPandas()
     docs = load_table(spark, SF_DIR, "documents").select("doc_id").toPandas()
     assert sorted(packed.doc_id) == sorted(docs.doc_id)
-    sums = packed.groupby(["lang", "bin_id"]).agg(
+    assert packed.shard.between(0, N_PACK_SHARDS - 1).all()
+    sums = packed.groupby(["lang", "shard", "bin_id"]).agg(
         total=("n_tokens", "sum"), n=("doc_id", "count")
     )
     over = sums[(sums.total > BIN_BUDGET) & (sums.n > 1)]
     assert over.empty, over
+    # the scale guarantee: languages with ≥ 4*N_PACK_SHARDS docs actually
+    # spread across multiple shards (no degenerate all-in-one-group hash)
+    by_lang = packed.groupby("lang").agg(
+        n=("doc_id", "count"), shards=("shard", "nunique")
+    )
+    big = by_lang[by_lang.n >= 4 * N_PACK_SHARDS]
+    assert (big.shards > 1).all(), big
     again = QUERIES["q_pack_bins"](spark, SF_DIR).toPandas()
     a = packed.sort_values("doc_id", ignore_index=True)
     b = again.sort_values("doc_id", ignore_index=True)
