@@ -160,7 +160,11 @@ def _time_scaling(spark) -> dict:
     import numpy as np
     from pyspark.sql import functions as F
 
-    from kafka_hadoop_consumer_spark.queries.dedup import verbatim_runs
+    from kafka_hadoop_consumer_spark.queries.dedup import (
+        OCC_CAP,
+        kept_positions,
+        verbatim_runs,
+    )
     from kafka_hadoop_consumer_spark.queries.similarity import (
         _vec_double,
         embedding_near_dup_pairs,
@@ -246,6 +250,31 @@ def _time_scaling(spark) -> dict:
                 "sec_10x": t10,
                 "ratio": round(t10 / t1, 2) if t1 else None,
             }
+
+        # OCC_CAP accounting (VERDICT r4 item 4): how many df-cap-surviving
+        # positions the within-doc occurrence budget drops, and the matched
+        # positions that actually reach the pair join — the pair-growth
+        # evidence behind the substring wall-clock ratio. The planted
+        # near-dups grow linearly with n (one pair per 10 docs), so matched
+        # positions should scale ~10x, not ~100x.
+        def occ_stats(d):
+            kp = kept_positions(
+                spark.read.parquet(os.path.join(d, "documents.parquet"))
+            )
+            row = kp.select(
+                F.sum((F.col("occ") > OCC_CAP).cast("long")).alias("dropped"),
+                F.sum((F.col("occ") <= OCC_CAP).cast("long")).alias("kept"),
+            ).first()
+            return int(row["dropped"] or 0), int(row["kept"] or 0)
+
+        drop1, kept1 = occ_stats(d1)
+        drop10, kept10 = occ_stats(d10)
+        out["q_dedup_substring"].update(
+            occ_cap_dropped_1x=drop1,
+            occ_cap_dropped_10x=drop10,
+            joinable_positions_1x=kept1,
+            joinable_positions_10x=kept10,
+        )
 
         # Embedding near-dup: report BOTH 10x points (VERDICT r3 item 4) —
         # same-config (bits=1x's, the true like-for-like scaling ratio) and

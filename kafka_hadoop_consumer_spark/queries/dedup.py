@@ -1064,6 +1064,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SUB_N = 8        # positional shingle width for verbatim-run mining
 SUB_MIN_RUN = 8  # report pairs sharing >=1 uncommon SUB_N-token run
+# Within-pair position budget (r4 verdict item 4): a shingle occurring
+# p_a times in doc a and p_b times in doc b contributes p_a*p_b matched
+# positions — the one quadratic term DF_CAP (distinct-doc fan-out) does
+# not bound. Capping occurrences per (doc, shingle) at OCC_CAP bounds
+# any pair's matched positions at ~len(doc) * OCC_CAP (linear in doc
+# length) and per-shingle pair fan-out at OCC_CAP^2. Repeated-boilerplate
+# runs longer than ~OCC_CAP*SUB_N tokens are truncated — acceptable: the
+# signal is "shares a long verbatim run", already unambiguous there.
+OCC_CAP = 8
 
 
 @query(
@@ -1077,10 +1086,16 @@ SUB_MIN_RUN = 8  # report pairs sharing >=1 uncommon SUB_N-token run
     keep AS (
       SELECT sh FROM ps GROUP BY sh
       HAVING count(DISTINCT doc_id) BETWEEN 2 AND {DF_CAP}),
+    psk AS (
+      SELECT doc_id, pos, sh
+      FROM (SELECT doc_id, pos, sh,
+                   row_number() OVER (PARTITION BY doc_id, sh
+                                      ORDER BY pos) AS occ
+            FROM ps WHERE sh IN (SELECT sh FROM keep))
+      WHERE occ <= {OCC_CAP}),
     m AS (
       SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
-      FROM ps a JOIN ps b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      WHERE a.sh IN (SELECT sh FROM keep)),
+      FROM psk a JOIN psk b ON a.sh = b.sh AND a.doc_id < b.doc_id),
     runs AS (
       SELECT da, db, pa - pb AS diag,
              pa - row_number() OVER (
@@ -1112,15 +1127,17 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one equi-join shuffle on the shingle text (at 100 TB,
     join on xxhash64(shingle) so the shuffle moves 8-byte keys); the
     df-cap [2, DF_CAP] bounds per-shingle fan-out at C(64,2) exactly like
-    q_dedup_ngram_jaccard; the diagonal windows partition by
+    q_dedup_ngram_jaccard; the OCC_CAP occurrence cap bounds any single
+    pair's matched positions at ~len(doc)*OCC_CAP (the within-pair
+    quadratic term df-cap can't see); the diagonal windows partition by
     (pair, diagonal) — many small partitions, no global sort."""
     return verbatim_runs(load_table(spark, sf_dir, "documents"))
 
 
-def verbatim_runs(d: DataFrame, min_run: int = SUB_MIN_RUN) -> DataFrame:
-    """Shared-run mining core of q_dedup_substring over any
-    (doc_id, text) frame — exposed so tests can plant corpora with known
-    longest runs."""
+def kept_positions(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, sh, occ) positional shingles surviving the df-cap,
+    with the within-doc occurrence rank — exposed so the bench can count
+    exactly how many positions the OCC_CAP budget drops."""
     ps = persist_tracked(
         d.select("doc_id", F.split("text", " ").alias("t")).select(
             "doc_id", F.posexplode(F.expr(ngram_expr("t", SUB_N))).alias("pos", "sh")
@@ -1132,7 +1149,17 @@ def verbatim_runs(d: DataFrame, min_run: int = SUB_MIN_RUN) -> DataFrame:
         .where((F.col("nd") >= 2) & (F.col("nd") <= DF_CAP))
         .select("sh")
     )
-    kept = persist_tracked(ps.join(keep, "sh"))
+    occ_w = Window.partitionBy("doc_id", "sh").orderBy("pos")
+    return ps.join(keep, "sh").withColumn("occ", F.row_number().over(occ_w))
+
+
+def verbatim_runs(d: DataFrame, min_run: int = SUB_MIN_RUN) -> DataFrame:
+    """Shared-run mining core of q_dedup_substring over any
+    (doc_id, text) frame — exposed so tests can plant corpora with known
+    longest runs."""
+    kept = persist_tracked(
+        kept_positions(d).where(F.col("occ") <= OCC_CAP).drop("occ")
+    )
     m = (
         kept.select(
             F.col("sh"),

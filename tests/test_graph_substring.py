@@ -52,6 +52,61 @@ def test_two_disjoint_runs_counted_separately(spark):
     assert r.n_runs == 2
 
 
+def test_occ_cap_bounds_pathological_repeat_blowup(spark):
+    """Two docs each repeating one 8-token phrase 50×: uncapped, every
+    shingle occurs ~50× per doc → ~2500 matched positions per shingle
+    type (the within-pair quadratic term). The OCC_CAP budget must bound
+    joined positions at OCC_CAP² per shingle while the pair is still
+    detected with a long run; and the cap must genuinely drop positions
+    (the accounting the bench records)."""
+    from kafka_hadoop_consumer_spark.queries.dedup import (
+        OCC_CAP,
+        kept_positions,
+    )
+
+    phrase = [f"rep{i}" for i in range(SUB_N)]
+    docs = spark.createDataFrame(
+        [(1, _doc(phrase * 50)), (2, _doc(phrase * 50))],
+        "doc_id long, text string",
+    )
+    kp = kept_positions(docs).toPandas()
+    dropped = int((kp.occ > OCC_CAP).sum())
+    assert dropped > 0  # the budget is live on this corpus
+    surviving = kp[kp.occ <= OCC_CAP]
+    # per (doc, shingle) at most OCC_CAP positions survive → any pair's
+    # join fan-out per shingle is ≤ OCC_CAP²
+    assert surviving.groupby(["doc_id", "sh"]).size().max() <= OCC_CAP
+
+    rows = verbatim_runs(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    # truncated by the budget, but still unambiguously a long shared run
+    assert r.longest_run_tokens >= OCC_CAP * SUB_N
+
+
+def test_occ_cap_is_invisible_on_non_repetitive_docs(spark):
+    """Docs whose shingles are unique within each doc (the normal case)
+    must be entirely unaffected by the budget: exact planted-run numbers
+    still come out, and zero positions are dropped."""
+    from kafka_hadoop_consumer_spark.queries.dedup import (
+        OCC_CAP,
+        kept_positions,
+    )
+
+    run = [f"shared{i}" for i in range(25)]
+    doc_a = [f"a{i}" for i in range(9)] + run
+    doc_b = run + [f"b{i}" for i in range(11)]
+    docs = spark.createDataFrame(
+        [(1, _doc(doc_a)), (2, _doc(doc_b))], "doc_id long, text string"
+    )
+    assert int((kept_positions(docs).toPandas().occ > OCC_CAP).sum()) == 0
+    r = verbatim_runs(docs).collect()[0]
+    assert r.longest_run_tokens == 25
+    assert r.n_pos_matches == 25 - SUB_N + 1
+    assert r.n_runs == 1
+
+
 def test_triangle_orientation_matches_brute_force(spark):
     """Degree-ordered orientation must count each triangle exactly once:
     on K6 plus a pendant path (20 triangles, hand-computable), the
