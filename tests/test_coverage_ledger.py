@@ -1,0 +1,53 @@
+"""The COVERAGE.md ledger generator: classification mirrors the
+driver-evidence rules __spark_entry__ uses, and the emitted file is
+consistent with the registry."""
+
+import importlib.util
+import os
+
+spec = importlib.util.spec_from_file_location(
+    "coverage_ledger",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "coverage_ledger.py"),
+)
+ledger = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(ledger)
+
+
+def test_classify_matches_driver_rules():
+    green = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 5, "oracle_rows": 5, "err": None,
+    }
+    assert ledger.classify(green) == "hash-match"
+    assert ledger.classify({**green, "hash_match": False}) == "FAILED"
+    assert ledger.classify({**green, "err": "boom"}) == "FAILED"
+    assert (
+        ledger.classify({"err": "no_oracle", "spark_rows": 7})
+        == "rows-recorded"
+    )
+    assert ledger.classify({"err": "no_oracle", "spark_rows": None}) == "FAILED"
+
+
+def test_render_covers_every_registered_key():
+    from kafka_hadoop_consumer_spark.queries import QUERIES
+
+    text = ledger.render()
+    for key in QUERIES:
+        assert f"| {key} |" in text
+    # header arithmetic adds up to the registry size
+    import re
+
+    m = re.search(r"\*\*(\d+) keys: (\d+) hash-match, (\d+) rows-recorded, "
+                  r"(\d+) never driver-checked, (\d+) failed", text)
+    assert m, "summary line missing"
+    total, *parts = map(int, m.groups())
+    assert total == len(QUERIES) == sum(parts)
+
+
+def test_latest_round_wins():
+    # collect() keeps the highest round's classification per key
+    latest = ledger.collect()
+    assert latest, "no CORRECTNESS files found"
+    # r4's q_pack_bins row was green — the ledger must agree
+    rnd, cls = latest.get("q_pack_bins", (0, ""))
+    assert rnd >= 4 and cls == "hash-match"
