@@ -13,7 +13,7 @@ Scale design (the point of these operators at 100 TB):
   same-bucket docs are paired, then exact-Jaccard verification of the
   candidates only. Recall for J≥0.8 pairs is ≥ 99.8%
   (1-(1-J^4)^8); precision is 1.0 by construction (candidates verified).
-- q_dedup_simhash emits 64-bit fingerprints + 4×16-bit bands; duplicate
+- q_dedup_simhash emits 60-bit fingerprints + 4×15-bit bands; duplicate
   candidates are same-band collisions (Hamming ≤ 3 guarantee over 4 bands).
 
 MinHash/SimHash values depend on Spark's xxhash64 — no DuckDB oracle
@@ -222,33 +222,127 @@ def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Engine-portable MinHash hash family (r5; was xxhash64): base hash =
+# first 8 hex chars of md5(shingle) reduced mod MH_P = 2^31-1, then K
+# affine permutations (a_k*h + b_k) mod MH_P. h, a_k < 2^31 keeps every
+# product < 2^62 — exact in 64-bit integers on BOTH engines, which is
+# what makes the signature (and so the banding, candidates, and the
+# exact-Jaccard-verified output) DuckDB-replayable: the key graduates
+# from rows-only to a full SQL oracle. The 31-bit reduced space only
+# perturbs the Jaccard ESTIMATE (signature collisions ~n/2^31 per
+# permutation); the emitted pairs are exact-verified, so precision is
+# unaffected and the recall gate (tests/test_dedup.py) still holds. At
+# true 100 TB scale you'd widen the base hash (the family generalizes to
+# 61-bit via 128-bit intermediates); the banding/verify plan is
+# unchanged either way.
+MH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime
+_MH_GOLD = 0x9E3779B1
+_MH_MIX = 0x85EBCA6B
+# (2k+1) and _MH_GOLD are both nonzero and < MH_P with MH_P prime, so
+# every a_k is nonzero — each map is a proper permutation of Z_p.
+MH_A = [((2 * k + 1) * _MH_GOLD) % MH_P for k in range(N_MINHASH)]
+MH_B = [((k * k + 1) * _MH_MIX) % MH_P for k in range(N_MINHASH)]
+
+
+def minhash_base_hash(col):
+    """Portable 31-bit base hash of a shingle string: first 8 md5 hex
+    chars as an integer, reduced mod MH_P. Identical arithmetic in
+    DuckDB: ('0x' || substring(md5(s), 1, 8))::UBIGINT % MH_P."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % MH_P
+
+
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """K min-hashes per doc.
 
-    The shingle string is hashed ONCE (xxhash64 over its bytes); the K
-    permutations then rehash that single long (xxhash64 over 16 fixed
-    bytes) instead of re-hashing the variable-length string K times —
-    ~20% cheaper at sf0.1, and the gap grows with shingle length."""
+    The shingle string is hashed ONCE (md5 → 31-bit int); the K
+    permutations are then two integer ops each on that int instead of
+    re-hashing the variable-length string K times — same trick as the
+    earlier xxhash64 variant, and the affine maps are cheaper than K
+    hash calls."""
     return (
-        sh.withColumn("_h", F.xxhash64("sh"))
+        sh.withColumn("_h", minhash_base_hash(F.col("sh")))
         .groupBy("doc_id")
         .agg(
             *[
-                F.min(F.xxhash64("_h", F.lit(k))).alias(f"m{k}")
+                F.min((F.col("_h") * MH_A[k] + MH_B[k]) % MH_P).alias(f"m{k}")
                 for k in range(N_MINHASH)
             ]
         )
     )
 
 
-@query("q_dedup_minhash")  # no oracle: xxhash64-dependent (SURVEY.md §7 R4)
+def _minhash_oracle() -> str:
+    """DuckDB replay of the full MinHash+LSH+verify pipeline — generated
+    (32 affine mins, 8 band keys) from the same constants the engine
+    uses, so the two can't drift."""
+    mins = ",\n             ".join(
+        f"min((h * {MH_A[k]} + {MH_B[k]}) % {MH_P}) AS m{k}"
+        for k in range(N_MINHASH)
+    )
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, concat_ws('_', {ms}) AS band_key"
+        " FROM sig".format(
+            b=b,
+            ms=", ".join(
+                f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM tok,
+           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)
+    ),
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(s), 1, 8))::UBIGINT % {MH_P} AS BIGINT) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hh GROUP BY doc_id),
+    bands AS (
+      {bands}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc1, c.doc2, count(*) AS n_inter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc1
+      JOIN sh y ON y.doc_id = c.doc2 AND y.s = x.s
+      GROUP BY 1, 2)
+    SELECT doc1, doc2,
+           round(CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter), 4)
+             AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc1
+    JOIN sizes s2 ON s2.doc_id = doc2
+    WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter)
+            > {JACCARD_THRESHOLD}
+    """
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup via MinHash + LSH banding + exact verification.
 
     Pipeline: shingle → K=32 minhashes/doc → 8 bands of 4 hashes →
-    same-(band, band-hash) candidate pairs → exact Jaccard on candidates
+    same-(band, band-key) candidate pairs → exact Jaccard on candidates
     only → J > 0.6. ~O(n) at scale: signature size is constant and only
     colliding docs are compared.
+
+    SQL-oracled as of r5 (was the last rows-only §2B main-table key):
+    the portable md5+affine hash family (see minhash_signatures) lets a
+    DuckDB query replay signatures, banding, candidates, and the exact
+    verify bit-for-bit, so the full output hash-matches.
 
     Verification is strictly O(|candidates|): the shingle set is first
     semi-joined down to candidate docs (broadcast — the candidate id set
@@ -257,6 +351,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair via ``array_intersect`` on a broadcast join of the pair list.
     No all-pairs posting join ever runs on the full corpus (2.2× faster
     than the semi-join-after-the-fact plan it replaces at sf0.1).
+
+    Band identity joins on the raw 4-minhash tuple (concat_ws key, 4
+    longs ≈ 40 bytes) rather than re-hashing it — at cluster scale you
+    would hash the tuple to 8 bytes before the shuffle; semantics are
+    identical, and the tuple key is what keeps the oracle exact.
     """
     d = load_table(spark, sf_dir, "documents")
     # cache: shingles feed signatures + verification (released at the
@@ -264,9 +363,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = persist_tracked(shingles(d))
     sig = minhash_signatures(sh)
     band_cols = [
-        F.xxhash64(
+        F.concat_ws(
+            "_",
             *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-            F.lit(b),
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
@@ -334,34 +433,89 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash")  # no oracle: xxhash64-dependent (SURVEY.md §7 R4)
+# SimHash geometry (r5: portable md5 base hash, was xxhash64): 60 bits
+# (15 md5 hex chars fit a BIGINT exactly on both engines) in 4 bands of
+# 15. Same-band collision still bounds Hamming distance ≤ 3 across the
+# remaining bands; the 4-hex-char band rendering is unchanged (15-bit
+# values occupy the same lpad(hex, 4) width).
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = SIMHASH_BITS // 4
+
+
+def _simhash_oracle() -> str:
+    """DuckDB replay of the bit-majority fingerprint — generated from
+    the same bit/band constants the engine uses."""
+    sums = ",\n             ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    def band(c: int) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN s{SIMHASH_BAND_BITS * c + j} > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(SIMHASH_BAND_BITS)
+        )
+        return f"CAST({bits} AS INT) AS band{c}"
+
+    bands = ",\n             ".join(band(c) for c in range(4))
+    hexcat = ", ".join(f"lpad(hex(band{c}), 4, '0')" for c in (3, 2, 1, 0))
+    return f"""
+    WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                 FROM documents),
+    hh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 15))::UBIGINT AS BIGINT) AS h
+      FROM tok),
+    sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM hh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id,
+             {bands}
+      FROM sums)
+    SELECT doc_id, concat({hexcat}) AS simhash_hex,
+           band0, band1, band2, band3
+    FROM bands
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints: 64-bit weighted-majority hash of the token
-    multiset, emitted as 4×16-bit bands (same-band collision ⇒ candidate
+    """SimHash fingerprints: 60-bit weighted-majority hash of the token
+    multiset, emitted as 4×15-bit bands (same-band collision ⇒ candidate
     pair with Hamming ≤ 3 guaranteed found).
 
     Per-doc output (fingerprint table); pairing is a groupBy on any band
     at scale. Token weights = term frequency (explode without distinct).
+
+    SQL-oracled as of r5 (was rows-only): the base hash is the first 15
+    md5 hex chars of the token — a 60-bit integer both engines compute
+    identically — so the bit-majority sums, band assembly, and hex
+    rendering replay exactly in DuckDB.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
     # bit-majority sums: Σ over tokens of ±1 per bit position
     sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 (F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1)
             ).alias(f"s{j}")
-            for j in range(64)
+            for j in range(SIMHASH_BITS)
         ]
     )
-    # assemble 16-bit band integers from sign bits
+    # assemble 15-bit band integers from sign bits
     def band(c: int):
         return sum(
             [
-                F.when(F.col(f"s{16 * c + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-                for j in range(16)
+                F.when(
+                    F.col(f"s{SIMHASH_BAND_BITS * c + j}") > 0, F.lit(1 << j)
+                ).otherwise(F.lit(0))
+                for j in range(SIMHASH_BAND_BITS)
             ],
             start=F.lit(0),
         ).cast("int").alias(f"band{c}")
