@@ -55,7 +55,7 @@ def _full_detail() -> dict:
             "aqe_skew_sec": 12.345, "aqe_tuned_sec": 12.345,
             "naive_max_task_ms": 1592.0, "salted_max_task_ms": 717.0,
             "aqe_skew_max_task_ms": 1500.0, "aqe_tuned_max_task_ms": 600.0,
-            "aqe_tuned_threshold": "16m",
+            "aqe_tuned_threshold": "4m+force",
         },
         "sf": 0.1,
     }
