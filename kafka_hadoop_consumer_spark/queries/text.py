@@ -724,7 +724,62 @@ def _bpe_apply_merge(col: str, a: str, b: str) -> str:
     )
 
 
-@query("q_text_bpe")  # rows-only: iterative argmax; exact mirror in pytest
+def _bpe_oracle() -> str:
+    """DuckDB replay of the BPE trainer: the BPE_MERGES-deep iterated
+    argmax unrolls into chained CTE stages (one per merge — the
+    q_sim_mmr_rerank trajectory-replay idiom), and the greedy leftmost
+    non-overlapping merge rewrite is expressed positionally: occurrence
+    positions of the best pair, split into islands of consecutive
+    positions, keep even offsets within each island (provably equal to
+    the engine's one-pass lookbehind fold — both implement leftmost
+    non-overlapping), then rebuild each symbol list dropping the
+    consumed right-halves. All-integer/string ops, so the full merge
+    table hash-matches."""
+    stages = ["""
+    s0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS freq, string_split(word, '') AS syms
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+      WHERE word != '' GROUP BY word)"""]
+    for k in range(BPE_MERGES):
+        stages.append(f"""
+    p{k} AS (
+      SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM s{k}, UNNEST(range(1, len(syms))) AS u(i)
+      GROUP BY 1, 2),
+    best{k} AS (
+      SELECT a, b, a || b AS ab, cnt FROM p{k}
+      ORDER BY cnt DESC, a, b LIMIT 1),
+    r{k} AS (
+      SELECT syms, freq, ab,
+             list_filter(range(1, len(syms)),
+                         i -> syms[i] = a AND syms[i+1] = b) AS occ
+      FROM s{k} CROSS JOIN best{k}),
+    k{k} AS (
+      SELECT syms, freq, ab,
+             [occ[t] FOR t IN range(1, len(occ) + 1)
+              IF (occ[t] - occ[list_max(
+                    list_filter(range(1, len(occ) + 1),
+                                u -> u <= t AND (u = 1 OR occ[u] > occ[u-1] + 1)))])
+                 % 2 = 0] AS kept
+      FROM r{k}),
+    s{k + 1} AS (
+      SELECT freq,
+             list_transform(
+               list_filter(range(1, len(syms) + 1),
+                           j -> NOT list_contains(
+                                  list_transform(kept, x -> x + 1), j)),
+               j -> CASE WHEN list_contains(kept, j) THEN ab
+                         ELSE syms[j] END) AS syms
+      FROM k{k})""")
+    merges = "\n    UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS INT) AS merge_rank, a AS pair_a,"
+        f" b AS pair_b, ab AS merged, cnt AS pair_count FROM best{k}"
+        for k in range(BPE_MERGES)
+    )
+    return "WITH" + ",".join(stages) + "\n    " + merges
+
+
+@query("q_text_bpe", oracle=_bpe_oracle())
 def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-Pair-Encoding vocabulary learning — the first BPE_MERGES
     merge rules of a tokenizer trained on the corpus, computed
@@ -736,10 +791,11 @@ def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy leftmost non-overlapping fold, repeat. Returns one row per
     merge rule: (merge_rank, pair_a, pair_b, merged, pair_count).
 
-    Rows-only by design (an 8-deep iterated argmax + array rewrite is
-    not honestly expressible in one oracle SQL); correctness is gated in
-    pytest by an EXACT match against a pure-Python reference BPE run on
-    the same word-frequency dict (tests/test_properties.py).
+    SQL-oracled as of r5 (was rows-only): the iteration unrolls into
+    chained CTEs and the greedy fold is replayed positionally — see
+    _bpe_oracle. Correctness is additionally gated in pytest by an EXACT
+    match against a pure-Python reference BPE run on the same
+    word-frequency dict (tests/test_properties.py).
 
     Scale shape: raw text is touched once (hash agg to |vocab| rows —
     the same dedup-to-frequency-table trick every tokenizer trainer
