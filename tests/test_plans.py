@@ -584,7 +584,10 @@ def test_session_r3b_shuffle_budgets(spark):
         # crossJoins now (no SinglePartition window); one extra tiny agg
         # exchange of a 5-row frame
         "q_pack_mixture_budget": 6,
-        "q_dedup_substring": 4,  # unique-id counting, as above
+        # +1 in r5: the OCC_CAP occurrence-rank window shuffles the
+        # df-cap-surviving positions on (doc_id, sh) — the price of
+        # bounding the within-pair quadratic term (VERDICT r4 item 4)
+        "q_dedup_substring": 5,
     }
     got = {k: n_shuffle_exchanges(QUERIES[k](spark, SF_DIR)) for k in budgets}
     assert got == budgets
