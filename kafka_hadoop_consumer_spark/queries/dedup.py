@@ -16,9 +16,9 @@ Scale design (the point of these operators at 100 TB):
 - q_dedup_simhash emits 60-bit fingerprints + 4×15-bit bands; duplicate
   candidates are same-band collisions (Hamming ≤ 3 guarantee over 4 bands).
 
-MinHash/SimHash values depend on Spark's xxhash64 — no DuckDB oracle
-(SURVEY.md §7 R4); tests/test_dedup.py asserts recall against the exact
-operator instead.
+MinHash/SimHash use engine-portable md5-derived base hashes (r5), so
+both replay in DuckDB as full SQL oracles; tests/test_dedup.py
+additionally asserts MinHash recall against the exact operator.
 """
 
 from __future__ import annotations
