@@ -163,6 +163,10 @@ def _time_scaling(spark) -> dict:
     from kafka_hadoop_consumer_spark.queries.dedup import (
         OCC_CAP,
         kept_positions,
+        minhash_banded,
+        minhash_near_dup_pairs,
+        minhash_signatures,
+        shingles,
         verbatim_runs,
     )
     from kafka_hadoop_consumer_spark.queries.similarity import (
@@ -250,6 +254,43 @@ def _time_scaling(spark) -> dict:
                 "sec_10x": t10,
                 "ratio": round(t10 / t1, 2) if t1 else None,
             }
+
+        # Flagship near-dedup scaling: the full MinHash+LSH+verify cascade
+        # on the same 1x/10x corpora, plus the candidate-pair count
+        # (Σ C(bucket,2) over (band, bucket) groups) — constant-size
+        # signatures mean candidates track true near-dup pairs (planted
+        # linearly: one per 10 docs), not corpus size squared.
+        def mh(d):
+            return minhash_near_dup_pairs(
+                spark.read.parquet(os.path.join(d, "documents.parquet"))
+            )
+
+        def mh_candidates(d):
+            banded = minhash_banded(
+                minhash_signatures(
+                    shingles(
+                        spark.read.parquet(os.path.join(d, "documents.parquet"))
+                    )
+                )
+            )
+            row = (
+                banded.groupBy("band_idx", "band_hash")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("pairs"))
+                .first()
+            )
+            return int(row["pairs"] or 0)
+
+        t1, t10 = timed(lambda: mh(d1)), timed(lambda: mh(d10))
+        out["q_dedup_minhash"] = {
+            "n_1x": SCALE_N1,
+            "n_10x": SCALE_N1 * SCALE_FACTOR,
+            "sec_1x": t1,
+            "sec_10x": t10,
+            "ratio": round(t10 / t1, 2) if t1 else None,
+            "candidate_pairs_1x": mh_candidates(d1),
+            "candidate_pairs_10x": mh_candidates(d10),
+        }
 
         # OCC_CAP accounting (VERDICT r4 item 4): how many df-cap-surviving
         # positions the within-doc occurrence budget drops, and the matched

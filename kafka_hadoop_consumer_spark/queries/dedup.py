@@ -357,11 +357,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     would hash the tuple to 8 bytes before the shuffle; semantics are
     identical, and the tuple key is what keeps the oracle exact.
     """
-    d = load_table(spark, sf_dir, "documents")
-    # cache: shingles feed signatures + verification (released at the
-    # next registered-query call — see registry.persist_tracked)
-    sh = persist_tracked(shingles(d))
-    sig = minhash_signatures(sh)
+    return minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_banded(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — one row per band per doc; the
+    LSH bucket table candidates come from."""
     band_cols = [
         F.concat_ws(
             "_",
@@ -369,7 +370,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    banded = sig.select("doc_id", *band_cols).select(
+    return sig.select("doc_id", *band_cols).select(
         "doc_id",
         F.explode(
             F.array(
@@ -380,6 +381,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band_idx", "bk.band_hash")
+
+
+def minhash_near_dup_pairs(d: DataFrame) -> DataFrame:
+    """MinHash+LSH+exact-verify core of q_dedup_minhash over any
+    (doc_id, text) frame — exposed so the bench scaling probe can run
+    it on synthetic 1×/10× corpora and count candidate pairs."""
+    # cache: shingles feed signatures + verification (released at the
+    # next registered-query call — see registry.persist_tracked)
+    sh = persist_tracked(shingles(d))
+    sig = minhash_signatures(sh)
+    banded = minhash_banded(sig)
     left = banded.select(
         F.col("doc_id").alias("doc1"), "band_idx", "band_hash"
     )

@@ -35,6 +35,12 @@ def _full_detail() -> dict:
                 "n_1x": 2000, "n_10x": 20000,
                 "sec_1x": 1.234, "sec_10x": 12.345, "ratio": 10.01,
             },
+            "q_dedup_minhash": {
+                "n_1x": 2000, "n_10x": 20000,
+                "sec_1x": 1.234, "sec_10x": 12.345, "ratio": 10.01,
+                "candidate_pairs_1x": 123456,
+                "candidate_pairs_10x": 12345678,
+            },
             "q_dedup_substring": {
                 "n_1x": 2000, "n_10x": 20000,
                 "sec_1x": 1.234, "sec_10x": 12.345, "ratio": 10.01,
