@@ -11,8 +11,14 @@ Scale design (the point of these operators at 100 TB):
 - q_dedup_minhash is the ~O(n) scale path: constant-size signatures
   (K=32 hashes) per doc, LSH banding (8 bands × 4 rows) so only
   same-bucket docs are paired, then exact-Jaccard verification of the
-  candidates only. Recall for J≥0.8 pairs is ≥ 99.8%
-  (1-(1-J^4)^8); precision is 1.0 by construction (candidates verified).
+  candidates only. Recall for J≥0.8 pairs is ≥ 99.8% (1-(1-J^4)^8)
+  while the distinct-shingle count is << 2^31 — the engine-portable
+  md5+affine family (MH_P comment below) maps shingles into a 31-bit
+  base space first, and shingles that collide there stay collided
+  under every affine permutation. At corpus scales approaching 2^31
+  distinct shingles, widen the base hash (128-bit md5 intermediates /
+  two independent 31-bit draws) before trusting the recall bound.
+  Precision is 1.0 by construction (candidates verified).
 - q_dedup_simhash emits 60-bit fingerprints + 4×15-bit bands; duplicate
   candidates are same-band collisions (Hamming ≤ 3 guarantee over 4 bands).
 

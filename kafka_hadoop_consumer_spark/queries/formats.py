@@ -608,11 +608,10 @@ def q_source_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     against DuckDB reading the SAME physical files by name, so the
     file-accounting itself is verified, not just the arithmetic.
 
-    NOTE the oracle reads files the SPARK side writes: the t2 protocol
-    runs the Spark query before its oracle (the drive recipe in
-    .claude/skills/verify mirrors the driver), so the fragmented table
-    exists by the time DuckDB lists it; a standalone oracle run without
-    the engine pass would see no files.
+    NOTE the oracle reads files the SPARK side writes: the comparison
+    protocol always executes the Spark query before its oracle, so the
+    fragmented table exists by the time DuckDB lists it; a standalone
+    oracle run without the engine pass would see no files.
 
     Scale shape: the planning input is one row per FILE (millions of
     rows for a petabyte table — trivial); the per-partition running-sum
