@@ -220,27 +220,38 @@ def _time_scaling(spark) -> dict:
             return embedding_near_dup_pairs(load_ed(d), planes_for(bits))
 
         def n_candidate_pairs(d, bits):
-            """Σ C(bucket_size, 2) over all (table, bucket) groups — the
-            exact number of pairs the cascade will cosine-verify; the
-            like-for-like quadratic-vs-linear evidence behind the wall
-            clock numbers."""
+            """DISTINCT candidate pairs the cascade cosine-verifies — the
+            same (table, bucket) self-join + distinct the operator itself
+            performs. A pair colliding in multiple tables counts once;
+            Σ C(bucket,2) per table would overcount multi-table
+            collisions relative to the verified set. This count is
+            noise-free (no wall-clock), so it is the headline scaling
+            invariant for the embedding-dedup probe."""
             from kafka_hadoop_consumer_spark.queries.similarity import (
                 _table_buckets,
             )
 
             ed = load_ed(d)
             bucketed = ed.select(
+                "vec_id",
                 F.posexplode(
                     F.array(*_table_buckets(F.col("v"), planes_for(bits)))
-                ).alias("l", "bucket")
+                ).alias("l", "bucket"),
             )
-            row = (
-                bucketed.groupBy("l", "bucket")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("pairs"))
-                .first()
+            return (
+                bucketed.alias("a")
+                .join(
+                    bucketed.alias("b"),
+                    (F.col("a.l") == F.col("b.l"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")),
+                )
+                .select(
+                    F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2")
+                )
+                .distinct()
+                .count()
             )
-            return int(row["pairs"] or 0)
 
         for name, b1, b10 in (
             ("q_sim_lsh_topk", lambda: lsh(d1), lambda: lsh(d10)),
@@ -266,6 +277,10 @@ def _time_scaling(spark) -> dict:
             )
 
         def mh_candidates(d):
+            """DISTINCT candidate pairs the cascade exact-Jaccard-verifies
+            (band self-join + distinct, exactly what the operator does).
+            A pair colliding in several bands counts once — per-band
+            Σ C(bucket,2) would overcount it once per band."""
             banded = minhash_banded(
                 minhash_signatures(
                     shingles(
@@ -273,23 +288,32 @@ def _time_scaling(spark) -> dict:
                     )
                 )
             )
-            row = (
-                banded.groupBy("band_idx", "band_hash")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("pairs"))
-                .first()
+            return (
+                banded.alias("a")
+                .join(
+                    banded.alias("b"),
+                    (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_hash") == F.col("b.band_hash"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+                )
+                .distinct()
+                .count()
             )
-            return int(row["pairs"] or 0)
 
         t1, t10 = timed(lambda: mh(d1)), timed(lambda: mh(d10))
+        mh_p1, mh_p10 = mh_candidates(d1), mh_candidates(d10)
         out["q_dedup_minhash"] = {
             "n_1x": SCALE_N1,
             "n_10x": SCALE_N1 * SCALE_FACTOR,
             "sec_1x": t1,
             "sec_10x": t10,
             "ratio": round(t10 / t1, 2) if t1 else None,
-            "candidate_pairs_1x": mh_candidates(d1),
-            "candidate_pairs_10x": mh_candidates(d10),
+            "candidate_pairs_1x": mh_p1,
+            "candidate_pairs_10x": mh_p10,
+            "ratio_pairs": round(mh_p10 / mh_p1, 2) if mh_p1 else None,
         }
 
         # OCC_CAP accounting (VERDICT r4 item 4): how many df-cap-surviving
@@ -319,28 +343,32 @@ def _time_scaling(spark) -> dict:
 
         # Embedding near-dup: report BOTH 10x points (VERDICT r3 item 4) —
         # same-config (bits=1x's, the true like-for-like scaling ratio) and
-        # re-tuned (bits grown ~log2(n), the production posture) — plus the
-        # candidate-pair counts that explain them.
+        # re-tuned (bits grown ~log2(n), the production posture). The
+        # HEADLINE invariants here are the candidate-pair RATIOS (VERDICT
+        # r5 item 5): pair counts are deterministic and noise-free, where
+        # the wall-clock ratio on a shared box moved 1.83×→4.17× between
+        # rounds on identical code. Wall clocks stay recorded as context.
         t1 = timed(lambda: dedup(d1, SCALE_DEDUP_BITS_1X))
         t10_same = timed(lambda: dedup(d10, SCALE_DEDUP_BITS_1X))
         t10_tuned = timed(lambda: dedup(d10, SCALE_DEDUP_BITS_10X))
+        p1 = n_candidate_pairs(d1, SCALE_DEDUP_BITS_1X)
+        p10_same = n_candidate_pairs(d10, SCALE_DEDUP_BITS_1X)
+        p10_tuned = n_candidate_pairs(d10, SCALE_DEDUP_BITS_10X)
         out["q_dedup_embedding"] = {
             "n_1x": SCALE_N1,
             "n_10x": SCALE_N1 * SCALE_FACTOR,
             "sec_1x": t1,
             "sec_10x_same_config": t10_same,
-            "ratio_same_config": round(t10_same / t1, 2) if t1 else None,
             "sec_10x_retuned": t10_tuned,
-            "ratio_retuned": round(t10_tuned / t1, 2) if t1 else None,
             "bits_1x": SCALE_DEDUP_BITS_1X,
             "bits_10x_retuned": SCALE_DEDUP_BITS_10X,
-            "candidate_pairs_1x": n_candidate_pairs(d1, SCALE_DEDUP_BITS_1X),
-            "candidate_pairs_10x_same_config": n_candidate_pairs(
-                d10, SCALE_DEDUP_BITS_1X
-            ),
-            "candidate_pairs_10x_retuned": n_candidate_pairs(
-                d10, SCALE_DEDUP_BITS_10X
-            ),
+            "candidate_pairs_1x": p1,
+            "candidate_pairs_10x_same_config": p10_same,
+            "candidate_pairs_10x_retuned": p10_tuned,
+            "ratio_pairs_same_config": round(p10_same / p1, 2) if p1 else None,
+            "ratio_pairs_retuned": round(p10_tuned / p1, 2) if p1 else None,
+            "ratio_wall_same_config": round(t10_same / t1, 2) if t1 else None,
+            "ratio_wall_retuned": round(t10_tuned / t1, 2) if t1 else None,
         }
     finally:
         shutil.rmtree(d1, ignore_errors=True)
@@ -433,13 +461,14 @@ def _time_skew_join(spark) -> dict:
     rest = _rest_base(spark)
 
     def run(extra_conf: dict, build):
-        """(median wall sec, straggler ms). The straggler is computed PER
-        timed run (max single-task over that run's stages) and the MIN
-        across runs is reported — a transient CPU spike inflates one
-        run's max, but the plan's inherent straggler is what both runs
-        share (same min-across-passes stance as the control rerun; a
-        lumped max over all runs' stages was measured to catch ambient
-        spikes). None when the UI/REST API is unavailable."""
+        """(median wall sec, median straggler ms, per-run straggler list).
+        Each variant runs 3× after a warm-up; the straggler is computed
+        PER timed run (max single-task over that run's stages) and the
+        MEDIAN across the 3 runs is reported (r5 post-mortem: a min over
+        2 runs let one lucky/unlucky run define the recorded number, and
+        the recorded file contradicted a clean re-measurement). The raw
+        per-run maxima are kept so bench_detail.json shows the spread.
+        Stragglers are None when the UI/REST API is unavailable."""
         keys = list(extra_conf) + list(no_broadcast)
         saved = {k: spark.conf.get(k, None) for k in keys}
         try:
@@ -447,7 +476,7 @@ def _time_skew_join(spark) -> dict:
                 spark.conf.set(k, v)
             build().write.format("noop").mode("overwrite").save()  # warm
             runs, stragglers = [], []
-            for _ in range(2):
+            for _ in range(3):
                 before = _completed_stage_ids(rest) if rest else None
                 t0 = time.perf_counter()
                 build().write.format("noop").mode("overwrite").save()
@@ -458,8 +487,10 @@ def _time_skew_join(spark) -> dict:
                         mx = _max_task_ms(rest, after - before)
                         if mx is not None:
                             stragglers.append(mx)
-            straggler = min(stragglers) if stragglers else None
-            return round(statistics.median(runs), 3), straggler
+            straggler = (
+                round(statistics.median(stragglers), 1) if stragglers else None
+            )
+            return round(statistics.median(runs), 3), straggler, stragglers
         finally:
             for k, v in saved.items():
                 if v is None:
@@ -473,11 +504,13 @@ def _time_skew_join(spark) -> dict:
         )
 
     aqe_off = {"spark.sql.adaptive.skewJoin.enabled": "false"}
-    naive_sec, naive_straggler = run(aqe_off, lambda: agg(fact.join(dim, "k")))
-    salted_sec, salted_straggler = run(
+    naive_sec, naive_straggler, naive_runs = run(
+        aqe_off, lambda: agg(fact.join(dim, "k"))
+    )
+    salted_sec, salted_straggler, salted_runs = run(
         aqe_off, lambda: agg(salted_join(fact, dim, on="k", n_salts=32))
     )
-    aqe_sec, aqe_straggler = run(
+    aqe_sec, aqe_straggler, aqe_runs = run(
         {"spark.sql.adaptive.skewJoin.enabled": "true"},
         lambda: agg(fact.join(dim, "k")),
     )
@@ -492,7 +525,7 @@ def _time_skew_join(spark) -> dict:
     # forceOptimizeSkewedJoin accepts that trade, exactly the documented
     # knob for agg-after-join shapes. Measured on the r5 boot: max-task
     # 965 ms vs 1517 ms naive (salted: 625 ms).
-    aqe_tuned_sec, aqe_tuned_straggler = run(
+    aqe_tuned_sec, aqe_tuned_straggler, aqe_tuned_runs = run(
         {
             "spark.sql.adaptive.skewJoin.enabled": "true",
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4m",
@@ -513,6 +546,14 @@ def _time_skew_join(spark) -> dict:
         "aqe_skew_max_task_ms": aqe_straggler,
         "aqe_tuned_max_task_ms": aqe_tuned_straggler,
         "aqe_tuned_threshold": "4m+force",
+        # raw per-run maxima (ms) — the spread behind the medians above;
+        # filtered out of the compact final line, kept in bench_detail.json
+        "max_task_ms_runs": {
+            "naive": naive_runs,
+            "salted": salted_runs,
+            "aqe_skew": aqe_runs,
+            "aqe_tuned": aqe_tuned_runs,
+        },
     }
 
 

@@ -40,6 +40,7 @@ def _full_detail() -> dict:
                 "sec_1x": 1.234, "sec_10x": 12.345, "ratio": 10.01,
                 "candidate_pairs_1x": 123456,
                 "candidate_pairs_10x": 12345678,
+                "ratio_pairs": 10.02,
             },
             "q_dedup_substring": {
                 "n_1x": 2000, "n_10x": 20000,
@@ -47,12 +48,16 @@ def _full_detail() -> dict:
             },
             "q_dedup_embedding": {
                 "n_1x": 2000, "n_10x": 20000, "sec_1x": 1.234,
-                "sec_10x_same_config": 12.345, "ratio_same_config": 10.01,
-                "sec_10x_retuned": 2.345, "ratio_retuned": 1.9,
+                "sec_10x_same_config": 12.345,
+                "sec_10x_retuned": 2.345,
                 "bits_1x": 5, "bits_10x_retuned": 8,
                 "candidate_pairs_1x": 123456,
                 "candidate_pairs_10x_same_config": 123456789,
                 "candidate_pairs_10x_retuned": 12345678,
+                "ratio_pairs_same_config": 1000.12,
+                "ratio_pairs_retuned": 100.01,
+                "ratio_wall_same_config": 10.01,
+                "ratio_wall_retuned": 1.9,
             },
         },
         "skew_join": {
@@ -82,9 +87,13 @@ def test_final_line_carries_judge_evidence():
     # control summary (r3 verdict item 5) survives compaction
     assert parsed["control"]["value"] == 123.456
     assert parsed["control"]["max_query_ratio"] == 1.0
-    # scaling ratios incl. the like-for-like vs retuned embedding pair
+    # scaling ratios: candidate-pair ratios are the headline invariant
+    # (r5 verdict item 5); wall ratios stay as context
     emb = parsed["scaling_10x_ratios"]["q_dedup_embedding"]
-    assert emb["ratio_same_config"] == 10.01 and emb["ratio_retuned"] == 1.9
+    assert emb["ratio_pairs_same_config"] == 1000.12
+    assert emb["ratio_pairs_retuned"] == 100.01
+    assert emb["ratio_wall_same_config"] == 10.01
+    assert parsed["scaling_10x_ratios"]["q_dedup_minhash"]["ratio_pairs"] == 10.02
     # skew straggler evidence incl. the tuned-AQE point (r4 verdict item 6)
     assert parsed["skew_join"]["salted_max_task_ms"] == 717.0
     assert parsed["skew_join"]["aqe_tuned_max_task_ms"] == 600.0
