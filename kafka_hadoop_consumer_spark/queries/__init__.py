@@ -28,6 +28,7 @@ from kafka_hadoop_consumer_spark.queries import (  # noqa: E402,F401
     formats,
     quality,
     graph,
+    continuous,
 )
 
 # ---------------------------------------------------------------------------

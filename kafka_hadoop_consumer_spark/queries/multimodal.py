@@ -264,3 +264,95 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(_fake_frame_sample, schema=_FRAME_SCHEMA)
+
+
+FPS_MS = 40        # stub video frame period (25 fps)
+AUDIO_HOP_MS = 37  # stub audio chunk hop (co-prime with the frame period,
+# so frame/chunk boundaries drift like real AV streams do)
+
+
+@query(
+    "q_multimodal_av_sync",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS blen FROM documents),
+    frames AS (
+      SELECT doc_id, CAST(u.idx AS INTEGER) AS frame_idx,
+             u.idx * {FPS_MS} AS frame_ts_ms
+      FROM (SELECT doc_id, blen % 24 + 1 AS n_frames FROM d),
+           UNNEST(range(0, n_frames, {FRAME_STRIDE})) AS u(idx)),
+    chunks AS (
+      SELECT doc_id, CAST(u.idx AS INTEGER) AS chunk_idx,
+             u.idx * {AUDIO_HOP_MS} AS chunk_ts_ms
+      FROM (SELECT doc_id, blen % 50 + 1 AS n_chunks FROM d),
+           UNNEST(range(0, n_chunks)) AS u(idx))
+    SELECT doc_id, frame_idx, chunk_idx, frame_ts_ms - chunk_ts_ms AS lag_ms
+    FROM (
+      SELECT f.doc_id, f.frame_idx, c.chunk_idx, f.frame_ts_ms, c.chunk_ts_ms,
+             row_number() OVER (PARTITION BY f.doc_id, f.frame_idx
+                                ORDER BY c.chunk_ts_ms DESC) AS rn
+      FROM frames f JOIN chunks c
+        ON c.doc_id = f.doc_id AND c.chunk_ts_ms <= f.frame_ts_ms)
+    WHERE rn = 1
+    """,
+)
+def q_multimodal_av_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video stream alignment — the multimodal-ingest sync step:
+    every sampled video frame (the REAL mapInPandas output of
+    q_multimodal_frames' stub demuxer, {FPS_MS} ms period) is as-of
+    joined to the latest stub audio chunk at-or-before it
+    ({AUDIO_HOP_MS} ms hop, co-prime so boundaries drift), emitting the
+    per-frame sync lag a training pipeline needs before fusing the two
+    modalities into one example.
+
+    Scale shape: both sides derive map-side from the same corpus scan
+    (frames via the Arrow mapInPandas stub, chunks via a declarative
+    1→N sequence explode); the as-of core is the generic
+    ``operators.temporal.asof_join`` — equi-join on doc_id + backward
+    inequality + one winner window per frame, the same bounded shape as
+    q_join_asof (never a per-doc cross product; chunk 0 sits at t=0 so
+    the inner join drops nothing). All arithmetic is integer-exact, so
+    the oracle replays the stub bit-for-bit."""
+    from kafka_hadoop_consumer_spark.operators.temporal import asof_join
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    frames = (
+        payloads.mapInPandas(_fake_frame_sample, schema=_FRAME_SCHEMA)
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx").cast("long") * FPS_MS).alias("frame_ts_ms"),
+        )
+        .withColumn(
+            "frame_key",
+            F.col("doc_id") * 100 + F.col("frame_idx"),  # frame_idx < 24
+        )
+    )
+    chunks = payloads.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), (F.octet_length("payload") % 50 + 1).cast("int") - 1
+            )
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx").cast("long") * AUDIO_HOP_MS).alias("chunk_ts_ms"),
+    )
+    synced = asof_join(
+        frames,
+        chunks,
+        by="doc_id",
+        left_ts="frame_ts_ms",
+        right_ts="chunk_ts_ms",
+        left_key="frame_key",
+        direction="backward",
+    )
+    return synced.select(
+        "doc_id",
+        "frame_idx",
+        "chunk_idx",
+        (F.col("frame_ts_ms") - F.col("chunk_ts_ms")).alias("lag_ms"),
+    )

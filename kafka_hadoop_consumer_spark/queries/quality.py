@@ -1930,3 +1930,135 @@ def q_quality_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("norm_entropy") < BOT_MAX_NORM_ENTROPY)
         ).alias("low_diversity_flag"),
     )
+
+
+STUMP_FEATS = 3      # candidate features: first 3 embedding components
+STUMP_BIN_DP = 2     # histogram-bin rounding (decimal places) for
+# candidate thresholds — the XGBoost/Spark-ML histogram-split discipline
+# that bounds candidate count independently of corpus size.
+
+
+@query(
+    "q_ml_decision_stump",
+    oracle=f"""
+    WITH pts AS (
+      SELECT f.feat, round(e.v[f.i], {STUMP_BIN_DP}) AS bin, e.label
+      FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e
+      CROSS JOIN (SELECT unnest(range(1, {STUMP_FEATS} + 1)) AS i,
+                         unnest(['x1', 'x2', 'x3']) AS feat) f),
+    cnt AS (
+      SELECT feat, bin, label, CAST(count(*) AS BIGINT) AS c
+      FROM pts GROUP BY feat, bin, label),
+    dense AS (
+      SELECT b.feat, b.bin, l.label, coalesce(c.c, 0) AS c
+      FROM (SELECT DISTINCT feat, bin FROM cnt) b
+      CROSS JOIN (SELECT DISTINCT label FROM pts) l
+      LEFT JOIN cnt c ON c.feat = b.feat AND c.bin = b.bin AND c.label = l.label),
+    cum AS (
+      SELECT feat, bin, label,
+             sum(c) OVER (PARTITION BY feat, label ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY feat, label) AS tot
+      FROM dense),
+    splits AS (
+      SELECT feat, bin,
+             sum(cum) AS n_le,
+             sum(tot) - sum(cum) AS n_gt,
+             sum(cum * cum) AS s_le2,
+             sum((tot - cum) * (tot - cum)) AS s_gt2,
+             sum(tot) AS n
+      FROM cum GROUP BY feat, bin),
+    scored AS (
+      SELECT feat, bin, n_le, n_gt,
+             (n_le - s_le2 / CAST(n_le AS DOUBLE)
+              + n_gt - s_gt2 / CAST(n_gt AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS wg
+      FROM splits WHERE n_gt > 0)
+    SELECT feat AS feature, bin AS threshold,
+           CAST(n_le AS BIGINT) AS n_le, CAST(n_gt AS BIGINT) AS n_gt,
+           round(wg, 6) AS gini
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY feat ORDER BY round(wg, 6), bin) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training — the greedy one-node tree split that
+    gradient-boosting and random-forest trainers evaluate millions of
+    times: for each candidate feature (first {STUMP_FEATS} embedding
+    components), the histogram-binned threshold minimizing weighted
+    multi-class Gini impurity, with per-side support counts.
+
+    Scale shape (the histogram-split discipline): candidate thresholds
+    are the features' values rounded to {STUMP_BIN_DP}dp, so the
+    candidate count is bounded by the bin grid, NOT corpus size — the
+    per-(feature, bin, label) count is one map-side-combinable hash agg,
+    the class-cumulative pass is a window over (feature, label) whose
+    partition size is the bin count (thousands of rows at ANY corpus
+    scale), and the Gini arithmetic runs on exact BIGINT cumulative
+    counts, so both engines score splits from identical integers (the
+    6dp-rounded score only breaks ranking ties, never accuracy).
+    Per-feature argmin ties break toward the smaller threshold."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    pts = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"x{i}").alias("feat"),
+                        F.round(F.element_at("v", i), STUMP_BIN_DP).alias("bin"),
+                    )
+                    for i in range(1, STUMP_FEATS + 1)
+                ]
+            )
+        ).alias("p"),
+        "label",
+    ).select("p.feat", "p.bin", "label")
+    cnt = pts.groupBy("feat", "bin", "label").agg(F.count(F.lit(1)).alias("c"))
+    bins = cnt.select("feat", "bin").distinct()
+    labels = pts.select("label").distinct()
+    dense = (
+        bins.join(F.broadcast(labels))
+        .join(cnt, ["feat", "bin", "label"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w_cum = Window.partitionBy("feat", "label").orderBy("bin")
+    w_tot = Window.partitionBy("feat", "label")
+    cum = dense.select(
+        "feat",
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("tot"),
+    )
+    splits = cum.groupBy("feat", "bin").agg(
+        F.sum("cum").alias("n_le"),
+        (F.sum("tot") - F.sum("cum")).alias("n_gt"),
+        F.sum(F.col("cum") * F.col("cum")).alias("s_le2"),
+        F.sum((F.col("tot") - F.col("cum")) * (F.col("tot") - F.col("cum"))).alias(
+            "s_gt2"
+        ),
+        F.sum("tot").alias("n"),
+    )
+    wg = (
+        F.col("n_le")
+        - F.col("s_le2") / F.col("n_le").cast("double")
+        + F.col("n_gt")
+        - F.col("s_gt2") / F.col("n_gt").cast("double")
+    ) / F.col("n").cast("double")
+    scored = splits.where(F.col("n_gt") > 0).select(
+        "feat", "bin", "n_le", "n_gt", wg.alias("wg")
+    )
+    w_best = Window.partitionBy("feat").orderBy(F.round("wg", 6), "bin")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("feat").alias("feature"),
+            F.col("bin").alias("threshold"),
+            "n_le",
+            "n_gt",
+            F.round("wg", 6).alias("gini"),
+        )
+    )

@@ -648,8 +648,74 @@ def _sq_dist(vcol, centroid: list[float]):
     )
 
 
-@query("q_embed_kmeans")  # no oracle: iterative algorithm (SURVEY.md §7 R4);
-# pytest cross-checks assignments against an independent NumPy Lloyd's run
+def _kmeans_oracle() -> str:
+    """DuckDB replay of the full fixed-seed Lloyd's loop as a chained CTE
+    (same conversion class as the BPE merge replay and the MMR chain):
+    c0 = the 6dp-rounded seed centroids (vec_id < k, cluster = rank by
+    vec_id), then per iteration an assignment CTE (cross join against the
+    k current centroids, argmin by squared L2 with lowest-cluster
+    tie-break — row_number ORDER BY dist, cluster mirrors Spark's
+    array_position-of-array_min first-match) and an update CTE
+    (positional unnest → per-(cluster, pos) avg rounded to 6dp — the same
+    rounding the engine applies each iteration precisely so accumulation
+    order can't leak — re-listed in position order, empty clusters
+    keeping the previous centroid via the left-join coalesce)."""
+    dist = (
+        "list_sum(list_transform(list_zip(e.v, c.cv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    parts = [
+        """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+             list_transform(v, x -> round(x, 6)) AS cv
+      FROM e WHERE vec_id < {k})""".format(k=KMEANS_K)
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(
+            """,
+    a{i} AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cluster) AS rn
+        FROM e CROSS JOIN c{prev} c)
+      WHERE rn = 1),
+    u{i} AS (
+      SELECT cluster, list(cx ORDER BY pos) AS cv FROM (
+        SELECT cluster, pos, round(avg(x), 6) AS cx FROM (
+          SELECT cluster, unnest(v) AS x,
+                 unnest(range(1, len(v) + 1)) AS pos
+          FROM a{i})
+        GROUP BY cluster, pos)
+      GROUP BY cluster),
+    c{i} AS (
+      SELECT p.cluster, coalesce(u.cv, p.cv) AS cv
+      FROM c{prev} p LEFT JOIN u{i} u ON p.cluster = u.cluster)""".format(
+                i=i, prev=i - 1, dist=dist
+            )
+        )
+    parts.append(
+        """
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           round(d, 6) AS dist2
+    FROM (
+      SELECT e.vec_id, c.cluster, {dist} AS d,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist}, c.cluster) AS rn
+      FROM e CROSS JOIN c{last} c)
+    WHERE rn = 1""".format(dist=dist, last=KMEANS_ITERS)
+    )
+    return "".join(parts)
+
+
+@query("q_embed_kmeans", oracle=_kmeans_oracle())
+# Converted from rows-only in r6: the fixed-seed fixed-iteration Lloyd's
+# loop is fully expressible as a chained CTE (assignment + update per
+# iteration), so the whole trajectory — not just the final assignment —
+# is hash-checked; pytest additionally cross-checks against an
+# independent NumPy Lloyd's run.
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (Lloyd's), k={KMEANS_K}, {KMEANS_ITERS} fixed
     iterations, deterministic init (vec_id < k are the seeds).
@@ -2128,3 +2194,63 @@ def q_ml_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("actual").alias("actual_label"),
         F.col("nb_label").alias("predicted_label"),
     ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+RANGE_COS = 0.25     # radius-search threshold (cosine), applied to the
+# 4dp-ROUNDED similarity on BOTH engines so a last-ulp cross-engine
+# difference in the raw dot product can never flip membership at the
+# boundary (same discipline as the verify thresholds in the dedup
+# cascade oracles).
+
+
+@query(
+    "q_sim_range_search",
+    oracle=_ORACLE_E
+    + f"""
+    SELECT q_id, vec_id, cos_sim,
+           CAST(count(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_in_range
+    FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                   / (a.nrm * b.nrm), 4) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < {N_QUERY} AND b.vec_id <> a.vec_id)
+    WHERE cos_sim >= {RANGE_COS}
+    """,
+)
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search — ANN's other half: instead of
+    the k best neighbors (q_sim_cosine_topk), ALL corpus vectors within a
+    cosine radius of each query, plus the per-query in-range count (the
+    selectivity statistic a planner needs before choosing radius vs
+    top-k retrieval).
+
+    Scale shape: identical to the brute-force top-k baseline — the
+    {N_QUERY}-vector query side is broadcast, the corpus streams through
+    executors once with no shuffle of the big side, and the radius
+    predicate prunes rows map-side BEFORE anything aggregates, so output
+    (not corpus) size bounds what moves. Unlike top-k there is no
+    per-query window; the only post-filter shuffle is the per-query
+    count over the (small) in-range result. The LSH-bucketed variant
+    (q_sim_lsh_topk's table layout with a radius verify) is the 100 TB
+    path; this exact operator is its recall oracle, same pairing as
+    q_dedup_ngram_jaccard / q_dedup_minhash."""
+    ed = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _vec_double().alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+    )
+    q = ed.where(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    in_range = (
+        ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(cos, 4).alias("cos_sim"))
+        .where(F.col("cos_sim") >= RANGE_COS)
+    )
+    return in_range.withColumn(
+        "n_in_range",
+        F.count(F.lit(1)).over(Window.partitionBy("q_id")),
+    )

@@ -31,7 +31,8 @@ def test_classify_matches_driver_rules():
 def test_render_covers_every_registered_key():
     from kafka_hadoop_consumer_spark.queries import QUERIES
 
-    text = ledger.render()
+    text, defs = ledger.render()
+    assert set(defs) <= set(QUERIES)
     for key in QUERIES:
         assert f"| {key} |" in text
     # header arithmetic adds up to the registry size
@@ -51,3 +52,23 @@ def test_latest_round_wins():
     # r4's q_pack_bins row was green — the ledger must agree
     rnd, cls = latest.get("q_pack_bins", (0, ""))
     assert rnd >= 4 and cls == "hash-match"
+
+
+def test_stale_definition_downgraded(monkeypatch):
+    # A key whose (query source + oracle) hash changed after its
+    # evidencing round must be shown STALE, and its sidecar snapshot must
+    # not be silently refreshed (only a NEWER driver row re-certifies it).
+    from kafka_hadoop_consumer_spark.queries import QUERIES
+
+    latest = ledger.collect()
+    key = next(
+        k for k, (r, c) in latest.items() if c == "hash-match" and k in QUERIES
+    )
+    rnd = latest[key][0]
+    monkeypatch.setattr(
+        ledger, "load_defs",
+        lambda: {key: {"round": rnd, "def_hash": "not-the-current-hash"}},
+    )
+    text, defs = ledger.render()
+    assert f"STALE(def changed since r{rnd})" in text
+    assert defs[key]["def_hash"] == "not-the-current-hash"

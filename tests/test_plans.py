@@ -234,6 +234,8 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_win_ratio_to_report",  # crossJoin of the 1-row global revenue
         "q_win_attribution_linear",  # crossJoin of the 1-row credit total
         "q_quality_behavior_entropy",  # crossJoin of the 1-row ln(|types|)
+        "q_sim_range_search",  # corpus streams past 5 broadcast query rows
+        "q_ml_decision_stump",  # bin grid × broadcast ~10-row label set
     }
     offenders = {}
     for name, fn in QUERIES.items():

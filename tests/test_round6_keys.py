@@ -1,0 +1,84 @@
+"""Property tests for the round-6 registry additions — invariants the
+DuckDB hash gate cannot express (micro-batch counts, per-row bounds,
+conservation laws). Oracle equality itself is covered by the
+whole-registry sweep in tests/test_oracle.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_hadoop_consumer_spark.queries import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_continuous_agg_spans_multiple_microbatches(spark):
+    """The streaming run must actually be incremental: several
+    micro-batches (maxFilesPerTrigger=1 over the multi-file landing),
+    each contributing rows, with the windowed state carried between
+    them — one big batch would make the equivalence claim vacuous."""
+    from kafka_hadoop_consumer_spark.queries import continuous
+
+    out = QUERIES["q_stream_continuous_agg"](spark, SF_DIR)
+    # result equals the batch recompute over the SAME landing files
+    landing = f"{continuous._work_dir(SF_DIR)}/landing"
+    batch = (
+        spark.read.parquet(landing)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+    assert continuous.LAST_RUN_BATCHES is not None
+    assert continuous.LAST_RUN_BATCHES >= 2, (
+        f"expected multiple data micro-batches, got {continuous.LAST_RUN_BATCHES}"
+    )
+
+
+def test_av_sync_one_row_per_frame_and_nonnegative_lag(spark):
+    sync = QUERIES["q_multimodal_av_sync"](spark, SF_DIR).cache()
+    try:
+        frames = QUERIES["q_multimodal_frames"](spark, SF_DIR)
+        assert sync.count() == frames.count()  # inner as-of drops nothing
+        assert sync.where(F.col("lag_ms") < 0).count() == 0
+        # a frame inside the audio span lags less than one hop
+        from kafka_hadoop_consumer_spark.queries.multimodal import AUDIO_HOP_MS
+
+        in_span = sync.join(
+            sync.groupBy("doc_id").agg(F.max("chunk_idx").alias("mx")), "doc_id"
+        ).where(F.col("chunk_idx") < F.col("mx"))
+        assert in_span.where(F.col("lag_ms") >= AUDIO_HOP_MS).count() == 0
+    finally:
+        sync.unpersist()
+
+
+def test_decision_stump_conservation_and_bounds(spark):
+    from kafka_hadoop_consumer_spark.catalog import load_table
+
+    stump = QUERIES["q_ml_decision_stump"](spark, SF_DIR)
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    rows = stump.collect()
+    assert len(rows) == 3  # one winning split per candidate feature
+    for r in rows:
+        assert r.n_le + r.n_gt == n, r  # every vector lands on one side
+        assert r.n_le > 0 and r.n_gt > 0, r
+        assert 0.0 <= r.gini <= 0.9, r  # 10-class gini < 1 - 1/10
+
+
+def test_range_search_radius_and_selectivity(spark):
+    from kafka_hadoop_consumer_spark.queries.similarity import RANGE_COS
+
+    res = QUERIES["q_sim_range_search"](spark, SF_DIR).cache()
+    try:
+        assert res.where(F.col("cos_sim") < RANGE_COS).count() == 0
+        # n_in_range is the per-query row count, replicated on each row
+        per_q = res.groupBy("q_id").agg(F.count(F.lit(1)).alias("n"))
+        bad = res.join(per_q, "q_id").where(F.col("n_in_range") != F.col("n"))
+        assert bad.count() == 0
+    finally:
+        res.unpersist()
