@@ -1,15 +1,25 @@
-"""Continuous-aggregate bridge key (SURVEY.md §2A→§2B): the one
-registry entry that runs an actual Structured Streaming job — micro-batched
-file source, watermarked tumbling-window state carried ACROSS micro-batches
-— and hash-checks its final result against the plain batch SQL aggregate.
+"""Continuous-maintenance bridge keys (SURVEY.md §2A→§2B): registry
+entries that run ACTUAL Structured Streaming jobs — micro-batched file
+source, state carried ACROSS micro-batches — and hash-check their final
+result against the plain batch SQL over the same rows.
 
-This is the "continuous aggregate" contract every streaming warehouse
-(Timescale caggs, Materialize, Flink dynamic tables) makes: maintaining
-the aggregate incrementally over arriving chunks must be indistinguishable
-from recomputing it over the full table. The s_stream_* pytest suite
-drives the richer streaming surface (restart exactly-once, session
-windows, stateful ops); this key puts the core equivalence under the
-driver's DuckDB hash gate.
+This is the "continuous aggregate / materialized view" contract every
+streaming warehouse (Timescale caggs, Materialize, Flink dynamic tables)
+makes: maintaining state incrementally over arriving chunks must be
+indistinguishable from recomputing over the full table. Three state
+shapes are gated, one per fundamentally different state-store path:
+
+- q_stream_continuous_agg — fixed tumbling windows (keyed state, windows
+  never merge);
+- q_stream_sessionize — session windows (DYNAMIC state: sessions widen
+  and MERGE as out-of-order chunks arrive);
+- q_stream_cdc_upsert — keyed last-write-wins upsert (the CDC
+  materialized-view shape: one state row per entity, overwritten).
+
+The s_stream_* pytest suite drives the richer streaming surface (restart
+exactly-once, watermark eviction, stream-stream joins); these keys put
+the core incremental == batch equivalence under the driver's DuckDB
+hash gate.
 """
 
 from __future__ import annotations
@@ -29,15 +39,54 @@ N_LANDING_FILES = 4  # micro-batches per run (maxFilesPerTrigger=1)
 
 _RUN_IDS = _count()
 
-# Observability for tests: number of micro-batches the most recent
-# q_stream_continuous_agg run executed (must be > 1, or the "state
-# carries across micro-batches" claim is vacuous).
+# Observability for tests: number of data micro-batches the most recent
+# run of each key executed (must be > 1, or the "state carries across
+# micro-batches" claim is vacuous). LAST_RUN_BATCHES mirrors the agg
+# key's entry for backward compatibility.
+LAST_BATCHES: dict[str, int] = {}
 LAST_RUN_BATCHES: int | None = None
 
 
 def _work_dir(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     return f"/tmp/khcs_continuous/{tag}"
+
+
+def _land_events(spark: SparkSession, sf_dir: str, sub: str) -> tuple[str, object]:
+    """Rewrite the events table as N_LANDING_FILES parquet chunks under a
+    per-key landing dir; returns (path, schema). Each chunk becomes one
+    micro-batch (maxFilesPerTrigger=1 + availableNow)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    landing = os.path.join(_work_dir(sf_dir), sub)
+    e.repartition(N_LANDING_FILES).write.mode("overwrite").parquet(landing)
+    return landing, e.schema
+
+
+def _run_to_table(spark: SparkSession, stream: DataFrame, key: str) -> DataFrame:
+    """Run a streaming frame to a complete-mode memory sink with a fresh
+    checkpoint (the landing data is rewritten per invocation; checkpoint
+    resume / exactly-once across restarts is pytest-covered by
+    s_ingest_e2e's kill-a-commit test) and record the data-batch count."""
+    ckpt = tempfile.mkdtemp(prefix=f"khcs_{key}_ckpt_")
+    name = f"{key}_{next(_RUN_IDS)}"
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        LAST_BATCHES[key] = len(
+            [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
 
 
 @query(
@@ -70,46 +119,144 @@ def q_stream_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the landing data is rewritten per invocation — checkpoint
     resume/exactly-once across restarts is pytest-covered
     (s_ingest_e2e's kill-a-commit test)."""
-    e = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", "value"
+    landing, schema = _land_events(spark, sf_dir, "landing")
+    # Watermarks require TIMESTAMP (event-time) — the fixture column is
+    # TIMESTAMP_NTZ; under the UTC session the cast is wall-clock
+    # preserving, and the window bound is cast back to NTZ on output.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv"))
     )
-    work = _work_dir(sf_dir)
-    landing = os.path.join(work, "landing")
-    e.repartition(N_LANDING_FILES).write.mode("overwrite").parquet(landing)
-
-    ckpt = tempfile.mkdtemp(prefix="khcs_cont_ckpt_")
-    name = f"continuous_agg_{next(_RUN_IDS)}"
-    try:
-        # Watermarks require TIMESTAMP (event-time) — the fixture column is
-        # TIMESTAMP_NTZ; under the UTC session the cast is wall-clock
-        # preserving, and the window bound is cast back to NTZ on output.
-        stream = (
-            spark.readStream.schema(e.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(landing)
-            .withColumn("ts", F.col("ts").cast("timestamp"))
-            .withWatermark("ts", "1 hour")
-            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv"))
-        )
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        global LAST_RUN_BATCHES
-        LAST_RUN_BATCHES = len(
-            [p for p in q.recentProgress if p.get("numInputRows", 0) > 0]
-        )
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name).select(
+    out = _run_to_table(spark, stream, "q_stream_continuous_agg")
+    global LAST_RUN_BATCHES
+    LAST_RUN_BATCHES = LAST_BATCHES["q_stream_continuous_agg"]
+    return out.select(
         F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
         "event_type",
         "n_events",
         F.round("sv", 2).alias("sum_value"),
+    )
+
+
+@query(
+    "q_stream_cdc_upsert",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value, n_changes
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                 AS n_changes
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed CDC upsert — the materialized-view shape change-data
+    pipelines maintain: events arrive as micro-batches and the state is
+    ONE last-write-wins row per entity (latest event per user by
+    (ts, event_id), plus the change count), hash-checked against the
+    batch argmax over the full table. Unlike the windowed keys, this
+    state never grows with time — it is overwritten in place, the
+    upsert/merge path of a CDC sink.
+
+    Scale shape: streaming state is exactly one row per distinct key
+    (bounded by entity cardinality, not stream length); each micro-batch
+    partially reduces map-side before the state-store merge, so the
+    shuffle moves one candidate row per (key × batch). max_by over the
+    (ts, event_id) struct makes the winner deterministic under ties the
+    same way the oracle's row_number ORDER BY does. last_value is a
+    pass-through scalar (bit-exact, unrounded; SURVEY.md §7 R2)."""
+    landing, schema = _land_events(spark, sf_dir, "cdc_upsert")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_type", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("last"),
+            F.count(F.lit(1)).alias("n_changes"),
+        )
+    )
+    out = _run_to_table(spark, stream, "q_stream_cdc_upsert")
+    return out.select(
+        "user_id",
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_type").alias("last_event_type"),
+        F.col("last.value").alias("last_value"),
+        "n_changes",
+    )
+
+
+@query(
+    "q_stream_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS tts, event_id,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP))
+                          - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w)
+                          >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP),
+                   event_id)),
+    sess AS (
+      SELECT user_id, tts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY tts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq)
+    SELECT user_id,
+           strftime(min(tts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(tts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed sessionization — the hardest streaming state shape:
+    ``session_window`` state is DYNAMIC (a session widens as events
+    arrive, and two sessions opened by out-of-order micro-batches must
+    MERGE when a bridging event lands between them). The landing chunks
+    are hash-partitioned, so every user's events arrive out of time
+    order across micro-batches and merges genuinely happen; the final
+    session table must still hash-match the batch lag+cumsum
+    sessionization (native ≥-gap split semantics, the boundary contract
+    q_win_session_native pins for batch).
+
+    Scale shape: state is one row per OPEN session per user — in
+    production bounded by the watermark horizon (pytest covers eviction);
+    complete mode here is the comparison harness. Session starts/ends
+    are input timestamps (selection ± the constant gap, formatted, not
+    float arithmetic) and counts are exact."""
+    landing, schema = _land_events(spark, sf_dir, "sessionize")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_table(spark, stream, "q_stream_sessionize")
+    return out.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
     )

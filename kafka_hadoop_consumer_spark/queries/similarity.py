@@ -1254,14 +1254,33 @@ PQ_TRAIN_CAP = 2048  # deterministic training-sample bound (by vec_id)
 PQ_SHORTLIST = 100  # ADC shortlist size re-ranked exactly
 
 
-def _pq_train_codebooks(Xn: "np.ndarray") -> "np.ndarray":
-    """Train PQ codebooks on a bounded normalized sample: per subspace,
-    PQ_K-means with deterministic init (first PQ_K sample rows in vec_id
-    order) and PQ_ITERS Lloyd steps. Returns (M, K, dim/M)."""
-    sub_d = Xn.shape[1] // PQ_M
+PQ_SCALE = 1_000_000.0  # unit-vector components quantized to integer
+# millionths: every distance in the pipeline is then an EXACT integer
+# (d2 <= 8·(2e6)² ~ 3.2e13, adist <= 2.6e14, both << 2^53), so argmins,
+# sums, and rankings are order-independent and bit-identical across
+# engines — no rounding boundary exists anywhere between quantization
+# and the final exact re-rank.
+
+
+def _round_half_away(a: "np.ndarray") -> "np.ndarray":
+    """round-half-away-from-zero, matching Spark's ROUND/HALF_UP and
+    DuckDB's round() on the exact .5 averages integer centroids produce
+    (np.round is banker's and WOULD diverge there)."""
+    return np.sign(a) * np.floor(np.abs(a) + 0.5)
+
+
+def _pq_train_codebooks(Xq: "np.ndarray") -> "np.ndarray":
+    """Train PQ codebooks on the bounded integer-quantized unit-vector
+    sample: per subspace, PQ_K-means with deterministic init (first PQ_K
+    sample rows in vec_id order) and PQ_ITERS Lloyd steps. All distances
+    are exact integers (argmin ties -> lowest centroid id, the
+    first-match both np.argmin and ORDER BY d, j produce) and centroid
+    updates round half-away back onto the integer grid, so the whole
+    trajectory is engine-portable by construction. Returns (M, K, dim/M)."""
+    sub_d = Xq.shape[1] // PQ_M
     books = []
     for m in range(PQ_M):
-        S = Xn[:, m * sub_d:(m + 1) * sub_d]
+        S = Xq[:, m * sub_d:(m + 1) * sub_d]
         C = S[:PQ_K].copy()
         for _ in range(PQ_ITERS):
             d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
@@ -1269,12 +1288,117 @@ def _pq_train_codebooks(Xn: "np.ndarray") -> "np.ndarray":
             for j in range(PQ_K):
                 mask = assign == j
                 if mask.any():
-                    C[j] = S[mask].mean(0)
+                    C[j] = _round_half_away(S[mask].mean(0))
         books.append(C)
     return np.stack(books)
 
 
-@query("q_sim_pq_topk")  # rows-only: quantized ANN; recall-gated in pytest
+def _pq_oracle() -> str:
+    """DuckDB replay of the ENTIRE PQ pipeline (train -> encode -> ADC ->
+    shortlist -> exact re-rank) — the same chained-CTE conversion class as
+    q_embed_kmeans/BPE/MMR, with the subspace id as one more grouping key
+    so all PQ_M codebooks train in a single CTE chain: wn = unit vectors
+    quantized to integer millionths (the shared EXACT domain — see
+    PQ_SCALE), c0 = first PQ_K training subvectors per subspace, then per
+    Lloyd iteration an assignment CTE (argmin by exact-integer squared
+    L2, lowest-centroid tie-break) and an update CTE (per-(m, j, pos)
+    avg rounded half-away back onto the grid, empty cells keeping the
+    previous centroid); encode/ADC reuse the same exact-argmin shape,
+    adc_dist is the exact lookup-table sum rescaled to the unit sphere,
+    and the final stage is q_sim_cosine_topk's proven raw-cosine re-rank
+    over the shortlist."""
+    sub_d = EMB_DIM // PQ_M
+    d2 = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    parts = [
+        f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                   x -> x * x))) AS nrm
+               FROM embeddings),
+    en AS (SELECT vec_id, v, nrm,
+                  list_transform(v, x -> round(x / nrm * {PQ_SCALE!r}, 0))
+                      AS wn FROM e),
+    sub AS (SELECT vec_id, ms.m AS m,
+                   list_slice(wn, ms.m * {sub_d} + 1,
+                              ms.m * {sub_d} + {sub_d}) AS sv
+            FROM en, (SELECT unnest(range(0, {PQ_M})) AS m) ms),
+    tr AS (SELECT * FROM sub WHERE vec_id < {PQ_TRAIN_CAP}),
+    c0 AS (SELECT m, j, cv FROM (
+             SELECT m, sv AS cv,
+                    row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+                        AS j
+             FROM tr) WHERE j < {PQ_K})"""
+    ]
+    for i in range(1, PQ_ITERS + 1):
+        parts.append(
+            """,
+    a{i} AS (SELECT vec_id, m, sv, j FROM (
+        SELECT t.vec_id, t.m, t.sv, c.j,
+               row_number() OVER (PARTITION BY t.m, t.vec_id
+                                  ORDER BY {d}, c.j) AS rn
+        FROM tr t JOIN c{prev} c ON c.m = t.m) WHERE rn = 1),
+    u{i} AS (SELECT m, j, list(cx ORDER BY pos) AS cv FROM (
+        SELECT m, j, pos, round(avg(x), 0) AS cx FROM (
+            SELECT m, j, unnest(sv) AS x,
+                   unnest(range(1, len(sv) + 1)) AS pos FROM a{i})
+        GROUP BY m, j, pos) GROUP BY m, j),
+    c{i} AS (SELECT p.m, p.j, coalesce(u.cv, p.cv) AS cv
+             FROM c{prev} p LEFT JOIN u{i} u ON u.m = p.m AND u.j = p.j)""".format(
+                i=i, prev=i - 1, d=d2.format(a="t.sv", b="c.cv")
+            )
+        )
+    last = f"c{PQ_ITERS}"
+    parts.append(
+        f""",
+    codes AS (SELECT vec_id, m, j FROM (
+        SELECT s.vec_id, s.m, c.j,
+               row_number() OVER (PARTITION BY s.m, s.vec_id
+                                  ORDER BY {d2.format(a="s.sv", b="c.cv")},
+                                           c.j) AS rn
+        FROM sub s JOIN {last} c ON c.m = s.m) WHERE rn = 1),
+    qtab AS (SELECT s.vec_id AS q_id, s.m, c.j,
+                    {d2.format(a="s.sv", b="c.cv")} AS d
+             FROM sub s JOIN {last} c ON c.m = s.m
+             WHERE s.vec_id < {N_QUERY}),
+    adist AS (SELECT q.q_id, k.vec_id,
+                     sum(q.d) / ({PQ_SCALE!r} * {PQ_SCALE!r}) AS adc_dist
+              FROM codes k JOIN qtab q ON q.m = k.m AND q.j = k.j
+              WHERE k.vec_id <> q.q_id
+              GROUP BY q.q_id, k.vec_id),
+    short AS (SELECT q_id, vec_id, adc_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_dist, vec_id) AS rn
+        FROM adist) WHERE rn <= {PQ_SHORTLIST})
+    SELECT q_id, vec_id, cos_sim, adc_dist FROM (
+        SELECT s.q_id, s.vec_id,
+               round(list_sum(list_transform(list_zip(eq.v, ev.v),
+                                             p -> p[1] * p[2]))
+                     / (eq.nrm * ev.nrm), 4) AS cos_sim,
+               s.adc_dist,
+               row_number() OVER (
+                 PARTITION BY s.q_id
+                 ORDER BY list_sum(list_transform(list_zip(eq.v, ev.v),
+                                                  p -> p[1] * p[2]))
+                          / (eq.nrm * ev.nrm) DESC, s.vec_id) AS rn
+        FROM short s JOIN e ev ON ev.vec_id = s.vec_id
+                     JOIN e eq ON eq.vec_id = s.q_id)
+    WHERE rn <= {TOP_K}"""
+    )
+    return "".join(parts)
+
+
+@query("q_sim_pq_topk", oracle=_pq_oracle())
+# Converted from rows-only in r6: quantizing unit vectors to integer
+# millionths (PQ_SCALE) makes every distance in the pipeline an exact
+# integer — argmins, lookup-table sums, and rankings are then
+# order-independent and bit-identical across engines, so the driver
+# hash-checks train + encode + ADC + shortlist + re-rank end-to-end;
+# the pytest recall gate still scores it against exact cosine. The
+# ~1e-6 quantization perturbation is far below the quantization error
+# PQ itself introduces.
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN — the MEMORY-bound scale path LSH/IVF
     don't cover: every corpus vector is compressed to PQ_M 4-bit codes
@@ -1298,22 +1422,31 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ_SHORTLIST·|queries| rows. The corpus never shuffles at full
     width — only (vec_id, q_id, adist) triples move."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # wn: unit vectors quantized to integer millionths IN SPARK — the
+    # exact shared domain (see PQ_SCALE) is computed once, engine-side,
+    # and the oracle recomputes it with the same one-step round, so
+    # codebooks and codes derive from identical integers.
     ed = persist_tracked(
         emb.select("vec_id", _vec_double().alias("v"))
+        .withColumn("nrm", _norm(F.col("v")))
+        .withColumn(
+            "wn",
+            F.transform(
+                "v", lambda x: F.round(x / F.col("nrm") * PQ_SCALE, 0)
+            ),
+        )
     )
     train = np.stack(
         ed.where(F.col("vec_id") < PQ_TRAIN_CAP)
         .orderBy("vec_id")
-        .toPandas()["v"]
+        .toPandas()["wn"]
         .to_numpy()
     )
-    train = train / np.linalg.norm(train, axis=1, keepdims=True)
     books = _pq_train_codebooks(train)            # (M, K, sub_d)
     qrows = (
         ed.where(F.col("vec_id") < N_QUERY).orderBy("vec_id").toPandas()
     )
-    Q = np.stack(qrows["v"].to_numpy())
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = np.stack(qrows["wn"].to_numpy())
     q_ids = qrows["vec_id"].to_numpy()
     sub_d = books.shape[2]
     # per-query ADC tables: dtab[q, m, k] = ||Q[q, m·d:(m+1)·d] − books[m, k]||²
@@ -1325,8 +1458,7 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _adc(batches):
         for pdf in batches:
-            X = np.stack(pdf["v"].to_numpy())
-            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            X = np.stack(pdf["wn"].to_numpy())
             codes = np.stack([
                 ((X[:, m * sub_d:(m + 1) * sub_d][:, None, :]
                   - books[m][None, :, :]) ** 2).sum(-1).argmin(1)
@@ -1339,7 +1471,7 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ])}
             yield pd.DataFrame(out)
 
-    scored = ed.select("vec_id", "v").mapInPandas(
+    scored = ed.select("vec_id", "wn").mapInPandas(
         _adc, "vec_id long, q_id long, adist double"
     ).where(F.col("vec_id") != F.col("q_id"))
     w_short = Window.partitionBy("q_id").orderBy(
@@ -1350,21 +1482,22 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= PQ_SHORTLIST)
         .select("q_id", "vec_id", "adist")
     )
-    edn = ed.withColumn("nrm", _norm(F.col("v")))
     qn = (
         ed.where(F.col("vec_id") < N_QUERY)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-        .withColumn("qnrm", _norm(F.col("qv")))
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qnrm"))
     )
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
     w_final = Window.partitionBy("q_id").orderBy(
         F.col("cos_raw").desc(), F.col("vec_id")
     )
     return (
-        edn.join(shortlist, "vec_id")
+        ed.select("vec_id", "v", "nrm").join(shortlist, "vec_id")
         .join(F.broadcast(qn), "q_id")
         .select("q_id", "vec_id", cos.alias("cos_raw"),
-                F.round("adist", 6).alias("adc_dist"))
+                (F.col("adist") / F.lit(PQ_SCALE * PQ_SCALE)).alias(
+                    "adc_dist"
+                ))
         .withColumn("rn", F.row_number().over(w_final))
         .where(F.col("rn") <= TOP_K)
         .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"),

@@ -40,6 +40,49 @@ def test_continuous_agg_spans_multiple_microbatches(spark):
     )
 
 
+def test_cdc_upsert_streams_multiple_batches_and_matches_batch_lww(spark):
+    from kafka_hadoop_consumer_spark.catalog import load_table
+    from kafka_hadoop_consumer_spark.queries import continuous
+
+    out = QUERIES["q_stream_cdc_upsert"](spark, SF_DIR).cache()
+    try:
+        assert continuous.LAST_BATCHES["q_stream_cdc_upsert"] >= 2
+        e = load_table(spark, SF_DIR, "events")
+        # one state row per entity; change counts conserve the stream
+        assert out.count() == e.select("user_id").distinct().count()
+        n = out.agg(F.sum("n_changes")).collect()[0][0]
+        assert n == e.count()
+        # the winner really is each user's max-(ts, event_id) event
+        w = e.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id")).alias("m")
+        )
+        bad = out.join(w, "user_id").where(F.col("last_ts") != F.col("m.ts"))
+        assert bad.count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_sessionize_streams_multiple_batches_and_partitions_events(spark):
+    from kafka_hadoop_consumer_spark.catalog import load_table
+    from kafka_hadoop_consumer_spark.queries import continuous
+
+    out = QUERIES["q_stream_sessionize"](spark, SF_DIR).cache()
+    try:
+        assert continuous.LAST_BATCHES["q_stream_sessionize"] >= 2
+        e = load_table(spark, SF_DIR, "events")
+        # sessions partition the event stream (merges lose nothing)
+        assert out.agg(F.sum("n_events")).collect()[0][0] == e.count()
+        # streamed session merging == batch native session_window
+        batch = QUERIES["q_win_session_native"](spark, SF_DIR).select(
+            "user_id", "session_start", "n_events"
+        )
+        got = out.select("user_id", "session_start", "n_events")
+        assert got.exceptAll(batch).count() == 0
+        assert batch.exceptAll(got).count() == 0
+    finally:
+        out.unpersist()
+
+
 def test_av_sync_one_row_per_frame_and_nonnegative_lag(spark):
     sync = QUERIES["q_multimodal_av_sync"](spark, SF_DIR).cache()
     try:
