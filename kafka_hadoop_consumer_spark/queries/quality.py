@@ -1936,73 +1936,22 @@ STUMP_FEATS = 3      # candidate features: first 3 embedding components
 STUMP_BIN_DP = 2     # histogram-bin rounding (decimal places) for
 # candidate thresholds — the XGBoost/Spark-ML histogram-split discipline
 # that bounds candidate count independently of corpus size.
+BOOST_W_MISS = 2     # integer up-weight for round-1 misclassified points
+# (a discrete boosting round: exact-integer reweighting instead of
+# AdaBoost's e^±alpha floats, so both engines score round 2 from
+# identical integers).
 
 
-@query(
-    "q_ml_decision_stump",
-    oracle=f"""
-    WITH pts AS (
-      SELECT f.feat, round(e.v[f.i], {STUMP_BIN_DP}) AS bin, e.label
-      FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings) e
-      CROSS JOIN (SELECT unnest(range(1, {STUMP_FEATS} + 1)) AS i,
-                         unnest(['x1', 'x2', 'x3']) AS feat) f),
-    cnt AS (
-      SELECT feat, bin, label, CAST(count(*) AS BIGINT) AS c
-      FROM pts GROUP BY feat, bin, label),
-    dense AS (
-      SELECT b.feat, b.bin, l.label, coalesce(c.c, 0) AS c
-      FROM (SELECT DISTINCT feat, bin FROM cnt) b
-      CROSS JOIN (SELECT DISTINCT label FROM pts) l
-      LEFT JOIN cnt c ON c.feat = b.feat AND c.bin = b.bin AND c.label = l.label),
-    cum AS (
-      SELECT feat, bin, label,
-             sum(c) OVER (PARTITION BY feat, label ORDER BY bin) AS cum,
-             sum(c) OVER (PARTITION BY feat, label) AS tot
-      FROM dense),
-    splits AS (
-      SELECT feat, bin,
-             sum(cum) AS n_le,
-             sum(tot) - sum(cum) AS n_gt,
-             sum(cum * cum) AS s_le2,
-             sum((tot - cum) * (tot - cum)) AS s_gt2,
-             sum(tot) AS n
-      FROM cum GROUP BY feat, bin),
-    scored AS (
-      SELECT feat, bin, n_le, n_gt,
-             (n_le - s_le2 / CAST(n_le AS DOUBLE)
-              + n_gt - s_gt2 / CAST(n_gt AS DOUBLE)) / CAST(n AS DOUBLE)
-               AS wg
-      FROM splits WHERE n_gt > 0)
-    SELECT feat AS feature, bin AS threshold,
-           CAST(n_le AS BIGINT) AS n_le, CAST(n_gt AS BIGINT) AS n_gt,
-           round(wg, 6) AS gini
-    FROM (SELECT *, row_number() OVER (
-            PARTITION BY feat ORDER BY round(wg, 6), bin) AS rn
-          FROM scored)
-    WHERE rn = 1
-    """,
-)
-def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decision-stump training — the greedy one-node tree split that
-    gradient-boosting and random-forest trainers evaluate millions of
-    times: for each candidate feature (first {STUMP_FEATS} embedding
-    components), the histogram-binned threshold minimizing weighted
-    multi-class Gini impurity, with per-side support counts.
-
-    Scale shape (the histogram-split discipline): candidate thresholds
-    are the features' values rounded to {STUMP_BIN_DP}dp, so the
-    candidate count is bounded by the bin grid, NOT corpus size — the
-    per-(feature, bin, label) count is one map-side-combinable hash agg,
-    the class-cumulative pass is a window over (feature, label) whose
-    partition size is the bin count (thousands of rows at ANY corpus
-    scale), and the Gini arithmetic runs on exact BIGINT cumulative
-    counts, so both engines score splits from identical integers (the
-    6dp-rounded score only breaks ranking ties, never accuracy).
-    Per-feature argmin ties break toward the smaller threshold."""
+def _stump_points(spark: SparkSession, sf_dir: str):
+    """(vec_id, feat, bin, label) for the first STUMP_FEATS embedding
+    components, thresholds histogram-binned at STUMP_BIN_DP dp."""
     e = load_table(spark, sf_dir, "embeddings").select(
-        "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    pts = e.select(
+    return e.select(
+        "vec_id",
         F.explode(
             F.array(
                 *[
@@ -2015,8 +1964,17 @@ def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
         "label",
-    ).select("p.feat", "p.bin", "label")
-    cnt = pts.groupBy("feat", "bin", "label").agg(F.count(F.lit(1)).alias("c"))
+    ).select("vec_id", "p.feat", "p.bin", "label")
+
+
+def _gini_splits(pts: DataFrame, w) -> DataFrame:
+    """Weighted histogram-split scores: for every (feat, bin) candidate
+    threshold, the weighted side totals and weighted multi-class Gini,
+    computed from exact integer cumulative weights (one map-side-
+    combinable hash agg + a window whose partition size is the bin
+    count). The Gini expression is a fixed-association arithmetic tree
+    over those integers, so both engines produce bit-identical doubles."""
+    cnt = pts.groupBy("feat", "bin", "label").agg(F.sum(w).alias("c"))
     bins = cnt.select("feat", "bin").distinct()
     labels = pts.select("label").distinct()
     dense = (
@@ -2047,9 +2005,85 @@ def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("n_gt")
         - F.col("s_gt2") / F.col("n_gt").cast("double")
     ) / F.col("n").cast("double")
-    scored = splits.where(F.col("n_gt") > 0).select(
+    return splits.where(F.col("n_gt") > 0).select(
         "feat", "bin", "n_le", "n_gt", wg.alias("wg")
     )
+
+
+def _gini_sql(pts_cte: str, weight: str, p: str) -> str:
+    """The cnt -> scored CTE chain (weighted), names prefixed with ``p``
+    so the boost oracle can instantiate it twice in one statement."""
+    return f"""
+    {p}cnt AS (
+      SELECT feat, bin, label, CAST(sum({weight}) AS BIGINT) AS c
+      FROM {pts_cte} GROUP BY feat, bin, label),
+    {p}dense AS (
+      SELECT b.feat, b.bin, l.label, coalesce(c.c, 0) AS c
+      FROM (SELECT DISTINCT feat, bin FROM {p}cnt) b
+      CROSS JOIN (SELECT DISTINCT label FROM {pts_cte}) l
+      LEFT JOIN {p}cnt c
+        ON c.feat = b.feat AND c.bin = b.bin AND c.label = l.label),
+    {p}cum AS (
+      SELECT feat, bin, label,
+             sum(c) OVER (PARTITION BY feat, label ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY feat, label) AS tot
+      FROM {p}dense),
+    {p}splits AS (
+      SELECT feat, bin,
+             sum(cum) AS n_le,
+             sum(tot) - sum(cum) AS n_gt,
+             sum(cum * cum) AS s_le2,
+             sum((tot - cum) * (tot - cum)) AS s_gt2,
+             sum(tot) AS n
+      FROM {p}cum GROUP BY feat, bin),
+    {p}scored AS (
+      SELECT feat, bin, n_le, n_gt,
+             (n_le - s_le2 / CAST(n_le AS DOUBLE)
+              + n_gt - s_gt2 / CAST(n_gt AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS wg
+      FROM {p}splits WHERE n_gt > 0)"""
+
+
+_STUMP_PTS_SQL = f"""pts AS (
+      SELECT e.vec_id, f.feat, round(e.v[f.i], {STUMP_BIN_DP}) AS bin,
+             e.label
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings) e
+      CROSS JOIN (SELECT unnest(range(1, {STUMP_FEATS} + 1)) AS i,
+                         unnest(['x1', 'x2', 'x3']) AS feat) f)"""
+
+
+@query(
+    "q_ml_decision_stump",
+    oracle=f"""
+    WITH {_STUMP_PTS_SQL},{_gini_sql("pts", "1", "")}
+    SELECT feat AS feature, bin AS threshold,
+           CAST(n_le AS BIGINT) AS n_le, CAST(n_gt AS BIGINT) AS n_gt,
+           round(wg, 6) AS gini
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY feat ORDER BY round(wg, 6), bin) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training — the greedy one-node tree split that
+    gradient-boosting and random-forest trainers evaluate millions of
+    times: for each candidate feature (first {STUMP_FEATS} embedding
+    components), the histogram-binned threshold minimizing weighted
+    multi-class Gini impurity, with per-side support counts.
+
+    Scale shape (the histogram-split discipline): candidate thresholds
+    are the features' values rounded to {STUMP_BIN_DP}dp, so the
+    candidate count is bounded by the bin grid, NOT corpus size — the
+    per-(feature, bin, label) count is one map-side-combinable hash agg,
+    the class-cumulative pass is a window over (feature, label) whose
+    partition size is the bin count (thousands of rows at ANY corpus
+    scale), and the Gini arithmetic runs on exact BIGINT cumulative
+    counts, so both engines score splits from identical integers (the
+    6dp-rounded score only breaks ranking ties, never accuracy).
+    Per-feature argmin ties break toward the smaller threshold."""
+    scored = _gini_splits(_stump_points(spark, sf_dir), F.lit(1))
     w_best = Window.partitionBy("feat").orderBy(F.round("wg", 6), "bin")
     return (
         scored.withColumn("rn", F.row_number().over(w_best))
@@ -2060,5 +2094,122 @@ def q_ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_le",
             "n_gt",
             F.round("wg", 6).alias("gini"),
+        )
+    )
+
+
+@query(
+    "q_ml_boost_round",
+    oracle=f"""
+    WITH {_STUMP_PTS_SQL},{_gini_sql("pts", "1", "")},
+    best1 AS (
+      SELECT feat, bin FROM (
+        SELECT feat, bin, row_number() OVER (
+                 ORDER BY round(wg, 6), feat, bin) AS rn
+        FROM scored) WHERE rn = 1),
+    sides AS (
+      SELECT p.vec_id, p.label,
+             (p.bin <= b.bin) AS on_le
+      FROM pts p JOIN best1 b ON p.feat = b.feat),
+    maj AS (
+      SELECT on_le, label AS maj_label FROM (
+        SELECT on_le, label,
+               row_number() OVER (PARTITION BY on_le
+                                  ORDER BY count(*) DESC, label) AS rn
+        FROM sides GROUP BY on_le, label) WHERE rn = 1),
+    wts AS (
+      SELECT s.vec_id,
+             CASE WHEN s.label = m.maj_label
+                  THEN 1 ELSE {BOOST_W_MISS} END AS w
+      FROM sides s JOIN maj m ON m.on_le = s.on_le),
+    wpts AS (
+      SELECT p.feat, p.bin, p.label, w.w
+      FROM pts p JOIN wts w ON w.vec_id = p.vec_id),{_gini_sql("wpts", "w", "b_")}
+    SELECT feat AS feature, bin AS threshold,
+           CAST(n_le AS BIGINT) AS w_le, CAST(n_gt AS BIGINT) AS w_gt,
+           round(wg, 6) AS gini_w,
+           (SELECT feat FROM best1) AS r1_feature,
+           (SELECT bin FROM best1) AS r1_threshold,
+           (SELECT CAST(count(*) AS BIGINT) FROM wts WHERE w > 1)
+               AS r1_miss
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY feat ORDER BY round(wg, 6), bin) AS rn
+          FROM b_scored)
+    WHERE rn = 1
+    """,
+)
+def q_ml_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One boosting round over the histogram stump — the inner loop of
+    gradient-boosted-tree training at corpus scale: train the global
+    best stump (round 1), classify every point by its side's majority
+    label, up-weight the misclassified points by the integer factor
+    {BOOST_W_MISS}, and retrain the per-feature stumps on the weighted
+    histogram (round 2), reporting each feature's new best split, its
+    weighted Gini, and the round-1 split + miss count it corrected for.
+
+    Discrete reweighting (1 vs {BOOST_W_MISS}) instead of AdaBoost's
+    e^±alpha floats keeps every count an exact BIGINT, so both engines
+    score round 2 from identical integers — the same exactness
+    discipline as q_ml_decision_stump, whose scoring machinery this key
+    reuses with a weight column. Scale shape: the round-1 winner and the
+    two per-side majority labels are the only driver-side scalars
+    (bounded literal-shipping, 3 rows); the per-point weight table joins
+    back on vec_id — one hash join keyed on the corpus id, then the same
+    bin-grid-bounded weighted histogram aggregation as round 1. Round-1
+    global ties break by (gini, feat, bin) on both engines."""
+    pts = persist_tracked(_stump_points(spark, sf_dir))
+    s1 = _gini_splits(pts, F.lit(1))
+    best1 = (
+        s1.orderBy(F.round("wg", 6), "feat", "bin")
+        .select("feat", "bin")
+        .limit(1)
+        .collect()[0]
+    )
+    sides = pts.where(F.col("feat") == best1["feat"]).select(
+        "vec_id",
+        "label",
+        (F.col("bin") <= F.lit(best1["bin"])).alias("on_le"),
+    )
+    maj = {
+        r["on_le"]: r["maj_label"]
+        for r in sides.groupBy("on_le", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("on_le").orderBy(
+                    F.col("c").desc(), "label"
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("on_le", F.col("label").alias("maj_label"))
+        .collect()
+    }
+    wts = sides.select(
+        "vec_id",
+        F.when(
+            (F.col("on_le") & (F.col("label") == F.lit(maj[True])))
+            | (~F.col("on_le") & (F.col("label") == F.lit(maj[False]))),
+            F.lit(1),
+        )
+        .otherwise(F.lit(BOOST_W_MISS))
+        .alias("w"),
+    )
+    r1_miss = wts.where(F.col("w") > 1).count()
+    s2 = _gini_splits(pts.join(wts, "vec_id"), F.col("w"))
+    w_best = Window.partitionBy("feat").orderBy(F.round("wg", 6), "bin")
+    return (
+        s2.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("feat").alias("feature"),
+            F.col("bin").alias("threshold"),
+            F.col("n_le").alias("w_le"),
+            F.col("n_gt").alias("w_gt"),
+            F.round("wg", 6).alias("gini_w"),
+            F.lit(best1["feat"]).alias("r1_feature"),
+            F.lit(best1["bin"]).alias("r1_threshold"),
+            F.lit(r1_miss).cast("long").alias("r1_miss"),
         )
     )

@@ -113,6 +113,51 @@ def test_decision_stump_conservation_and_bounds(spark):
         assert 0.0 <= r.gini <= 0.9, r  # 10-class gini < 1 - 1/10
 
 
+def test_boost_round_weight_conservation(spark):
+    from kafka_hadoop_consumer_spark.catalog import load_table
+    from kafka_hadoop_consumer_spark.queries.quality import BOOST_W_MISS
+
+    res = QUERIES["q_ml_boost_round"](spark, SF_DIR)
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    rows = res.collect()
+    assert len(rows) == 3
+    miss = rows[0].r1_miss
+    assert 0 < miss < n  # round 1 is neither perfect nor useless
+    for r in rows:
+        # total weight = n + (W-1)·misses, conserved on every feature
+        assert r.w_le + r.w_gt == n + (BOOST_W_MISS - 1) * miss, r
+        assert r.r1_miss == miss and r.r1_feature == rows[0].r1_feature
+
+
+def test_pq_adc_dist_lies_on_exact_integer_grid(spark):
+    """The r6 PQ oracle conversion rests on one invariant: every ADC
+    distance is an exact integer in the PQ_SCALE² domain (that is what
+    makes rankings order-independent across engines). The shipped
+    adc_dist is that integer divided by PQ_SCALE² — the division itself
+    is inexact but IEEE-deterministic, so the value must round-trip:
+    rescaling and re-dividing reproduces it bit-for-bit."""
+    from kafka_hadoop_consumer_spark.queries.similarity import PQ_SCALE
+
+    s2 = F.lit(PQ_SCALE * PQ_SCALE)
+    res = QUERIES["q_sim_pq_topk"](spark, SF_DIR)
+    off_grid = res.where(
+        F.col("adc_dist") != F.round(F.col("adc_dist") * s2, 0) / s2
+    )
+    assert off_grid.count() == 0
+
+
+def test_round_half_away_matches_sql_semantics():
+    import numpy as np
+
+    from kafka_hadoop_consumer_spark.queries.similarity import (
+        _round_half_away,
+    )
+
+    a = np.array([0.5, 1.5, 2.5, -0.5, -1.5, -2.5, 2.4, -2.4])
+    # half away from zero (SQL ROUND), NOT banker's (np.round)
+    assert _round_half_away(a).tolist() == [1, 2, 3, -1, -2, -3, 2, -2]
+
+
 def test_range_search_radius_and_selectivity(spark):
     from kafka_hadoop_consumer_spark.queries.similarity import RANGE_COS
 
