@@ -236,6 +236,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_quality_behavior_entropy",  # crossJoin of the 1-row ln(|types|)
         "q_sim_range_search",  # corpus streams past 5 broadcast query rows
         "q_ml_decision_stump",  # bin grid × broadcast ~10-row label set
+        "q_ml_boost_round",  # same stump machinery, weighted round 2
     }
     offenders = {}
     for name, fn in QUERIES.items():
