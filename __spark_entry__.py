@@ -59,6 +59,36 @@ def _driver_checked_keys() -> set:
             # fresh-first window so a fix earns a fresh driver row.
             if green or rows_recorded:
                 seen.add(key)
+    # STALE evidence re-enters the fresh window: a key whose (query
+    # source + oracle) hash changed after its snapshotted evidencing
+    # round (COVERAGE_DEFS.json, maintained by tools/coverage_ledger.py)
+    # is treated as never-checked, so the next driver window re-earns a
+    # row for the CURRENT definition instead of presenting the old green
+    # row as current. If the sidecar lags a newer CORRECTNESS file the
+    # key is merely fronted once more — harmless; regenerating the
+    # ledger (the round-boot step) resnapshots it. Ordering is an
+    # optimization only, so any failure here degrades to plain
+    # registration order rather than breaking the driver contract.
+    try:
+        import importlib.util
+
+        with open(os.path.join(here, "COVERAGE_DEFS.json")) as f:
+            defs = json.load(f)
+        p = os.path.join(here, "tools", "coverage_ledger.py")
+        spec = importlib.util.spec_from_file_location("_cov_ledger", p)
+        led = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(led)
+        for key in list(seen):
+            rec = defs.get(key)
+            if (
+                isinstance(rec, dict)
+                and rec.get("def_hash")
+                and key in QUERIES
+                and rec["def_hash"] != led.def_hash(key, QUERIES, ORACLES)
+            ):
+                seen.discard(key)
+    except Exception:
+        pass
     return seen
 
 

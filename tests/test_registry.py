@@ -103,6 +103,39 @@ def test_failed_driver_rows_reenter_fresh_window(tmp_path, monkeypatch):
     assert "mismatch_key" not in checked, "hash-mismatch rows must re-enter"
 
 
+def test_stale_definition_reenters_fresh_window(tmp_path, monkeypatch):
+    """A key with a green driver row whose (query source + oracle) hash
+    changed since the snapshotted evidencing round must be treated as
+    never-checked, so the next window re-earns evidence for the CURRENT
+    definition (closes the STALE gap the r5 advisor flagged: the ledger
+    DISPLAYED staleness but the ordering never acted on it)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    green = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 1, "oracle_rows": 1, "err": None,
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
+        json.dumps({"q_agg_groupby": green, "q_agg_global": green})
+    )
+    # symlinked tools/ makes the loaded ledger resolve REPO to tmp_path,
+    # so load_defs() reads the sidecar written here
+    (tmp_path / "tools").symlink_to("/root/repo/tools")
+    (tmp_path / "COVERAGE_DEFS.json").write_text(
+        json.dumps({"q_agg_groupby": {"round": 99, "def_hash": "stale!"}})
+    )
+    monkeypatch.setattr(entrymod.os.path, "dirname", lambda _: str(tmp_path))
+    checked = entrymod._driver_checked_keys()
+    assert "q_agg_global" in checked  # no snapshot -> evidence stands
+    assert "q_agg_groupby" not in checked, (
+        "definition changed since its evidencing round -> must re-enter"
+    )
+
+
 def test_cluster_profile_lands_on_session(spark):
     """The 100 TB overlay's runtime-settable knobs must round-trip through
     SparkSession.conf — guards against typo'd config keys that Spark would
