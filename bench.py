@@ -370,6 +370,37 @@ def _time_scaling(spark) -> dict:
             "ratio_wall_same_config": round(t10_same / t1, 2) if t1 else None,
             "ratio_wall_retuned": round(t10_tuned / t1, 2) if t1 else None,
         }
+
+        # Histogram-split scaling (r6): the stump's candidate-threshold
+        # count — distinct (feature, bin) pairs — is bounded by the bin
+        # GRID, not corpus size (the XGBoost/Spark-ML discipline its
+        # docstring claims). ratio_bins is the noise-free invariant: at
+        # 10x gaussian rows the grid only densifies toward the tails
+        # (sub-linear, ~1.x), where per-row candidate generation would
+        # show ~10x. Wall-clock tracks the linear corpus scan.
+        from kafka_hadoop_consumer_spark.queries.quality import (
+            _stump_points,
+            q_ml_decision_stump,
+        )
+
+        def stump_bins(d):
+            return (
+                _stump_points(spark, d).select("feat", "bin").distinct().count()
+            )
+
+        t1 = timed(lambda: q_ml_decision_stump(spark, d1))
+        t10 = timed(lambda: q_ml_decision_stump(spark, d10))
+        b1x, b10x = stump_bins(d1), stump_bins(d10)
+        out["q_ml_decision_stump"] = {
+            "n_1x": SCALE_N1,
+            "n_10x": SCALE_N1 * SCALE_FACTOR,
+            "sec_1x": t1,
+            "sec_10x": t10,
+            "ratio": round(t10 / t1, 2) if t1 else None,
+            "bins_1x": b1x,
+            "bins_10x": b10x,
+            "ratio_bins": round(b10x / b1x, 2) if b1x else None,
+        }
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d10, ignore_errors=True)
