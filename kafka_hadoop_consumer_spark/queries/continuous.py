@@ -64,18 +64,22 @@ def _land_events(spark: SparkSession, sf_dir: str, sub: str) -> tuple[str, objec
     return landing, e.schema
 
 
-def _run_to_table(spark: SparkSession, stream: DataFrame, key: str) -> DataFrame:
-    """Run a streaming frame to a complete-mode memory sink with a fresh
-    checkpoint (the landing data is rewritten per invocation; checkpoint
-    resume / exactly-once across restarts is pytest-covered by
-    s_ingest_e2e's kill-a-commit test) and record the data-batch count."""
+def _run_to_table(
+    spark: SparkSession, stream: DataFrame, key: str, mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming frame to a memory sink with a fresh checkpoint
+    (the landing data is rewritten per invocation; checkpoint resume /
+    exactly-once across restarts is pytest-covered by s_ingest_e2e's
+    kill-a-commit test) and record the data-batch count. ``complete``
+    re-emits the full state each trigger (aggregation keys); ``append``
+    unions per-batch emissions (the dedup key)."""
     ckpt = tempfile.mkdtemp(prefix=f"khcs_{key}_ckpt_")
     name = f"{key}_{next(_RUN_IDS)}"
     try:
         q = (
             stream.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -196,6 +200,56 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.value").alias("last_value"),
         "n_changes",
     )
+
+
+@query(
+    "q_stream_dedup_exact",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    """,
+)
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed exactly-once ingest gate: every event is landed TWICE, in
+    two DIFFERENT micro-batches (copy A in files 0..N-1, copy B in files
+    N..2N-1 — maxFilesPerTrigger=1 guarantees the duplicate never shares
+    a batch with its original), and streaming dropDuplicates on event_id
+    must emit each event exactly once. The final table hash-matches the
+    plain events table — the at-least-once-delivery-to-exactly-once-
+    ingest contract (§2A A7's replay-idempotence, here under the
+    driver's DuckDB hash gate rather than pytest).
+
+    Copies are byte-identical, so which arrival wins is immaterial and
+    the output is deterministic under any batch interleaving. Scale
+    shape: dedup state is one key per distinct event_id; the PRODUCTION
+    posture is dropDuplicatesWithinWatermark (state bounded by the
+    watermark horizon, exercised in tests/test_streaming.py) — unbounded
+    dropDuplicates here is the comparison harness over a finite landing.
+    Append mode: each row is emitted by the micro-batch that first sees
+    it, so the sink union IS the deduplicated stream."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    landing = os.path.join(_work_dir(sf_dir), "dedup_exact")
+    half = max(N_LANDING_FILES // 2, 1)
+    e.repartition(half).write.mode("overwrite").parquet(landing)
+    extra = [
+        f
+        for f in os.listdir(landing)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    for i, name in enumerate(sorted(extra)):
+        shutil.copyfile(
+            os.path.join(landing, name),
+            os.path.join(landing, f"part-dup-{i:05d}-copy.parquet"),
+        )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .dropDuplicates(["event_id"])
+    )
+    return _run_to_table(spark, stream, "q_stream_dedup_exact", mode="append")
 
 
 @query(

@@ -83,6 +83,25 @@ def test_sessionize_streams_multiple_batches_and_partitions_events(spark):
         out.unpersist()
 
 
+def test_stream_dedup_lands_each_event_twice_and_emits_once(spark):
+    from kafka_hadoop_consumer_spark.catalog import load_table
+    from kafka_hadoop_consumer_spark.queries import continuous
+
+    out = QUERIES["q_stream_dedup_exact"](spark, SF_DIR).cache()
+    try:
+        n = load_table(spark, SF_DIR, "events").count()
+        # the landing really contains every event twice...
+        landing = f"{continuous._work_dir(SF_DIR)}/dedup_exact"
+        landed = spark.read.parquet(landing)
+        assert landed.count() == 2 * n
+        # ...across multiple micro-batches, and exactly once survives
+        assert continuous.LAST_BATCHES["q_stream_dedup_exact"] >= 2
+        assert out.count() == n
+        assert out.select("event_id").distinct().count() == n
+    finally:
+        out.unpersist()
+
+
 def test_av_sync_one_row_per_frame_and_nonnegative_lag(spark):
     sync = QUERIES["q_multimodal_av_sync"](spark, SF_DIR).cache()
     try:
