@@ -1339,3 +1339,111 @@ def q_agg_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wp99",
         )
     )
+
+
+# Portable HyperLogLog (r6): q_agg_approx_distinct is rows-only by design
+# (Spark's HLL internals are opaque), but the SKETCH ALGORITHM itself is
+# deterministic given a portable hash — so this twin builds HLL from md5
+# and puts an approximate-distinct estimate under the driver's hash gate.
+# Exactness discipline: registers are exact integers (length-of-binary,
+# no floats), every 2^-R term is 1.0 / (1 << R) — an exact power of two —
+# and with R capped at HLL_RHO_CAP every partial sum of <= m such terms
+# spans < 53 mantissa bits, so the register sum is EXACT and
+# order-independent; the only remaining float op is one division by the
+# shared alpha*m^2 literal. No bias/linear-counting correction: the raw
+# estimator is the portable contract (choose n >> m, as here).
+HLL_P = 8                        # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_RHO_CAP = 40                 # keeps sum-of-2^-R exact in a double
+HLL_ALPHA_M2 = repr((0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M)
+HLL_W_BITS = 60 - HLL_P          # 60-bit md5 int: top 8 index, low 52 rho
+
+
+@query(
+    "q_agg_hll_manual",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS hv
+      FROM events),
+    rho AS (
+      SELECT event_type,
+             CAST(hv >> {HLL_W_BITS} AS INTEGER) AS idx,
+             least({HLL_W_BITS + 1} - length(bin(CAST(
+                 hv & ((CAST(1 AS UBIGINT) << {HLL_W_BITS}) - 1)
+               AS BIGINT))), {HLL_RHO_CAP}) AS m
+      FROM h),
+    regs AS (
+      SELECT event_type, idx, max(m) AS r
+      FROM rho GROUP BY event_type, idx),
+    s AS (
+      SELECT event_type,
+             sum(1.0 / CAST(CAST(1 AS BIGINT) << r AS DOUBLE))
+               + ({HLL_M} - count(*)) AS ssum,
+             CAST(count(*) AS BIGINT) AS n_regs
+      FROM regs GROUP BY event_type),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, e.n_exact, s.n_regs,
+           round({HLL_ALPHA_M2} / s.ssum, 4) AS hll_estimate,
+           round(abs({HLL_ALPHA_M2} / s.ssum - e.n_exact) / e.n_exact, 4)
+               AS rel_error
+    FROM exact e JOIN s ON s.event_type = e.event_type
+    """,
+)
+def q_agg_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT DISTINCT via a hand-built, engine-portable
+    HyperLogLog ({HLL_M} registers over a 60-bit md5 hash), reported next
+    to the exact count and its relative error — the sketch q_agg_
+    approx_distinct can only evidence rows-only, here fully hash-checked
+    because every step (register index, leading-zero rank via
+    length-of-binary, max-per-register, exact power-of-two sum) is
+    integer-deterministic on both engines; see the module comment for
+    why the register sum is EXACT. ~1.04/sqrt(m) ≈ 6.5% expected error
+    at the fixture's per-type cardinalities (n >> m, raw-estimator
+    regime).
+
+    Scale shape: the whole sketch is one map-side-combinable
+    max-aggregation into (type x {HLL_M}) registers — constant state per
+    group at ANY corpus size, the same mergeability contract real HLL
+    sinks rely on (q_agg_sketch_merge covers Spark's native binary
+    merge path)."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = h.bitwiseAND(F.lit((1 << HLL_W_BITS) - 1))
+    rho = F.least(
+        F.lit(HLL_W_BITS + 1) - F.length(F.bin(w)), F.lit(HLL_RHO_CAP)
+    )
+    regs = (
+        e.select(
+            "event_type",
+            F.shiftright(h, HLL_W_BITS).cast("int").alias("idx"),
+            rho.alias("m"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("m").alias("r"))
+    )
+    s = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.lit(1.0) / F.expr("cast(shiftleft(1L, r) as double)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+        ).alias("ssum"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("event_id").alias("n_exact")
+    )
+    est = F.lit(float(HLL_ALPHA_M2)) / F.col("ssum")
+    return exact.join(s, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_regs",
+        F.round(est, 4).alias("hll_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_error"
+        ),
+    )

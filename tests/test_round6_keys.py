@@ -132,6 +132,20 @@ def test_decision_stump_conservation_and_bounds(spark):
         assert 0.0 <= r.gini <= 0.9, r  # 10-class gini < 1 - 1/10
 
 
+def test_hll_manual_error_within_sketch_regime(spark):
+    from kafka_hadoop_consumer_spark.queries.aggregates import HLL_M
+
+    rows = QUERIES["q_agg_hll_manual"](spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert 0 < r.n_regs <= HLL_M
+        assert r.hll_estimate > 0
+        # raw-estimator regime: expected sigma 1.04/sqrt(m) ~ 6.5%;
+        # 3-sigma gate catches a broken hash/register pipeline without
+        # flaking on legitimate sketch noise
+        assert r.rel_error < 0.2, r
+
+
 def test_boost_round_weight_conservation(spark):
     from kafka_hadoop_consumer_spark.catalog import load_table
     from kafka_hadoop_consumer_spark.queries.quality import BOOST_W_MISS
