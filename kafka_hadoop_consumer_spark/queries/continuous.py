@@ -6,7 +6,7 @@ result against the plain batch SQL over the same rows.
 This is the "continuous aggregate / materialized view" contract every
 streaming warehouse (Timescale caggs, Materialize, Flink dynamic tables)
 makes: maintaining state incrementally over arriving chunks must be
-indistinguishable from recomputing over the full table. Three state
+indistinguishable from recomputing over the full table. Four state
 shapes are gated, one per fundamentally different state-store path:
 
 - q_stream_continuous_agg — fixed tumbling windows (keyed state, windows
@@ -14,7 +14,9 @@ shapes are gated, one per fundamentally different state-store path:
 - q_stream_sessionize — session windows (DYNAMIC state: sessions widen
   and MERGE as out-of-order chunks arrive);
 - q_stream_cdc_upsert — keyed last-write-wins upsert (the CDC
-  materialized-view shape: one state row per entity, overwritten).
+  materialized-view shape: one state row per entity, overwritten);
+- q_stream_dedup_exact — seen-key state (exactly-once ingest: duplicates
+  landed in different micro-batches are emitted once).
 
 The s_stream_* pytest suite drives the richer streaming surface (restart
 exactly-once, watermark eviction, stream-stream joins); these keys put
