@@ -232,26 +232,32 @@ def _time_scaling(spark) -> dict:
             )
 
             ed = load_ed(d)
+            # persist: the self-join would otherwise recompute the full
+            # hyperplane bucketing once per side
             bucketed = ed.select(
                 "vec_id",
                 F.posexplode(
                     F.array(*_table_buckets(F.col("v"), planes_for(bits)))
                 ).alias("l", "bucket"),
-            )
-            return (
-                bucketed.alias("a")
-                .join(
-                    bucketed.alias("b"),
-                    (F.col("a.l") == F.col("b.l"))
-                    & (F.col("a.bucket") == F.col("b.bucket"))
-                    & (F.col("a.vec_id") < F.col("b.vec_id")),
+            ).persist()
+            try:
+                return (
+                    bucketed.alias("a")
+                    .join(
+                        bucketed.alias("b"),
+                        (F.col("a.l") == F.col("b.l"))
+                        & (F.col("a.bucket") == F.col("b.bucket"))
+                        & (F.col("a.vec_id") < F.col("b.vec_id")),
+                    )
+                    .select(
+                        F.col("a.vec_id").alias("v1"),
+                        F.col("b.vec_id").alias("v2"),
+                    )
+                    .distinct()
+                    .count()
                 )
-                .select(
-                    F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2")
-                )
-                .distinct()
-                .count()
-            )
+            finally:
+                bucketed.unpersist()
 
         for name, b1, b10 in (
             ("q_sim_lsh_topk", lambda: lsh(d1), lambda: lsh(d10)),
@@ -281,27 +287,33 @@ def _time_scaling(spark) -> dict:
             (band self-join + distinct, exactly what the operator does).
             A pair colliding in several bands counts once — per-band
             Σ C(bucket,2) would overcount it once per band."""
+            # persist: the self-join would otherwise run shingling +
+            # signatures + banding once per side
             banded = minhash_banded(
                 minhash_signatures(
                     shingles(
                         spark.read.parquet(os.path.join(d, "documents.parquet"))
                     )
                 )
-            )
-            return (
-                banded.alias("a")
-                .join(
-                    banded.alias("b"),
-                    (F.col("a.band_idx") == F.col("b.band_idx"))
-                    & (F.col("a.band_hash") == F.col("b.band_hash"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+            ).persist()
+            try:
+                return (
+                    banded.alias("a")
+                    .join(
+                        banded.alias("b"),
+                        (F.col("a.band_idx") == F.col("b.band_idx"))
+                        & (F.col("a.band_hash") == F.col("b.band_hash"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")),
+                    )
+                    .select(
+                        F.col("a.doc_id").alias("d1"),
+                        F.col("b.doc_id").alias("d2"),
+                    )
+                    .distinct()
+                    .count()
                 )
-                .select(
-                    F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-                )
-                .distinct()
-                .count()
-            )
+            finally:
+                banded.unpersist()
 
         t1, t10 = timed(lambda: mh(d1)), timed(lambda: mh(d10))
         mh_p1, mh_p10 = mh_candidates(d1), mh_candidates(d10)

@@ -43,26 +43,26 @@ _RUN_IDS = _count()
 
 # Observability for tests: number of data micro-batches the most recent
 # run of each key executed (must be > 1, or the "state carries across
-# micro-batches" claim is vacuous). LAST_RUN_BATCHES mirrors the agg
-# key's entry for backward compatibility.
+# micro-batches" claim is vacuous), and the landing directory that run
+# consumed (tests re-read it for batch-recompute comparisons).
 LAST_BATCHES: dict[str, int] = {}
-LAST_RUN_BATCHES: int | None = None
+LAST_LANDING: dict[str, str] = {}
 
 
-def _work_dir(sf_dir: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/khcs_continuous/{tag}"
-
-
-def _land_events(spark: SparkSession, sf_dir: str, sub: str) -> tuple[str, object]:
+def _land_events(spark: SparkSession, sf_dir: str, key: str) -> tuple[str, object]:
     """Rewrite the events table as N_LANDING_FILES parquet chunks under a
-    per-key landing dir; returns (path, schema). Each chunk becomes one
-    micro-batch (maxFilesPerTrigger=1 + availableNow)."""
+    FRESH per-invocation landing dir (a shared fixed path would let two
+    concurrent sessions — e.g. pytest overlapping a driver pass on the
+    same sf_dir — overwrite each other's files mid-stream); returns
+    (path, schema). Each chunk becomes one micro-batch
+    (maxFilesPerTrigger=1 + availableNow). Dirs are small and /tmp is
+    ephemeral, so past landings are left for the OS to reap."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    landing = os.path.join(_work_dir(sf_dir), sub)
+    landing = tempfile.mkdtemp(prefix=f"khcs_{key}_landing_")
     e.repartition(N_LANDING_FILES).write.mode("overwrite").parquet(landing)
+    LAST_LANDING[key] = landing
     return landing, e.schema
 
 
@@ -125,7 +125,7 @@ def q_stream_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the landing data is rewritten per invocation — checkpoint
     resume/exactly-once across restarts is pytest-covered
     (s_ingest_e2e's kill-a-commit test)."""
-    landing, schema = _land_events(spark, sf_dir, "landing")
+    landing, schema = _land_events(spark, sf_dir, "q_stream_continuous_agg")
     # Watermarks require TIMESTAMP (event-time) — the fixture column is
     # TIMESTAMP_NTZ; under the UTC session the cast is wall-clock
     # preserving, and the window bound is cast back to NTZ on output.
@@ -139,8 +139,6 @@ def q_stream_continuous_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv"))
     )
     out = _run_to_table(spark, stream, "q_stream_continuous_agg")
-    global LAST_RUN_BATCHES
-    LAST_RUN_BATCHES = LAST_BATCHES["q_stream_continuous_agg"]
     return out.select(
         F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
         "event_type",
@@ -180,7 +178,7 @@ def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) struct makes the winner deterministic under ties the
     same way the oracle's row_number ORDER BY does. last_value is a
     pass-through scalar (bit-exact, unrounded; SURVEY.md §7 R2)."""
-    landing, schema = _land_events(spark, sf_dir, "cdc_upsert")
+    landing, schema = _land_events(spark, sf_dir, "q_stream_cdc_upsert")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -232,9 +230,10 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    landing = os.path.join(_work_dir(sf_dir), "dedup_exact")
+    landing = tempfile.mkdtemp(prefix="khcs_q_stream_dedup_exact_landing_")
     half = max(N_LANDING_FILES // 2, 1)
     e.repartition(half).write.mode("overwrite").parquet(landing)
+    LAST_LANDING["q_stream_dedup_exact"] = landing
     extra = [
         f
         for f in os.listdir(landing)
@@ -296,7 +295,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete mode here is the comparison harness. Session starts/ends
     are input timestamps (selection ± the constant gap, formatted, not
     float arithmetic) and counts are exact."""
-    landing, schema = _land_events(spark, sf_dir, "sessionize")
+    landing, schema = _land_events(spark, sf_dir, "q_stream_sessionize")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -54,6 +54,40 @@ def test_latest_round_wins():
     assert rnd >= 4 and cls == "hash-match"
 
 
+def test_collect_orders_rounds_numerically(tmp_path, monkeypatch):
+    # lexicographic filename order puts r10 before r9 — the latest-wins
+    # rule must follow the PARSED round number
+    import json
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+    red = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": "boom"}
+    (tmp_path / "CORRECTNESS_r9.json").write_text(json.dumps({"k": red}))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({"k": green}))
+    monkeypatch.setattr(ledger, "REPO", str(tmp_path))
+    assert ledger.collect()["k"] == (10, "hash-match")
+
+
+def test_edit_between_window_and_regen_stays_stale(monkeypatch):
+    # A key edited AFTER its driver window but BEFORE the ledger regen
+    # must not have the new driver round silently attributed to the
+    # edited definition: keep the old snapshot and mark STALE so the key
+    # re-enters the fresh window.
+    from kafka_hadoop_consumer_spark.queries import QUERIES
+
+    latest = ledger.collect()
+    key = next(
+        k for k, (r, c) in latest.items() if c == "hash-match" and k in QUERIES
+    )
+    rnd = latest[key][0]
+    old = {key: {"round": rnd - 1, "def_hash": "hash-of-older-definition"}}
+    monkeypatch.setattr(ledger, "load_defs", lambda: dict(old))
+    text, defs = ledger.render()
+    assert f"STALE(def changed since r{rnd - 1})" in text
+    assert defs[key] == old[key], "snapshot must not be silently upgraded"
+
+
 def test_stale_definition_downgraded(monkeypatch):
     # A key whose (query source + oracle) hash changed after its
     # evidencing round must be shown STALE, and its sidecar snapshot must

@@ -20,7 +20,7 @@ def test_continuous_agg_spans_multiple_microbatches(spark):
 
     out = QUERIES["q_stream_continuous_agg"](spark, SF_DIR)
     # result equals the batch recompute over the SAME landing files
-    landing = f"{continuous._work_dir(SF_DIR)}/landing"
+    landing = continuous.LAST_LANDING["q_stream_continuous_agg"]
     batch = (
         spark.read.parquet(landing)
         .groupBy(
@@ -34,9 +34,9 @@ def test_continuous_agg_spans_multiple_microbatches(spark):
     )
     assert out.exceptAll(batch).count() == 0
     assert batch.exceptAll(out).count() == 0
-    assert continuous.LAST_RUN_BATCHES is not None
-    assert continuous.LAST_RUN_BATCHES >= 2, (
-        f"expected multiple data micro-batches, got {continuous.LAST_RUN_BATCHES}"
+    n_batches = continuous.LAST_BATCHES.get("q_stream_continuous_agg")
+    assert n_batches is not None and n_batches >= 2, (
+        f"expected multiple data micro-batches, got {n_batches}"
     )
 
 
@@ -91,7 +91,7 @@ def test_stream_dedup_lands_each_event_twice_and_emits_once(spark):
     try:
         n = load_table(spark, SF_DIR, "events").count()
         # the landing really contains every event twice...
-        landing = f"{continuous._work_dir(SF_DIR)}/dedup_exact"
+        landing = continuous.LAST_LANDING["q_stream_dedup_exact"]
         landed = spark.read.parquet(landing)
         assert landed.count() == 2 * n
         # ...across multiple micro-batches, and exactly once survives
