@@ -2213,3 +2213,359 @@ def q_ml_boost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(r1_miss).cast("long").alias("r1_miss"),
         )
     )
+
+
+AUC_BIN_DP = 2   # score histogram resolution (stump's binning discipline)
+
+
+@query(
+    "q_ml_auc",
+    oracle=f"""
+    WITH pts AS (
+      SELECT round((embedding::DOUBLE[])[1], {AUC_BIN_DP}) AS s, label
+      FROM embeddings),
+    cnt AS (
+      SELECT s, label, CAST(count(*) AS BIGINT) AS c
+      FROM pts GROUP BY s, label),
+    tot AS (SELECT s, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY s),
+    grid AS (
+      SELECT t.s, l.label, t.ct, coalesce(c.c, 0) AS pos
+      FROM tot t
+      CROSS JOIN (SELECT DISTINCT label FROM pts) l
+      LEFT JOIN cnt c ON c.s = t.s AND c.label = l.label),
+    rk AS (
+      SELECT label, pos, ct,
+             coalesce(sum(ct) OVER (PARTITION BY label ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS below
+      FROM grid),
+    agg AS (
+      SELECT label,
+             sum(pos * (below + (ct + 1) / 2.0)) AS r_pos,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(ct - pos) AS BIGINT) AS n_neg
+      FROM rk GROUP BY label)
+    SELECT label, n_pos, n_neg,
+           round((r_pos - n_pos * (n_pos + 1) / 2.0)
+                 / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+    FROM agg
+    """,
+)
+def q_ml_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC AUC per class for a fixed scorer (the first
+    embedding component, histogram-binned at {AUC_BIN_DP}dp) — the
+    model-evaluation counterpart of q_stats_mannwhitney: AUC is the
+    rank-sum statistic normalized by n_pos*n_neg, with exact
+    tie-corrected average ranks.
+
+    Scale shape: no per-row global sort. Scores collapse to the binned
+    distinct-value histogram (one map-side-combinable hash agg), the
+    dense (bin x class) grid is bin-count x |classes| rows at ANY corpus
+    size, and average ranks come in closed form from cumulative counts
+    over a window PARTITIONED BY class (partition size = bin count).
+    Every term of the rank sum is an exact multiple of 0.5 well inside
+    double precision, so r_pos is order-independent and the final
+    division is bit-deterministic on both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.round(F.element_at("embedding", 1).cast("double"), AUC_BIN_DP).alias(
+            "s"
+        ),
+        "label",
+    )
+    cnt = pts.groupBy("s", "label").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("s").agg(F.sum("c").alias("ct"))
+    classes = pts.select("label").distinct()
+    grid = (
+        tot.join(F.broadcast(classes))
+        .join(cnt, ["s", "label"], "left")
+        .withColumn("pos", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w_below = (
+        Window.partitionBy("label")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = grid.select(
+        "label",
+        "pos",
+        "ct",
+        F.coalesce(F.sum("ct").over(w_below), F.lit(0)).alias("below"),
+    )
+    agg = rk.groupBy("label").agg(
+        F.sum(F.col("pos") * (F.col("below") + (F.col("ct") + 1) / 2.0)).alias(
+            "r_pos"
+        ),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("ct") - F.col("pos")).alias("n_neg"),
+    )
+    return agg.select(
+        "label",
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+CAL_BINS = 10        # reliability-diagram bins over the score support
+CAL_POS_MIN = 5      # binary target: label >= CAL_POS_MIN
+# Integer-cents affine map onto [0, 1]: p_hat = (cents + 60) / 120 for
+# cents = round(100 * x1) in [-60, 60]; bin = (cents + 60) div 12.
+CAL_SHIFT, CAL_SPAN, CAL_STEP = 60, 120, 12
+
+
+@query(
+    "q_ml_calibration",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(round((embedding::DOUBLE[])[1] * 100, 0) AS BIGINT)
+               + {CAL_SHIFT} AS cs,
+             CASE WHEN label >= {CAL_POS_MIN} THEN 1 ELSE 0 END AS y
+      FROM embeddings),
+    b AS (
+      SELECT least(cs // {CAL_STEP}, {CAL_BINS - 1}) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos,
+             CAST(sum(cs) AS BIGINT) AS sum_cs
+      FROM pts GROUP BY 1)
+    SELECT bin, n, pos,
+           round(sum_cs / ({CAL_SPAN}.0 * n), 6) AS mean_pred,
+           round(pos / CAST(n AS DOUBLE), 6) AS pos_rate,
+           round(pos / CAST(n AS DOUBLE)
+                 - sum_cs / ({CAL_SPAN}.0 * n), 6) AS gap
+    FROM b
+    """,
+)
+def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability-diagram audit of a scorer mapped to
+    [0, 1] (affine integer-cents transform of the first embedding
+    component) against the binary target label >= {CAL_POS_MIN}: per
+    score bin, the mean predicted probability vs the empirical positive
+    rate and their gap — the per-bin decomposition behind expected
+    calibration error.
+
+    Scale shape: ONE map-side-combinable hash agg to {CAL_BINS} rows;
+    the per-bin mean prediction is recovered from the exact BIGINT sum
+    of integer cents (never an order-dependent double sum), so every
+    emitted double is a fixed arithmetic tree over exact integers —
+    bit-deterministic on both engines. A cross-bin ECE rollup is
+    deliberately NOT emitted: it would sum order-dependent doubles; the
+    per-bin rows are the lossless artifact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cs = (
+        F.round(F.element_at("embedding", 1).cast("double") * 100, 0)
+        .cast("long")
+        + CAL_SHIFT
+    )
+    pts = e.select(
+        cs.alias("cs"),
+        F.when(F.col("label") >= CAL_POS_MIN, 1).otherwise(0).alias("y"),
+    )
+    b = pts.groupBy(
+        F.least(F.expr(f"cs div {CAL_STEP}"), F.lit(CAL_BINS - 1)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("pos"),
+        F.sum("cs").alias("sum_cs"),
+    )
+    mean_pred = F.col("sum_cs") / (float(CAL_SPAN) * F.col("n"))
+    pos_rate = F.col("pos") / F.col("n").cast("double")
+    return b.select(
+        "bin",
+        "n",
+        "pos",
+        F.round(mean_pred, 6).alias("mean_pred"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(pos_rate - mean_pred, 6).alias("gap"),
+    )
+
+
+CV_FOLDS = 3         # md5 first-hex thresholds: <'6' | <'b' | else
+CV_BASE_HOURS = 473352   # 2024-01-01T00:00Z in whole hours since epoch
+_CV_PTS_SQL = f"""pts AS (
+      SELECT event_type,
+             CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '6'
+                  THEN 0
+                  WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < 'b'
+                  THEN 1 ELSE 2 END AS fold,
+             epoch_us(ts) // 3600000000 - {CV_BASE_HOURS} AS x,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      FROM events)"""
+
+
+@query(
+    "q_ml_cross_val",
+    oracle=f"""
+    WITH {_CV_PTS_SQL},
+    fs AS (
+      SELECT event_type, fold,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pts GROUP BY event_type, fold),
+    tr AS (
+      SELECT event_type, fold, n, sx, sy, sxx, sxy, syy,
+             sum(n) OVER w - n AS tn,
+             sum(sx) OVER w - sx AS tsx,
+             sum(sy) OVER w - sy AS tsy,
+             sum(sxx) OVER w - sxx AS tsxx,
+             sum(sxy) OVER w - sxy AS tsxy
+      FROM fs WINDOW w AS (PARTITION BY event_type)),
+    fit AS (
+      SELECT *,
+             (tn * tsxy - tsx * tsy)
+               / CAST(tn * tsxx - tsx * tsx AS DOUBLE) AS b
+      FROM tr),
+    ev AS (
+      SELECT event_type, fold, tn, n, b,
+             (tsy - b * tsx) / CAST(tn AS DOUBLE) AS a
+      FROM fit)
+    SELECT e.event_type, e.fold,
+           CAST(e.tn AS BIGINT) AS n_train, f.n AS n_test,
+           round(e.b, 6) AS slope, round(e.a, 6) AS intercept,
+           round(sqrt((CAST(f.syy AS DOUBLE) - 2 * e.a * f.sy
+                       - 2 * e.b * f.sxy + f.n * e.a * e.a
+                       + 2 * e.a * e.b * f.sx + e.b * e.b * f.sxx)
+                      / f.n), 6) AS test_rmse
+    FROM ev e
+    JOIN fs f ON f.event_type = e.event_type AND f.fold = e.fold
+    """,
+)
+def q_ml_cross_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{CV_FOLDS}-fold cross-validation of a per-series linear model
+    (integer-cents value vs integer event-hour) in ONE scan — the
+    model-selection loop without the retrain loop: per (series, fold)
+    exact-integer sufficient statistics are aggregated once, each fold's
+    TRAINING stats are recovered by subtracting its own partial from the
+    series total, the normal-equation fit is a closed form over those
+    integers, and the held-out error comes from the fold's OWN
+    sufficient statistics (SSE = Syy - 2aSy - 2bSxy + na^2 + 2abSx
+    + b^2Sxx) — no second pass over rows, no per-row residuals.
+
+    Scale shape: k models per series cost exactly one map-side-
+    combinable hash agg to k rows per series; the subtraction window
+    spans {CV_FOLDS} rows. All sums are exact BIGINTs (hour offsets
+    <= ~10^3, cents <= ~10^7; the n*Sxy cross terms stay inside int64
+    up to ~10^9 rows per series — beyond that, recentre x per series or
+    widen to DECIMAL), so slope/intercept/RMSE are fixed arithmetic
+    trees over identical integers on both engines — bit-deterministic
+    before the display rounding. Fold assignment is the md5 first-hex
+    split (reproducible, engine-portable)."""
+    e = load_table(spark, sf_dir, "events")
+    hexd = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    pts = e.select(
+        "event_type",
+        F.when(hexd < "6", 0).when(hexd < "b", 1).otherwise(2).alias("fold"),
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            - CV_BASE_HOURS
+        ).alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).alias("y"),
+    )
+    fs = pts.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    w = Window.partitionBy("event_type")
+    tr = fs.select(
+        "*",
+        (F.sum("n").over(w) - F.col("n")).alias("tn"),
+        (F.sum("sx").over(w) - F.col("sx")).alias("tsx"),
+        (F.sum("sy").over(w) - F.col("sy")).alias("tsy"),
+        (F.sum("sxx").over(w) - F.col("sxx")).alias("tsxx"),
+        (F.sum("sxy").over(w) - F.col("sxy")).alias("tsxy"),
+    )
+    b = (F.col("tn") * F.col("tsxy") - F.col("tsx") * F.col("tsy")) / (
+        F.col("tn") * F.col("tsxx") - F.col("tsx") * F.col("tsx")
+    ).cast("double")
+    fit = tr.withColumn("b", b).withColumn(
+        "a", (F.col("tsy") - F.col("b") * F.col("tsx")) / F.col("tn").cast("double")
+    )
+    sse = (
+        F.col("syy").cast("double")
+        - 2 * F.col("a") * F.col("sy")
+        - 2 * F.col("b") * F.col("sxy")
+        + F.col("n") * F.col("a") * F.col("a")
+        + 2 * F.col("a") * F.col("b") * F.col("sx")
+        + F.col("b") * F.col("b") * F.col("sxx")
+    )
+    return fit.select(
+        "event_type",
+        "fold",
+        F.col("tn").alias("n_train"),
+        F.col("n").alias("n_test"),
+        F.round("b", 6).alias("slope"),
+        F.round("a", 6).alias("intercept"),
+        F.round(F.sqrt(sse / F.col("n")), 6).alias("test_rmse"),
+    )
+
+
+BLOCK_TERMS = ("slow", "big", "crash", "exploit")  # two absent on purpose:
+# the zero-hit path must stay exact, not just the hot one
+BLOCK_RATIO = 0.06   # flag docs whose blocklist share exceeds this
+_BLOCK_IN = ", ".join(f"'{t}'" for t in BLOCK_TERMS)
+
+
+@query(
+    "q_quality_blocklist",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> t IN ({_BLOCK_IN}))) AS BIGINT)
+             AS hits,
+           CAST(len(list_intersect(list_distinct(toks),
+                                   [{_BLOCK_IN}])) AS BIGINT)
+             AS distinct_terms,
+           round(len(list_filter(toks, t -> t IN ({_BLOCK_IN})))
+                 / CAST(len(toks) AS DOUBLE), 6) AS hit_ratio,
+           len(list_filter(toks, t -> t IN ({_BLOCK_IN})))
+             / CAST(len(toks) AS DOUBLE) > {BLOCK_RATIO} AS flagged
+    FROM t
+    """,
+)
+def q_quality_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon content filter — the blocklist gate every training-data
+    pipeline runs (policy terms, PII keywords, spam markers): per doc,
+    total and distinct blocklist hits, the hit share of all tokens, and
+    the over-threshold flag ({BLOCK_RATIO}). Two of the {len(BLOCK_TERMS)}
+    terms never occur in the corpus, pinning the zero-hit path.
+
+    Scale shape: a pure per-row map over the token array (higher-order
+    filter/intersect inside whole-stage codegen) — ZERO shuffles, no
+    explode (the token stream never becomes rows), lexicon inlined as a
+    literal (broadcast a dictionary table at real lexicon sizes). The
+    ratio is a division of exact integers, so the flag threshold is
+    bit-deterministic on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    hits = F.size(F.expr(f"filter(split(text, ' '), t -> t IN ({_BLOCK_IN}))"))
+    ratio = hits / F.size(toks).cast("double")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        hits.cast("long").alias("hits"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks),
+                F.array(*[F.lit(t) for t in BLOCK_TERMS]),
+            )
+        )
+        .cast("long")
+        .alias("distinct_terms"),
+        F.round(ratio, 6).alias("hit_ratio"),
+        (ratio > BLOCK_RATIO).alias("flagged"),
+    )

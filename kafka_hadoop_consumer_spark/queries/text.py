@@ -1113,3 +1113,96 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tokens_per_word"),
         F.md5(F.expr(encoded)).alias("encoded_md5"),
     )
+
+
+READ_WPS = 15        # pseudo-sentence length: the synthetic corpus has no
+# sentence punctuation, so sentences fall back to ceil-free words div 15
+READ_VOWELS = "[aeiouy]+"   # vowel-group run == syllable heuristic
+READ_COMPLEX = 3     # words with >= this many vowel groups are "complex"
+
+
+@query(
+    "q_text_readability",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(text, '{READ_VOWELS}')) AS BIGINT)
+               AS syllables,
+             CAST(len(list_filter(string_split(text, ' '),
+                        w -> len(regexp_extract_all(w, '{READ_VOWELS}'))
+                             >= {READ_COMPLEX})) AS BIGINT) AS complex_words
+      FROM documents),
+    s AS (
+      SELECT *, greatest(words // {READ_WPS}, 1) AS sentences,
+             206.835 - 1.015 * (words / CAST(greatest(words // {READ_WPS}, 1)
+                                             AS DOUBLE))
+                     - 84.6 * (syllables / CAST(words AS DOUBLE)) AS flesch
+      FROM t)
+    SELECT doc_id, lang, words, syllables, complex_words,
+           round(flesch, 4) AS flesch,
+           round(0.4 * (words / CAST(sentences AS DOUBLE)
+                        + 100 * (complex_words / CAST(words AS DOUBLE))), 4)
+             AS fog,
+           CASE WHEN flesch >= 60 THEN 'easy'
+                WHEN flesch >= 30 THEN 'medium'
+                ELSE 'hard' END AS band
+    FROM s
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring per document — the classic prose-quality
+    signals (Flesch reading ease, Gunning-fog) from integer counts:
+    words, vowel-group syllables, complex words (>= {READ_COMPLEX}
+    vowel groups). The synthetic corpus carries no sentence punctuation,
+    so sentence count falls back to words div {READ_WPS} pseudo-
+    sentences (documented heuristic; swap in a [.!?] splitter on real
+    prose).
+
+    Scale shape: a pure per-row map — tokenize + two regexp passes, all
+    inside whole-stage codegen, ZERO shuffles, no explode. Both scores
+    are fixed arithmetic trees over exact per-row integers (never a sum
+    of doubles), so values and the CASE band are bit-deterministic on
+    both engines before display rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("long")
+    syll = F.size(F.expr(f"regexp_extract_all(text, '{READ_VOWELS}', 0)")).cast(
+        "long"
+    )
+    cplx = F.size(
+        F.expr(
+            f"filter(split(text, ' '), "
+            f"w -> size(regexp_extract_all(w, '{READ_VOWELS}', 0))"
+            f" >= {READ_COMPLEX})"
+        )
+    ).cast("long")
+    t = d.select(
+        "doc_id",
+        "lang",
+        words.alias("words"),
+        syll.alias("syllables"),
+        cplx.alias("complex_words"),
+    )
+    sent = F.greatest(F.expr(f"words div {READ_WPS}"), F.lit(1))
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("words") / sent.cast("double"))
+        - 84.6 * (F.col("syllables") / F.col("words").cast("double"))
+    )
+    fog = 0.4 * (
+        F.col("words") / sent.cast("double")
+        + 100 * (F.col("complex_words") / F.col("words").cast("double"))
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "words",
+        "syllables",
+        "complex_words",
+        F.round(flesch, 4).alias("flesch"),
+        F.round(fog, 4).alias("fog"),
+        F.when(flesch >= 60, "easy")
+        .when(flesch >= 30, "medium")
+        .otherwise("hard")
+        .alias("band"),
+    )
