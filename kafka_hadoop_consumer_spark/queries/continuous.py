@@ -315,3 +315,207 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_events",
     )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           date_trunc('day', e.ts) AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, maintained across micro-batches —
+    the dimension-hydration shape every streaming pipeline runs (facts
+    stream in, the slowly-changing dimension sits in the warehouse):
+    events arrive as {N_LANDING_FILES} chunks, each micro-batch joins to
+    the STATIC customer dimension (broadcast — re-resolved per batch, so
+    a dimension refresh would be picked up), and a daily per-segment
+    count/revenue aggregate carries state across batches; the final
+    table must hash-match the one-shot batch join+group.
+
+    Scale shape: the static side is a broadcast hash join inside each
+    micro-batch (no stream-side shuffle for the join; the state-store
+    shuffle is the aggregation's, same as batch). Revenue is summed in
+    exact integer cents, so the incremental state merge is
+    order-insensitive and bit-equal to the batch recompute — the
+    double-sum drift a naive sum(value) would accumulate across batch
+    boundaries is designed out (q_agg_decimal_exact's contract)."""
+    landing, schema = _land_events(spark, sf_dir, "q_stream_static_join")
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("cents", F.floor(F.col("value") * 100 + 0.5))
+        .join(dim, F.col("user_id") == F.col("c_custkey"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    out = _run_to_table(spark, stream, "q_stream_static_join")
+    return out.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+        "n_events",
+        "sum_cents",
+    )
+
+
+@query(
+    "q_stream_sliding_agg",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS ws
+      FROM events)
+    SELECT ws AS bucket_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM x GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregate, streamed: 2-hour windows sliding every
+    hour, so EVERY event belongs to two overlapping windows and each
+    micro-batch updates two state rows per (event, type) assignment —
+    the overlapping-assignment state shape (rate trends, rolling SLAs)
+    that tumbling windows never exercise. The final table must
+    hash-match the batch equivalent, spelled in the oracle as an
+    explicit two-window unnest per row.
+
+    Scale shape: state rows = open windows x event types x overlap
+    factor (2) — still watermark-bounded, independent of stream length;
+    the per-batch explosion happens map-side before the partial agg, so
+    the state-store shuffle moves at most 2 x |open windows x types|
+    partials per batch. Sums are exact integer cents (order-insensitive
+    across batch boundaries)."""
+    landing, schema = _land_events(spark, sf_dir, "q_stream_sliding_agg")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("cents", F.floor(F.col("value") * 100 + 0.5))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+    out = _run_to_table(spark, stream, "q_stream_sliding_agg")
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )
+
+
+LATE_DELAY = "2 hours"   # watermark delay for the late-drop gate
+
+
+@query(
+    "q_stream_late_drop",
+    oracle="""
+    WITH mx AS (SELECT event_id AS mid, ts AS mts FROM events
+                ORDER BY ts DESC, event_id DESC LIMIT 1),
+    c AS (SELECT e.*, CASE WHEN e.event_id = mx.mid THEN 0
+                           ELSE e.event_id % 4 END AS chunk
+          FROM events e CROSS JOIN mx),
+    wf AS (SELECT mts - INTERVAL 2 HOUR AS w FROM mx),
+    kept AS (
+      SELECT c.*, date_trunc('hour', c.ts) AS bs
+      FROM c CROSS JOIN wf
+      WHERE c.chunk <= 1
+         OR date_trunc('hour', c.ts) + INTERVAL 1 HOUR > wf.w)
+    SELECT bs AS bucket_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM kept CROSS JOIN wf
+    WHERE bs + INTERVAL 1 HOUR <= wf.w
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting: events land as 4 single-file
+    chunks in a PINNED batch order (chunk = event_id % 4, mtime-ordered,
+    maxFilesPerTrigger=1), a 1-hour tumbling aggregate runs in APPEND
+    mode with a {LATE_DELAY} watermark, and rows arriving after their
+    window passed the watermark are DROPPED — the emitted table is the
+    aggregate of exactly the on-time rows, hash-checked against an
+    oracle that models Spark's documented semantics: the late-events
+    watermark in effect while batch k runs is the one computed after
+    batch k-1 (so chunks 0 and 1 are all on time), and append-mode
+    windows are emitted once the eviction watermark passes their end.
+
+    The corpus' max-ts row is MOVED into chunk 0, so the watermark
+    reaches its final value (max ts - {LATE_DELAY}) after the first
+    batch: chunks 2 and 3 are filtered by that final watermark whether
+    the engine applies the one- or two-batch-lagged value, and the
+    emitted-window set is invariant to how many trailing no-data
+    micro-batches the availableNow run schedules — the two
+    version-sensitive axes are pinned out of the result (calibrated
+    empirically; exact-match verified across repeated runs).
+
+    Scale shape: state is one row per (open window x type) as in
+    q_stream_continuous_agg; the late filter runs map-side BEFORE state
+    (dropped rows never shuffle). Sums are exact integer cents."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mrow = e.orderBy(F.col("ts").desc(), F.col("event_id").desc()).first()
+    mid = mrow["event_id"]
+    landing = tempfile.mkdtemp(prefix="khcs_q_stream_late_drop_landing_")
+    LAST_LANDING["q_stream_late_drop"] = landing
+    for k in range(4):
+        cond = (
+            (F.col("event_id") % 4 == 0) | (F.col("event_id") == mid)
+            if k == 0
+            else (F.col("event_id") % 4 == k) & (F.col("event_id") != mid)
+        )
+        tmp = tempfile.mkdtemp(prefix=f"khcs_late_chunk{k}_")
+        e.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            os.path.join(tmp, f)
+            for f in sorted(os.listdir(tmp))
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(landing, f"chunk-{k}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_000_000 + k * 100, 1_000_000 + k * 100))
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", LATE_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5)).alias("sum_cents"),
+        )
+    )
+    out = _run_to_table(spark, stream, "q_stream_late_drop", mode="append")
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )
