@@ -2387,3 +2387,209 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_in_range",
         F.count(F.lit(1)).over(Window.partitionBy("q_id")),
     )
+
+
+HYB_QUERIES = {          # disjoint lexical term sets, one row set per query
+    "hq1": ("merge", "stream"),
+    "hq2": ("vector", "hash"),
+    "hq3": ("filter", "scan"),
+}
+HYB_POOL = 20            # per-ranker candidate pool depth
+HYB_PRF = 3              # pseudo-relevance-feedback docs per query
+HYB_OUT = 10             # fused results emitted per query
+HYB_Q = 1_000_000        # integer-millionths embedding quantization
+_HYB_K1, _HYB_B = 1.2, 0.75
+_HYB_TERM_ROWS = ", ".join(
+    f"('{q}', '{t}')" for q, ts in HYB_QUERIES.items() for t in ts
+)
+
+
+@query(
+    "q_e2e_hybrid_search",
+    oracle=f"""
+    WITH qt(q_id, term) AS (VALUES {_HYB_TERM_ROWS}),
+    docs AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+             FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM docs),
+    tf AS (
+      SELECT doc_id, t AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      WHERE t IN (SELECT term FROM qt)
+      GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    lex AS (
+      SELECT qt.q_id, tf.doc_id,
+             round(sum(
+               ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({_HYB_K1} + 1)
+               / (tf.tf + {_HYB_K1} * (1 - {_HYB_B}
+                          + {_HYB_B} * docs.dl / stats.avgdl))), 4) AS bm25
+      FROM tf
+      JOIN qt ON qt.term = tf.term
+      JOIN df ON df.term = tf.term
+      JOIN docs ON docs.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY qt.q_id, tf.doc_id),
+    lexr AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY bm25 DESC, doc_id) AS rl
+      FROM lex),
+    eq AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * {HYB_Q}, 0) AS BIGINT)) AS v
+      FROM embeddings),
+    cent AS (
+      SELECT l.q_id, p.pos, CAST(sum(e.v[p.pos]) AS BIGINT) AS cq
+      FROM (SELECT q_id, doc_id FROM lexr WHERE rl <= {HYB_PRF}) l
+      JOIN eq e ON e.vec_id = l.doc_id
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+      GROUP BY 1, 2),
+    dots AS (
+      SELECT c.q_id, e.vec_id AS doc_id,
+             CAST(sum(e.v[c.pos] * c.cq) AS BIGINT) AS dot
+      FROM eq e JOIN cent c ON true
+      GROUP BY 1, 2),
+    denser AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dot DESC, doc_id) AS rd
+      FROM dots),
+    fused AS (
+      SELECT coalesce(l.q_id, d.q_id) AS q_id,
+             coalesce(l.doc_id, d.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + l.rl), 0)
+               + coalesce(1.0 / (60 + d.rd), 0) AS score
+      FROM (SELECT * FROM lexr WHERE rl <= {HYB_POOL}) l
+      FULL JOIN (SELECT * FROM denser WHERE rd <= {HYB_POOL}) d
+        ON d.q_id = l.q_id AND d.doc_id = l.doc_id),
+    ranked AS (
+      SELECT q_id, doc_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, doc_id) AS fused_rank
+      FROM fused)
+    SELECT r.q_id, CAST(r.fused_rank AS INT) AS fused_rank, r.doc_id,
+           round(r.score, 6) AS rrf_score, m.lang, m.source
+    FROM ranked r JOIN documents m ON m.doc_id = r.doc_id
+    WHERE r.fused_rank <= {HYB_OUT}
+    """,
+)
+def q_e2e_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval end-to-end — the modern search-stack composition
+    (lexical + dense + fusion) as ONE plan, for {len(HYB_QUERIES)}
+    concurrent queries: (1) BM25 ranks each query's term set over the
+    corpus; (2) the top-{HYB_PRF} lexical hits per query seed a
+    pseudo-relevance-feedback centroid in integer-millionths embedding
+    space; (3) the centroid scores the whole corpus by exact-integer
+    inner product (MIPS); (4) both rankings fuse by reciprocal rank
+    (1/(60+r)); (5) the top-{HYB_OUT} fused hits hydrate document
+    metadata. Dense scoring needs NO query embedding model at inference
+    time — the PRF centroid derives from the lexical stage, which is
+    what makes the composition a pipeline rather than two independent
+    retrievers.
+
+    Scale shape: the term IN-filter prunes the token stream BEFORE its
+    explode output shuffles (q_text_bm25's plan); df/corpus-stats and
+    the {HYB_PRF}x64 centroid are broadcast; corpus embeddings stream
+    through one narrow posexplode joined to the 64-row-per-query
+    centroid, partial-aggregated map-side to one dot per (query, doc);
+    fusion touches <= 2x{HYB_POOL} rows per query and ranks partition
+    by query id. Quantized components make every dot product an exact
+    BIGINT (sum order immaterial; the 6dp rrf rounding only formats two
+    exactly-representable reciprocals), so the whole cascade — PRF
+    selection included — replays bit-exactly in the oracle. At 100 TB
+    swap stage (3) for the IVF/PQ shortlist (same (q, doc, rank)
+    shape); ranks stay per-query windows, never global."""
+    d = load_table(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in HYB_QUERIES.items() for t in ts],
+        "q_id string, term string",
+    )
+    all_terms = [t for ts in HYB_QUERIES.values() for t in ts]
+    docs = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term").isin(*all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + _HYB_K1 * (
+        1 - _HYB_B + _HYB_B * F.col("dl") / F.col("avgdl")
+    )
+    lex = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(df_), "term")
+        .join(docs, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * (_HYB_K1 + 1) / denom), 4).alias("bm25"))
+    )
+    w_lex = Window.partitionBy("q_id").orderBy(F.col("bm25").desc(), "doc_id")
+    lexr = persist_tracked(
+        lex.withColumn("rl", F.row_number().over(w_lex)).where(
+            F.col("rl") <= HYB_POOL
+        )
+    )
+    eq = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * HYB_Q, 0).cast("long"),
+        ).alias("v"),
+    )
+    cent = (
+        lexr.where(F.col("rl") <= HYB_PRF)
+        .join(eq, F.col("vec_id") == F.col("doc_id"))
+        .select("q_id", F.posexplode("v").alias("pos0", "val"))
+        .groupBy("q_id", "pos0")
+        .agg(F.sum("val").alias("cq"))
+    )
+    dots = (
+        eq.select("vec_id", F.posexplode("v").alias("pos0", "ev"))
+        .join(F.broadcast(cent), "pos0")
+        .groupBy("q_id", F.col("vec_id").alias("doc_id"))
+        .agg(F.sum(F.col("ev") * F.col("cq")).alias("dot"))
+    )
+    w_dense = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), "doc_id")
+    denser = dots.withColumn("rd", F.row_number().over(w_dense)).where(
+        F.col("rd") <= HYB_POOL
+    )
+    fused = (
+        lexr.select("q_id", "doc_id", "rl")
+        .withColumnRenamed("q_id", "lq")
+        .withColumnRenamed("doc_id", "ld")
+        .join(
+            denser.select(
+                F.col("q_id").alias("dq"), F.col("doc_id").alias("dd"), "rd"
+            ),
+            (F.col("lq") == F.col("dq")) & (F.col("ld") == F.col("dd")),
+            "full",
+        )
+        .select(
+            F.coalesce("lq", "dq").alias("q_id"),
+            F.coalesce("ld", "dd").alias("doc_id"),
+            (
+                F.coalesce(F.lit(1.0) / (60 + F.col("rl")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (60 + F.col("rd")), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    w_f = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "doc_id")
+    hits = fused.withColumn("fused_rank", F.row_number().over(w_f)).where(
+        F.col("fused_rank") <= HYB_OUT
+    )
+    return hits.join(
+        F.broadcast(d.select("doc_id", "lang", "source")), "doc_id"
+    ).select(
+        "q_id",
+        F.col("fused_rank").cast("int").alias("fused_rank"),
+        "doc_id",
+        F.round("score", 6).alias("rrf_score"),
+        "lang",
+        "source",
+    )
