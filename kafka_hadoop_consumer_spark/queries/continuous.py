@@ -6,7 +6,7 @@ result against the plain batch SQL over the same rows.
 This is the "continuous aggregate / materialized view" contract every
 streaming warehouse (Timescale caggs, Materialize, Flink dynamic tables)
 makes: maintaining state incrementally over arriving chunks must be
-indistinguishable from recomputing over the full table. Four state
+indistinguishable from recomputing over the full table. Five state
 shapes are gated, one per fundamentally different state-store path:
 
 - q_stream_continuous_agg — fixed tumbling windows (keyed state, windows
@@ -16,7 +16,10 @@ shapes are gated, one per fundamentally different state-store path:
 - q_stream_cdc_upsert — keyed last-write-wins upsert (the CDC
   materialized-view shape: one state row per entity, overwritten);
 - q_stream_dedup_exact — seen-key state (exactly-once ingest: duplicates
-  landed in different micro-batches are emitted once).
+  landed in different micro-batches are emitted once);
+- q_stream_join_interval — stream-stream join (state is buffered ROWS on
+  BOTH unbounded sides, matched across micro-batches, evicted by the
+  other side's watermark).
 
 The s_stream_* pytest suite drives the richer streaming surface (restart
 exactly-once, watermark eviction, stream-stream joins); these keys put
@@ -518,4 +521,90 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         "sum_cents",
+    )
+
+
+@query(
+    "q_stream_join_interval",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           p.ts AS purchase_ts, c.ts AS click_ts,
+           CAST((epoch_us(CAST(p.ts AS TIMESTAMP))
+                 - epoch_us(CAST(c.ts AS TIMESTAMP))) // 60000000
+                AS BIGINT) AS mins_before
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def q_stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join — the fifth streaming state shape
+    (both inputs are unbounded; state is BUFFERED ROWS on both sides,
+    not aggregates): purchases and clicks land as separate chunked
+    parquet streams, and each purchase joins every click by the same
+    user in the hour before it — the attribution join every clickstream
+    pipeline runs continuously. Hash-partitioned landing means a
+    purchase's matching clicks routinely arrive in EARLIER and LATER
+    micro-batches than the purchase itself, so matches genuinely form
+    against buffered state on both sides; the emitted union must
+    hash-match the batch interval join over the full table.
+
+    Scale shape: both sides shuffle on user_id so a key's buffered rows
+    co-locate; the event-time range condition is what lets the engine
+    BOUND the buffers — each side's state evicts once the other side's
+    watermark passes ts + 1 hour. The watermark here is set beyond the
+    fixture's time span so eviction never races arrival (this harness
+    replays history; a live pipeline uses minutes and accepts the
+    dropped-late-match contract that q_stream_late_drop pins).
+    mins_before is an exact integer (microsecond difference, floor
+    division) — no float in the hash."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+    def land_side(event_type: str) -> tuple[str, object]:
+        side = e.where(F.col("event_type") == event_type)
+        landing = tempfile.mkdtemp(
+            prefix=f"khcs_q_stream_join_interval_{event_type}_"
+        )
+        side.repartition(2).write.mode("overwrite").parquet(landing)
+        return landing, side.schema
+
+    p_landing, p_schema = land_side("purchase")
+    c_landing, c_schema = land_side("click")
+    LAST_LANDING["q_stream_join_interval"] = p_landing
+
+    def read_side(landing: str, schema, prefix: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "3650 days")
+        )
+        return s.select([F.col(c).alias(f"{prefix}_{c}") for c in s.columns])
+
+    p = read_side(p_landing, p_schema, "p")
+    c = read_side(c_landing, c_schema, "c")
+    joined = p.join(
+        c,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    out = _run_to_table(
+        spark, joined, "q_stream_join_interval", mode="append"
+    )
+    return out.select(
+        F.col("p_user_id").alias("user_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("c_event_id").alias("click_id"),
+        F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
+        (
+            (
+                F.unix_micros("p_ts") - F.unix_micros("c_ts")
+            ) / F.lit(60_000_000)
+        ).cast("long").alias("mins_before"),
     )

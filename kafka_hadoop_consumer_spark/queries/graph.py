@@ -1,5 +1,7 @@
 """Graph analytics over DataFrame ops (complements q_graph_pagerank and
-the q_dedup_clusters connected components in queries/dedup.py).
+the q_dedup_clusters diameter-round connected components in
+queries/dedup.py; q_graph_cc here is the log-round CC scale path, and
+q_graph_bfs the synchronous-frontier traversal primitive).
 
 The graph here is a CO-OCCURRENCE projection: users connected when they
 purchased within the same hour bucket — the bipartite-projection
@@ -14,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
+from kafka_hadoop_consumer_spark.queries.registry import (
+    persist_tracked,
+    query,
+    track,
+)
 
 HOUR_US = 3_600_000_000
 TRI_BUCKET_CAP = 64  # drop hour buckets with more co-purchasers than this
@@ -268,4 +274,208 @@ def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("jaccard_score").desc(), "user_a", "user_b")
         .limit(LP_TOP)
+    )
+
+
+# Shared oracle fragment: the capped co-purchase projection, verbatim the
+# edge construction inside the q_graph_triangles / q_graph_link_predict
+# oracles (kept inline there to preserve their evidenced definitions).
+_EDGES_CTE = f"""
+    pu AS (
+      SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // {HOUR_US} AS hr,
+                      user_id
+      FROM events WHERE event_type = 'purchase'),
+    ok AS (SELECT hr FROM pu GROUP BY hr
+           HAVING count(*) BETWEEN 2 AND {TRI_BUCKET_CAP}),
+    edges AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM pu a JOIN pu b ON a.hr = b.hr AND a.user_id < b.user_id
+      WHERE a.hr IN (SELECT hr FROM ok)),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges)"""
+
+CC_MAX_ROUNDS = 12  # >= ceil(log2(|V|)) for any graph this projection yields
+
+
+@query(
+    "q_graph_cc",
+    # oracle: ground-truth component semantics (min reachable id via
+    # recursive closure), NOT a replay of the engine's algorithm — the
+    # check is that alternating stars converge to the same fixpoint.
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    walk(node, lab) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, w.lab FROM walk w JOIN sym s ON s.v = w.node),
+    comp AS (
+      SELECT node AS user_id, CAST(min(lab) AS BIGINT) AS component_id
+      FROM walk GROUP BY node)
+    SELECT user_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+               AS component_size
+    FROM comp
+    """,
+)
+def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by LARGE-STAR / SMALL-STAR alternation — the
+    O(log |V|)-round MapReduce CC algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), complementing q_dedup_clusters'
+    min-label propagation whose round count is the graph DIAMETER. On a
+    100 TB web/citation graph the diameter can be hundreds of hops while
+    log2(|V|) stays ~40: this is the scale-path CC. Each node of the
+    capped co-purchase graph is labeled with its component's min user_id
+    plus the component size — the "merge duplicate-pair clusters, pick a
+    representative" primitive dedup cascades run after pair generation.
+
+    Large-star hangs every neighbor LARGER than u off min(N(u) ∪ {{u}});
+    small-star re-hangs the smaller neighbors. Both are one groupBy(min)
+    + one equi-join re-emit — no collect_list, fan-out bounded by degree.
+    The driver loop only compares a 2-number set fingerprint (edge
+    count + exact sum of a 64-bit row hash) between rounds — fingerprint
+    equality == the edge set stopped changing == fixpoint. At fixpoint
+    the edge set IS the component map (node -> component min).
+
+    Oracle independence: DuckDB computes min-reachable-id over the raw
+    transitive closure (recursive CTE) — the SEMANTICS, not the
+    algorithm — so the hash gate proves the star alternation converged
+    to true components rather than replaying its own steps."""
+    e = load_table(spark, sf_dir, "events")
+    E = copurchase_edges(e)  # (u, v), u < v, distinct
+
+    def star_round(E: DataFrame) -> DataFrame:
+        sym = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: neighbors above u attach to m = min(N(u) + {u})
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient edges downward, re-hang node + smaller
+        # neighbors off m = min of the downward neighborhood
+        dn = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = dn.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            dn.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(dn.join(mins2, "u").select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return small
+
+    def checksum(E: DataFrame) -> tuple:
+        # order-independent exact set fingerprint: count + decimal sum of
+        # a 64-bit row hash (decimal so the sum can't overflow); equality
+        # across a round == the edge set reached its fixpoint
+        row = E.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).collect()[0]
+        return tuple(row)
+
+    # Each round's plan references the previous round's frame ~8 times,
+    # so a cache alone leaves Catalyst re-analyzing an exponentially
+    # growing LOGICAL plan (measured: round 2 analysis 100x round 0).
+    # localCheckpoint truncates lineage after eagerly materializing the
+    # round — the standard iterative-algorithm discipline (on a cluster
+    # with dynamic allocation, use reliable checkpoint() instead).
+    E = E.localCheckpoint()
+    prev = checksum(E)
+    for _ in range(CC_MAX_ROUNDS):
+        nxt = star_round(E).localCheckpoint()
+        cur = checksum(nxt)
+        old, E = E, nxt
+        old.unpersist()  # eager checkpoint made nxt self-contained
+        if cur == prev:
+            break
+        prev = cur
+    track(E)  # released when the next query starts
+    # fixpoint: E = {(node, component_min) | node != component_min};
+    # add the self-rooted representatives back in
+    roots = E.select(F.col("v").alias("user_id")).distinct().join(
+        E.select(F.col("u").alias("user_id")), "user_id", "left_anti"
+    )
+    labels = E.select(
+        F.col("u").alias("user_id"), F.col("v").alias("component_id")
+    ).unionAll(roots.select("user_id", F.col("user_id").alias("component_id")))
+    sizes = labels.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return labels.join(F.broadcast(sizes), "component_id").select(
+        "user_id", "component_id", "component_size"
+    )
+
+
+BFS_SOURCES = 4  # multi-source frontier: the 4 smallest node ids
+BFS_MAX_HOPS = 4
+
+
+@query(
+    "q_graph_bfs",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    srcs AS (
+      SELECT u AS s FROM (SELECT DISTINCT u FROM sym ORDER BY u
+                          LIMIT {BFS_SOURCES})),
+    walk(src, node, dist) AS (
+      SELECT s, s, 0 FROM srcs
+      UNION
+      SELECT w.src, s.v, w.dist + 1
+      FROM walk w JOIN sym s ON s.u = w.node
+      WHERE w.dist < {BFS_MAX_HOPS})
+    SELECT src AS src_id, node AS user_id, CAST(min(dist) AS INT) AS dist
+    FROM walk GROUP BY 1, 2
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first search: hop distance (<= {BFS_MAX_HOPS})
+    from each of the {BFS_SOURCES} smallest user ids of the capped
+    co-purchase graph to every node it reaches — the Pregel traversal
+    primitive behind shortest-path features, blast-radius queries
+    ("which accounts sit within 3 hops of a known-fraud seed"), and
+    influence neighborhoods. Exactly BFS_MAX_HOPS synchronous frontier
+    rounds, each one equi-join (frontier x adjacency, shuffle on the
+    expanding node) + one anti-join (drop already-visited (src, node)
+    states), so first discovery == min hop count by construction —
+    deterministic with NO convergence test, which is what lets the
+    oracle replay it as a hop-bounded recursive closure.
+
+    Scale shape: state is the visited set, partitioned by (src, node);
+    the frontier shrinks as the graph saturates; per-round fan-out is
+    bounded by frontier-degree sum, the same bound Pregel gives. All
+    {BFS_SOURCES} sources advance in ONE frame (multi-source = one extra
+    key column, not N jobs). The anti-join per round replaces Pregel's
+    per-vertex visited flag."""
+    e = load_table(spark, sf_dir, "events")
+    E = persist_tracked(copurchase_edges(e))
+    sym = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    srcs = (
+        sym.select("u").distinct().orderBy("u").limit(BFS_SOURCES)
+        .select(F.col("u").alias("src_id"))
+    )
+    visited = persist_tracked(
+        srcs.select(
+            "src_id", F.col("src_id").alias("user_id"), F.lit(0).alias("dist")
+        )
+    )
+    frontier = visited
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier.user_id == sym.u)
+            .select("src_id", F.col("v").alias("user_id"))
+            .distinct()
+            .join(visited, ["src_id", "user_id"], "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        frontier = persist_tracked(nxt)
+        visited = persist_tracked(visited.unionAll(frontier))
+    return visited.select(
+        "src_id", "user_id", F.col("dist").cast("int").alias("dist")
     )

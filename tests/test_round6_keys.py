@@ -203,3 +203,108 @@ def test_range_search_radius_and_selectivity(spark):
         assert bad.count() == 0
     finally:
         res.unpersist()
+
+
+def test_stream_join_interval_crosses_batches_and_bounds(spark):
+    """The stream-stream join must span several micro-batches (state
+    genuinely buffered on both sides) and every emitted pair must sit
+    inside the 1-hour interval (0 <= mins_before <= 60)."""
+    from kafka_hadoop_consumer_spark.queries import continuous
+
+    out = QUERIES["q_stream_join_interval"](spark, SF_DIR).cache()
+    try:
+        assert continuous.LAST_BATCHES["q_stream_join_interval"] >= 2
+        n = out.count()
+        assert n > 0
+        bad = out.where(
+            (F.col("mins_before") < 0) | (F.col("mins_before") > 60)
+        )
+        assert bad.count() == 0
+        # no duplicate emissions: (purchase, click) pairs are unique
+        assert out.select("purchase_id", "click_id").distinct().count() == n
+    finally:
+        out.unpersist()
+
+
+def test_graph_cc_components_are_edge_consistent(spark):
+    """Independent CC invariants (stronger than the oracle hash alone):
+    both endpoints of every edge share a component, the component id is
+    the min member id, and sizes partition the node set."""
+    from kafka_hadoop_consumer_spark.catalog import load_table
+    from kafka_hadoop_consumer_spark.queries.graph import copurchase_edges
+
+    out = QUERIES["q_graph_cc"](spark, SF_DIR).cache()
+    try:
+        e = load_table(spark, SF_DIR, "events")
+        edges = copurchase_edges(e)
+        lab = out.select("user_id", "component_id")
+        viol = (
+            edges.join(lab.withColumnRenamed("user_id", "u"), "u")
+            .withColumnRenamed("component_id", "cu")
+            .join(lab.withColumnRenamed("user_id", "v"), "v")
+            .where(F.col("cu") != F.col("component_id"))
+        )
+        assert viol.count() == 0
+        mins = out.groupBy("component_id").agg(
+            F.min("user_id").alias("mn"), F.count(F.lit(1)).alias("n")
+        )
+        assert mins.where(F.col("mn") != F.col("component_id")).count() == 0
+        # sizes match and node set is exactly the graph's node set
+        assert (
+            out.join(mins, "component_id")
+            .where(F.col("component_size") != F.col("n"))
+            .count()
+            == 0
+        )
+        nodes = (
+            edges.select(F.col("u").alias("user_id"))
+            .union(edges.select(F.col("v").alias("user_id")))
+            .distinct()
+        )
+        assert out.count() == nodes.count()
+    finally:
+        out.unpersist()
+
+
+def test_graph_bfs_layers_are_parented(spark):
+    """BFS invariants: exactly BFS_SOURCES dist-0 rows (the sources
+    themselves), (src, node) states unique, and every dist-h node has a
+    neighbor at dist h-1 (the frontier-parent property that makes
+    first-visit == shortest-hop)."""
+    from kafka_hadoop_consumer_spark.catalog import load_table
+    from kafka_hadoop_consumer_spark.queries.graph import (
+        BFS_SOURCES,
+        copurchase_edges,
+    )
+
+    out = QUERIES["q_graph_bfs"](spark, SF_DIR).cache()
+    try:
+        zero = out.where(F.col("dist") == 0)
+        assert zero.count() == BFS_SOURCES
+        assert zero.where(F.col("src_id") != F.col("user_id")).count() == 0
+        n = out.count()
+        assert out.select("src_id", "user_id").distinct().count() == n
+        e = load_table(spark, SF_DIR, "events")
+        edges = copurchase_edges(e)
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        child = out.where(F.col("dist") > 0)
+        parented = child.join(
+            sym.withColumnRenamed("u", "user_id"), "user_id"
+        ).join(
+            out.select(
+                "src_id",
+                F.col("user_id").alias("v"),
+                F.col("dist").alias("pdist"),
+            ),
+            ["src_id", "v"],
+        ).where(F.col("pdist") == F.col("dist") - 1)
+        orphans = child.join(
+            parented.select("src_id", "user_id").distinct(),
+            ["src_id", "user_id"],
+            "left_anti",
+        )
+        assert orphans.count() == 0
+    finally:
+        out.unpersist()
