@@ -634,17 +634,19 @@ def main() -> None:
     ingest_sec, ingest_rows = time_ingest(spark, sf_dir)
     timings["s_ingest_e2e"] = round(ingest_sec, 3)
 
-    # Round-3 late additions, timed OUTSIDE the headline total so the
+    # Later-round additions, timed OUTSIDE the headline total so the
     # BASELINE.md anchor comparison stays like-for-like (same policy as
     # scaling_10x/skew_join): the MG heavy-hitter plan, the near-dup-graph
-    # PageRank, PQ ANN, and the Poisson bootstrap.
+    # PageRank, PQ ANN, the Poisson bootstrap, and the r6 iterative /
+    # composition keys (log-round CC, hybrid search).
     extras = {
         name: time_query(spark, name, sf_dir)
         for name in ("q_text_heavy_hitters", "q_graph_pagerank",
                      "q_sim_pq_topk", "q_stats_bootstrap",
                      "q_dedup_substring", "q_graph_triangles",
                      "q_dedup_semdedup", "q_text_bpe_encode",
-                     "q_e2e_dedup_cascade")
+                     "q_e2e_dedup_cascade", "q_graph_cc",
+                     "q_e2e_hybrid_search")
     }
 
     scaling = _time_scaling(spark)

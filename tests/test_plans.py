@@ -238,6 +238,7 @@ def test_no_unjustified_cartesian_or_bnlj_anywhere(spark):
         "q_ml_decision_stump",  # bin grid × broadcast ~10-row label set
         "q_ml_boost_round",  # same stump machinery, weighted round 2
         "q_e2e_hybrid_search",  # crossJoin of broadcast 1-row (N, avgdl) BM25 stats
+        "q_ml_auc",  # score-bin histogram × broadcast ~10-row class list (grid densify)
     }
     offenders = {}
     for name, fn in QUERIES.items():
