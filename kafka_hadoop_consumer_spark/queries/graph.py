@@ -294,6 +294,7 @@ _EDGES_CTE = f"""
     sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges)"""
 
 CC_MAX_ROUNDS = 12  # >= ceil(log2(|V|)) for any graph this projection yields
+CC_LAST_ROUNDS: dict[str, int] = {}  # observability: rounds to fixpoint
 
 
 @query(
@@ -388,7 +389,7 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with dynamic allocation, use reliable checkpoint() instead).
     E = E.localCheckpoint()
     prev = checksum(E)
-    for _ in range(CC_MAX_ROUNDS):
+    for rounds in range(1, CC_MAX_ROUNDS + 1):
         nxt = star_round(E).localCheckpoint()
         cur = checksum(nxt)
         old, E = E, nxt
@@ -396,6 +397,7 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur == prev:
             break
         prev = cur
+    CC_LAST_ROUNDS["q_graph_cc"] = rounds
     track(E)  # released when the next query starts
     # fixpoint: E = {(node, component_min) | node != component_min};
     # add the self-rooted representatives back in

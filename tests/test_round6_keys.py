@@ -308,3 +308,16 @@ def test_graph_bfs_layers_are_parented(spark):
         assert orphans.count() == 0
     finally:
         out.unpersist()
+
+
+def test_graph_cc_converges_in_log_rounds(spark):
+    """The large-star/small-star loop must DETECT its fixpoint well
+    under the round cap (the O(log V) claim), never exit by cap — a
+    cap exit would silently return unconverged components."""
+    from kafka_hadoop_consumer_spark.queries import graph
+
+    QUERIES["q_graph_cc"](spark, SF_DIR).count()
+    rounds = graph.CC_LAST_ROUNDS.get("q_graph_cc")
+    assert rounds is not None and rounds < graph.CC_MAX_ROUNDS, rounds
+    # the fixture co-purchase graph is dense: fixpoint within a few rounds
+    assert rounds <= 6, rounds
