@@ -12,6 +12,8 @@ cap that keeps the projection from going quadratic on a viral bucket
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -19,7 +21,6 @@ from kafka_hadoop_consumer_spark.catalog import load_table
 from kafka_hadoop_consumer_spark.queries.registry import (
     persist_tracked,
     query,
-    track,
 )
 
 HOUR_US = 3_600_000_000
@@ -293,7 +294,10 @@ _EDGES_CTE = f"""
       WHERE a.hr IN (SELECT hr FROM ok)),
     sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges)"""
 
-CC_MAX_ROUNDS = 12  # >= ceil(log2(|V|)) for any graph this projection yields
+# Round cap: alternation is proven O(log^2 n) (Kiveris et al. Thm 2) and
+# observed O(log n); dense projections converge in a handful. The loop
+# RAISES on a cap exit rather than returning unconverged components.
+CC_MAX_ROUNDS = 12
 CC_LAST_ROUNDS: dict[str, int] = {}  # observability: rounds to fixpoint
 
 
@@ -362,10 +366,21 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         mins2 = dn.groupBy("u").agg(F.min("v").alias("m"))
+        # one pass emits BOTH (v, m) and (u, m) — a unionAll of two
+        # dn.join(mins2) branches would re-execute the whole large-star
+        # subplan twice per round (Spark does not dedupe identical
+        # subplans outside AQE exchange reuse)
         small = (
             dn.join(mins2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionAll(dn.join(mins2, "u").select("u", F.col("m").alias("v")))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
@@ -387,18 +402,24 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint truncates lineage after eagerly materializing the
     # round — the standard iterative-algorithm discipline (on a cluster
     # with dynamic allocation, use reliable checkpoint() instead).
+    # Cleanup note: Dataset.unpersist() cannot free localCheckpoint
+    # blocks (they live at the RDD level, outside the CacheManager);
+    # dropping the Python reference each round makes the old round's
+    # RDD unreachable, and Spark's ContextCleaner unpersists it on GC —
+    # eventual, which is fine for a dozen small per-round edge sets.
     E = E.localCheckpoint()
     prev = checksum(E)
     for rounds in range(1, CC_MAX_ROUNDS + 1):
-        nxt = star_round(E).localCheckpoint()
-        cur = checksum(nxt)
-        old, E = E, nxt
-        old.unpersist()  # eager checkpoint made nxt self-contained
+        E = star_round(E).localCheckpoint()
+        cur = checksum(E)
         if cur == prev:
             break
         prev = cur
+    else:
+        raise RuntimeError(
+            f"q_graph_cc did not converge in {CC_MAX_ROUNDS} star rounds"
+        )
     CC_LAST_ROUNDS["q_graph_cc"] = rounds
-    track(E)  # released when the next query starts
     # fixpoint: E = {(node, component_min) | node != component_min};
     # add the self-rooted representatives back in
     roots = E.select(F.col("v").alias("user_id")).distinct().join(
@@ -462,13 +483,21 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.select("u").distinct().orderBy("u").limit(BFS_SOURCES)
         .select(F.col("u").alias("src_id"))
     )
-    visited = persist_tracked(
-        srcs.select(
-            "src_id", F.col("src_id").alias("user_id"), F.lit(0).alias("dist")
+    # persist each LAYER once; the visited set is a union over the
+    # persisted layers (persisting the cumulative union every hop would
+    # cache each earlier layer's rows up to hops+1 times)
+    frontiers = [
+        persist_tracked(
+            srcs.select(
+                "src_id",
+                F.col("src_id").alias("user_id"),
+                F.lit(0).alias("dist"),
+            )
         )
-    )
-    frontier = visited
+    ]
     for hop in range(1, BFS_MAX_HOPS + 1):
+        frontier = frontiers[-1]
+        visited = reduce(DataFrame.unionAll, frontiers)
         nxt = (
             frontier.join(sym, frontier.user_id == sym.u)
             .select("src_id", F.col("v").alias("user_id"))
@@ -476,8 +505,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited, ["src_id", "user_id"], "left_anti")
             .withColumn("dist", F.lit(hop))
         )
-        frontier = persist_tracked(nxt)
-        visited = persist_tracked(visited.unionAll(frontier))
-    return visited.select(
+        frontiers.append(persist_tracked(nxt))
+    return reduce(DataFrame.unionAll, frontiers).select(
         "src_id", "user_id", F.col("dist").cast("int").alias("dist")
     )

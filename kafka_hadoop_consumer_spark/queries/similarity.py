@@ -2398,7 +2398,13 @@ HYB_POOL = 20            # per-ranker candidate pool depth
 HYB_PRF = 3              # pseudo-relevance-feedback docs per query
 HYB_OUT = 10             # fused results emitted per query
 HYB_Q = 1_000_000        # integer-millionths embedding quantization
-_HYB_K1, _HYB_B = 1.2, 0.75
+# BM25 parameters shared with q_text_bm25 (queries/text.py) so the two
+# keys can't silently diverge; the full scoring pipeline is still
+# duplicated there (extraction would stale the evidenced key — r7 item)
+from kafka_hadoop_consumer_spark.queries.text import (  # noqa: E402
+    BM25_B as _HYB_B,
+    BM25_K1 as _HYB_K1,
+)
 _HYB_TERM_ROWS = ", ".join(
     f"('{q}', '{t}')" for q, ts in HYB_QUERIES.items() for t in ts
 )
@@ -2445,7 +2451,7 @@ _HYB_TERM_ROWS = ", ".join(
       SELECT l.q_id, p.pos, CAST(sum(e.v[p.pos]) AS BIGINT) AS cq
       FROM (SELECT q_id, doc_id FROM lexr WHERE rl <= {HYB_PRF}) l
       JOIN eq e ON e.vec_id = l.doc_id
-      CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+      CROSS JOIN (SELECT unnest(range(1, {EMB_DIM + 1})) AS pos) p
       GROUP BY 1, 2),
     dots AS (
       SELECT c.q_id, e.vec_id AS doc_id,
@@ -2583,8 +2589,11 @@ def q_e2e_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = fused.withColumn("fused_rank", F.row_number().over(w_f)).where(
         F.col("fused_rank") <= HYB_OUT
     )
-    return hits.join(
-        F.broadcast(d.select("doc_id", "lang", "source")), "doc_id"
+    # hydration: broadcast the <=30-row HITS side and stream the corpus
+    # metadata past it (broadcasting the documents side would ship the
+    # whole corpus to every executor at scale)
+    return d.select("doc_id", "lang", "source").join(
+        F.broadcast(hits), "doc_id"
     ).select(
         "q_id",
         F.col("fused_rank").cast("int").alias("fused_rank"),
