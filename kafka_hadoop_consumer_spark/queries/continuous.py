@@ -430,23 +430,30 @@ def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LATE_DELAY = "2 hours"   # watermark delay for the late-drop gate
+LATE_DELAY_HOURS = 2     # watermark delay for the late-drop gate
+LATE_DELAY = f"{LATE_DELAY_HOURS} hours"  # Spark-side spelling
 
 
 @query(
     "q_stream_late_drop",
-    oracle="""
+    # kept = chunks 0-1 only: batch k's late filter uses the watermark
+    # computed before batch k-1 finished (two-batch lag, Spark >= 3.4 /
+    # SPARK-40925), so chunk 1 still sees the zero watermark while
+    # chunks 2-3 see the final one. A chunk-2/3 row then either sits in
+    # a window that closed (late -> engine-dropped) or in one still open
+    # at end of input (never emitted in append mode) — both excluded, so
+    # no extra disjunct for them is needed (an earlier draft carried a
+    # provably-dead window_end > watermark branch here).
+    oracle=f"""
     WITH mx AS (SELECT event_id AS mid, ts AS mts FROM events
                 ORDER BY ts DESC, event_id DESC LIMIT 1),
     c AS (SELECT e.*, CASE WHEN e.event_id = mx.mid THEN 0
                            ELSE e.event_id % 4 END AS chunk
           FROM events e CROSS JOIN mx),
-    wf AS (SELECT mts - INTERVAL 2 HOUR AS w FROM mx),
+    wf AS (SELECT mts - INTERVAL {LATE_DELAY_HOURS} HOUR AS w FROM mx),
     kept AS (
       SELECT c.*, date_trunc('hour', c.ts) AS bs
-      FROM c CROSS JOIN wf
-      WHERE c.chunk <= 1
-         OR date_trunc('hour', c.ts) + INTERVAL 1 HOUR > wf.w)
+      FROM c WHERE c.chunk <= 1)
     SELECT bs AS bucket_start, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
@@ -463,19 +470,22 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode with a {LATE_DELAY} watermark, and rows arriving after their
     window passed the watermark are DROPPED — the emitted table is the
     aggregate of exactly the on-time rows, hash-checked against an
-    oracle that models Spark's documented semantics: the late-events
-    watermark in effect while batch k runs is the one computed after
-    batch k-1 (so chunks 0 and 1 are all on time), and append-mode
+    oracle that models Spark's actual lag rule (Spark >= 3.4,
+    SPARK-40925): the late filter applied while batch k runs uses the
+    watermark computed BEFORE batch k-1 finished — a two-batch lag. So
+    batch 1 still filters against the zero watermark (chunk 1 is all on
+    time BECAUSE of the lag; under a hypothetical one-batch lag it
+    would be cut by the final watermark — this axis is engine-version
+    sensitive and the oracle pins the >= 3.4 behavior), and append-mode
     windows are emitted once the eviction watermark passes their end.
 
     The corpus' max-ts row is MOVED into chunk 0, so the watermark
     reaches its final value (max ts - {LATE_DELAY}) after the first
-    batch: chunks 2 and 3 are filtered by that final watermark whether
-    the engine applies the one- or two-batch-lagged value, and the
-    emitted-window set is invariant to how many trailing no-data
-    micro-batches the availableNow run schedules — the two
-    version-sensitive axes are pinned out of the result (calibrated
-    empirically; exact-match verified across repeated runs).
+    batch: chunks 2 and 3 are filtered by that final value under either
+    lag rule, and the emitted-window set is invariant to how many
+    trailing no-data micro-batches the availableNow run schedules
+    (calibrated empirically; exact-match verified across repeated
+    runs).
 
     Scale shape: state is one row per (open window x type) as in
     q_stream_continuous_agg; the late filter runs map-side BEFORE state

@@ -1165,15 +1165,17 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     of doubles), so values and the CASE band are bit-deterministic on
     both engines before display rounding."""
     d = load_table(spark, sf_dir, "documents")
-    words = F.size(F.split("text", " ")).cast("long")
+    words = F.size(_tokens()).cast("long")
     syll = F.size(F.expr(f"regexp_extract_all(text, '{READ_VOWELS}', 0)")).cast(
         "long"
     )
     cplx = F.size(
-        F.expr(
-            f"filter(split(text, ' '), "
-            f"w -> size(regexp_extract_all(w, '{READ_VOWELS}', 0))"
-            f" >= {READ_COMPLEX})"
+        F.filter(
+            _tokens(),
+            lambda w: F.size(
+                F.regexp_extract_all(w, F.lit(READ_VOWELS), F.lit(0))
+            )
+            >= READ_COMPLEX,
         )
     ).cast("long")
     t = d.select(

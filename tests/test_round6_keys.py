@@ -321,3 +321,29 @@ def test_graph_cc_converges_in_log_rounds(spark):
     assert rounds is not None and rounds < graph.CC_MAX_ROUNDS, rounds
     # the fixture co-purchase graph is dense: fixpoint within a few rounds
     assert rounds <= 6, rounds
+
+
+def test_late_r6_streaming_keys_span_multiple_microbatches(spark):
+    """q_stream_static_join / q_stream_sliding_agg / q_stream_late_drop
+    must actually run >= 2 data micro-batches (one big batch would make
+    the cross-batch-state claim vacuous); for late_drop, the late path
+    must genuinely fire: the emitted table misses rows the full batch
+    recompute over the same landing would count."""
+    from kafka_hadoop_consumer_spark.queries import continuous
+
+    for key in ("q_stream_static_join", "q_stream_sliding_agg"):
+        QUERIES[key](spark, SF_DIR).count()
+        assert continuous.LAST_BATCHES[key] >= 2, key
+
+    out = QUERIES["q_stream_late_drop"](spark, SF_DIR).cache()
+    try:
+        assert continuous.LAST_BATCHES["q_stream_late_drop"] >= 2
+        landing = continuous.LAST_LANDING["q_stream_late_drop"]
+        landed = spark.read.parquet(landing)
+        emitted = out.agg(F.sum("n_events")).collect()[0][0]
+        assert emitted < landed.count(), (
+            "no rows were late-dropped or window-elided; the key is not "
+            "exercising the watermark contract"
+        )
+    finally:
+        out.unpersist()
