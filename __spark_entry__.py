@@ -30,35 +30,82 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # CORRECTNESS_r*.json are listed first — oracle-backed ones ahead of
 # rows-only ones (a hash-match row is stronger evidence than a rows-only
 # row) — followed by previously driver-checked keys in registration order.
+_CHECKED_CACHE: dict = {}
+
+
 def _driver_checked_keys() -> set:
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set = set()
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    # Files ordered by PARSED round number so the LATEST round's row wins
+    # per key (a green-at-r2 key that FAILED at r6 must re-enter the
+    # fresh window — unioning greens across rounds would keep it buried).
+    paths = []
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            paths.append((int(m.group(1)), path))
+    # Recomputed state is a pure function of these files + the sidecar +
+    # the (process-stable) registry source, so memoize per file-state:
+    # the driver calls _prioritized twice (queries + oracle_sql) and
+    # round_check more, each otherwise re-reading and re-hashing all.
+    def _stat(p):
+        try:
+            s = os.stat(p)
+            return (p, s.st_mtime_ns, s.st_size)
+        except OSError:
+            return (p, None, None)
+
+    cache_key = (
+        here,
+        tuple(_stat(p) for _, p in sorted(paths)),
+        _stat(os.path.join(here, "COVERAGE_DEFS.json")),
+    )
+    if cache_key in _CHECKED_CACHE:
+        return set(_CHECKED_CACHE[cache_key])
+
+    latest: dict = {}
+    for _rnd, path in sorted(paths):
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
         for key, row in rows.items():
-            if not isinstance(row, dict):
-                seen.add(key)
-                continue
-            err = row.get("err")
-            green = (
-                err is None
-                and row.get("hash_match")
-                and row.get("rows_match")
-                and row.get("schema_match")
-            )
-            rows_recorded = err == "no_oracle" and row.get("spark_rows") is not None
-            # A key counts as driver-checked only if its row is green (or a
-            # rows-only record, by design). Failed keys re-enter the
-            # fresh-first window so a fix earns a fresh driver row.
-            if green or rows_recorded:
-                seen.add(key)
+            latest[key] = row
+    # Classification mirrors tools/coverage_ledger.classify (the loaded
+    # module's version is preferred below so the two cannot drift); a
+    # key counts as driver-checked only if its LATEST row is green or a
+    # rows-only record. Failed (and non-dict) rows re-enter the
+    # fresh-first window so a fix earns a fresh driver row.
+    led = None
+    try:
+        import importlib.util
+
+        p = os.path.join(here, "tools", "coverage_ledger.py")
+        spec = importlib.util.spec_from_file_location("_cov_ledger", p)
+        led = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(led)
+    except Exception:
+        led = None
+
+    def _ok(row) -> bool:
+        if led is not None:
+            return led.classify(row) in ("hash-match", "rows-recorded")
+        if not isinstance(row, dict):
+            return False
+        err = row.get("err")
+        green = (
+            err is None
+            and row.get("hash_match")
+            and row.get("rows_match")
+            and row.get("schema_match")
+        )
+        return green or (err == "no_oracle" and row.get("spark_rows") is not None)
+
+    seen = {key for key, row in latest.items() if _ok(row)}
     # STALE evidence re-enters the fresh window: a key whose (query
     # source + oracle) hash changed after its snapshotted evidencing
     # round (COVERAGE_DEFS.json, maintained by tools/coverage_ledger.py)
@@ -70,25 +117,21 @@ def _driver_checked_keys() -> set:
     # optimization only, so any failure here degrades to plain
     # registration order rather than breaking the driver contract.
     try:
-        import importlib.util
-
         with open(os.path.join(here, "COVERAGE_DEFS.json")) as f:
             defs = json.load(f)
-        p = os.path.join(here, "tools", "coverage_ledger.py")
-        spec = importlib.util.spec_from_file_location("_cov_ledger", p)
-        led = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(led)
-        for key in list(seen):
-            rec = defs.get(key)
-            if (
-                isinstance(rec, dict)
-                and rec.get("def_hash")
-                and key in QUERIES
-                and rec["def_hash"] != led.def_hash(key, QUERIES, ORACLES)
-            ):
-                seen.discard(key)
+        if led is not None:
+            for key in list(seen):
+                rec = defs.get(key)
+                if (
+                    isinstance(rec, dict)
+                    and rec.get("def_hash")
+                    and key in QUERIES
+                    and rec["def_hash"] != led.def_hash(key, QUERIES, ORACLES)
+                ):
+                    seen.discard(key)
     except Exception:
         pass
+    _CHECKED_CACHE[cache_key] = set(seen)
     return seen
 
 

@@ -72,8 +72,9 @@ def test_collect_orders_rounds_numerically(tmp_path, monkeypatch):
 def test_edit_between_window_and_regen_stays_stale(monkeypatch):
     # A key edited AFTER its driver window but BEFORE the ledger regen
     # must not have the new driver round silently attributed to the
-    # edited definition: keep the old snapshot and mark STALE so the key
-    # re-enters the fresh window.
+    # edited definition: keep the old certification, mark STALE, and
+    # record the first-observation (pending) so only a LATER round's
+    # row can re-certify.
     from kafka_hadoop_consumer_spark.queries import QUERIES
 
     latest = ledger.collect()
@@ -85,7 +86,36 @@ def test_edit_between_window_and_regen_stays_stale(monkeypatch):
     monkeypatch.setattr(ledger, "load_defs", lambda: dict(old))
     text, defs = ledger.render()
     assert f"STALE(def changed since r{rnd - 1})" in text
-    assert defs[key] == old[key], "snapshot must not be silently upgraded"
+    assert defs[key]["round"] == rnd - 1, "certification must not advance"
+    assert defs[key]["def_hash"] == "hash-of-older-definition"
+    assert defs[key]["pending"]["after_round"] == rnd
+
+
+def test_stale_key_recertifies_after_observed_recheck(monkeypatch):
+    # Liveness: once a regen has OBSERVED the edited definition (pending
+    # snapshot), a driver row from a later round re-certifies it — the
+    # STALE state must clear after one fresh-window re-check instead of
+    # burning a window slot every round forever.
+    from kafka_hadoop_consumer_spark.queries import ORACLES, QUERIES
+
+    latest = ledger.collect()
+    key = next(
+        k for k, (r, c) in latest.items() if c == "hash-match" and k in QUERIES
+    )
+    rnd = latest[key][0]
+    cur = ledger.def_hash(key, QUERIES, ORACLES)
+    monkeypatch.setattr(
+        ledger, "load_defs",
+        lambda: {key: {
+            "round": rnd - 2, "def_hash": "hash-of-older-definition",
+            "pending": {"def_hash": cur, "after_round": rnd - 1},
+        }},
+    )
+    text, defs = ledger.render()
+    assert f"| {key} " in text and f"STALE" not in text.split(f"| {key} ")[1].split("\n")[0]
+    assert defs[key] == {"round": rnd, "def_hash": cur}, (
+        "an observed-then-rechecked key must re-certify at the new round"
+    )
 
 
 def test_stale_definition_downgraded(monkeypatch):

@@ -74,7 +74,13 @@ def main(argv: list[str]) -> int:
     if argv and argv[0] == "--all":
         keys = [k for k in queries if k in oracles]
     elif argv and argv[0] == "--fresh50":
-        keys = [k for k in queries if k in oracles][:50]
+        # The REAL driver window: the first 50 keys of queries() dict
+        # order INCLUDING rows-only keys (the driver executes those too
+        # and records a rows-only row — a crash or complex-typed column
+        # there is a red CORRECTNESS row). Filtering to oracled keys
+        # first would skip exactly the keys whose only pre-driver check
+        # is this tool, while simulating keys outside the window.
+        keys = list(queries)[:50]
     elif rows_only_mode:
         keys = [k for k in queries if k not in oracles]
     else:
