@@ -21,14 +21,23 @@ def salted_join(
     on: str,
     n_salts: int = 16,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join `large ⋈ small` on column `on`, salting the large side.
 
     The large side gets a deterministic pseudo-random salt derived from a
-    whole-row hash (uniform, reproducible — no rand(), which would break
-    retry determinism); the small side is exploded n_salts× so every
+    row hash (uniform, reproducible — no rand(), which would break retry
+    determinism); the small side is exploded n_salts× so every
     (key, salt) pair finds its match. Join keys become (on, salt) —
     spreading each hot key across n_salts shuffle partitions.
+
+    CAVEAT — identical rows: the default salt hashes the whole row, so
+    byte-identical duplicate rows all land on ONE salt and a hot key
+    dominated by repeated identical tuples is not spread at all (while
+    still paying the n_salts× small-side replication). If the large side
+    can contain such duplicates, pass ``salt_cols`` naming a
+    high-cardinality distinguisher (an event id, an offset) to derive
+    the salt from instead.
 
     Only ``inner`` and ``left`` are sound: each large-side row carries
     exactly one salt, so unmatched large rows null-extend once. With
@@ -41,7 +50,7 @@ def salted_join(
             "outer variants would emit each unmatched small-side row "
             "n_salts times (one per replica)"
         )
-    salt_src = F.xxhash64(*[F.col(c) for c in large.columns])
+    salt_src = F.xxhash64(*[F.col(c) for c in (salt_cols or large.columns)])
     salted_large = large.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)).cast("int"))
     replicated_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

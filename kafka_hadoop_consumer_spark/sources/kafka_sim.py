@@ -29,6 +29,7 @@ from typing import Iterator, Sequence
 
 from pyspark import cloudpickle
 from pyspark.sql.datasource import (
+    SimpleDataSourceStreamReader,
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
@@ -136,6 +137,12 @@ class KafkaSimStreamReader(DataSourceStreamReader):
     checkpoint by Spark. The high watermark is a pure function of the
     options (never instance state): a restarted reader must not report
     an offset below the checkpoint's, or the source would "regress".
+    Admission control (``max_per_trigger``) CANNOT live here — this
+    API's ``latestOffset()`` takes no start offset, so a capped
+    watermark computed from instance state would regress below the
+    checkpoint after a restart; capped specs route to
+    ``KafkaSimSimpleStreamReader`` instead, whose ``read(start)`` sees
+    the committed offset.
     """
 
     def __init__(self, options: dict) -> None:
@@ -164,6 +171,49 @@ class KafkaSimStreamReader(DataSourceStreamReader):
         pass  # durability lives in the checkpoint, not the source
 
 
+class KafkaSimSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Capped (``max_per_trigger``) micro-batch reader — the reference
+    `limit` flag / maxOffsetsPerTrigger analogue (§2A A4).
+
+    Admission control needs the committed start offset, which only this
+    simple-reader API provides (``read(start)``): each call admits at
+    most max_per_trigger offsets per partition past ``start``, so a
+    restart resumes capped reads from the checkpoint with no regression.
+    ``readBetweenOffsets`` replays a planned range deterministically
+    (the generator is a pure function of (topic, partition, offset)).
+    Reads execute on the driver — fine for the offline simulator; the
+    uncapped distributed path stays on KafkaSimStreamReader."""
+
+    def __init__(self, options: dict) -> None:
+        self.topic = options.get("topic", "sim")
+        self.n_partitions = int(options.get("n_partitions", 4))
+        self.n_messages = int(options.get("n_messages", 250))
+        self.payload = options.get("payload", "text")
+        self.cap = int(options["max_per_trigger"])
+
+    def initialOffset(self) -> dict:
+        return {str(p): 0 for p in range(self.n_partitions)}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        end = {
+            p: min(self.n_messages, start.get(p, 0) + self.cap)
+            for p in (str(i) for i in range(self.n_partitions))
+        }
+        # materialized, not a generator: the runner pickles the prefetch
+        # cache entry, and the batch is cap-bounded anyway
+        return iter(self.readBetweenOffsets(start, end)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        return [
+            message(self.topic, int(p), o, self.payload)
+            for p, hi in end.items()
+            for o in range(start.get(p, 0), hi)
+        ]
+
+    def commit(self, end: dict) -> None:
+        pass  # durability lives in the checkpoint, not the source
+
+
 class KafkaSimDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -176,9 +226,34 @@ class KafkaSimDataSource(DataSource):
         return KafkaSimReader(self.options)
 
     def streamReader(self, schema) -> KafkaSimStreamReader:
+        if "max_per_trigger" in self.options:
+            # routes Spark to simpleStreamReader(), whose read(start)
+            # can enforce the cap without offset regression — the
+            # fallback in pyspark's datasource_internal._streamReader
+            # catches exactly PySparkNotImplementedError
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={
+                    "feature": "streamReader with max_per_trigger "
+                    "(capped reads use the simple reader)"
+                },
+            )
         return KafkaSimStreamReader(self.options)
+
+    def simpleStreamReader(self, schema) -> KafkaSimSimpleStreamReader:
+        return KafkaSimSimpleStreamReader(self.options)
 
 
 def register(spark) -> None:
-    """Idempotent registration (re-registering replaces the entry)."""
+    """Idempotent registration (re-registering replaces the entry).
+
+    Also pins the session defaults: pushFilters() requires
+    spark.sql.python.filterPushdown.enabled, which an externally-built
+    session (the driver's) only gets via load_table — a kafka_sim scan
+    must not depend on some OTHER query having run first."""
+    from kafka_hadoop_consumer_spark.session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
     spark.dataSource.register(KafkaSimDataSource)

@@ -91,7 +91,9 @@ def spec_from_args(args: argparse.Namespace) -> SourceSpec:
         if not args.path or not args.schema:
             raise SystemExit("--kind file requires --path and --schema")
         return SourceSpec(
-            kind="file", path=args.path, format=args.format, schema=args.schema
+            kind="file", path=args.path, format=args.format, schema=args.schema,
+            # the reference `limit` flag: files per micro-batch
+            max_files_per_trigger=args.limit,
         )
     if args.kind == "kafka_sim":
         return SourceSpec(

@@ -104,6 +104,10 @@ def build_reader(spark: SparkSession, spec: SourceSpec) -> DataStreamReader:
         reader = spark.readStream.format("kafka_sim")
         if spec.topic:
             reader = reader.option("topic", spec.topic)
+        if spec.max_per_trigger is not None:
+            # the reference `limit` flag — admission control in the
+            # simulated broker (maxOffsetsPerTrigger analogue)
+            reader = reader.option("max_per_trigger", str(spec.max_per_trigger))
         for k, v in spec.extra_options.items():
             reader = reader.option(k, v)
         return reader
@@ -117,9 +121,22 @@ def load_stream(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     return reader.load()
 
 
-def decode_payload(df: DataFrame, json_schema: str | None = None) -> DataFrame:
+def decode_payload(
+    df: DataFrame,
+    json_schema: str | None = None,
+    corrupt_col: str | None = "_corrupt_payload",
+) -> DataFrame:
     """§2A A5: drop the Kafka envelope, decode bytes → text (or parse JSON
-    payloads into typed columns when a schema is given)."""
+    payloads into typed columns when a schema is given).
+
+    ``from_json`` turns a malformed payload into an all-null row; with
+    the raw bytes projected away that is silent, unrecoverable loss.
+    ``corrupt_col`` (default on) appends PERMISSIVE's
+    columnNameOfCorruptRecord to the parse schema, so rows that failed
+    to parse carry their raw payload there (NULL for clean rows) —
+    route it to a quarantine sink, or pass ``corrupt_col=None`` to
+    accept the loss explicitly. Requires ``json_schema`` as a plain
+    DDL field list (which is also what file sources take)."""
     # A Kafka envelope is identified by its full signature, not just a
     # "value" column — payload schemas may legitimately have one (the
     # fixture events table does).
@@ -136,8 +153,13 @@ def decode_payload(df: DataFrame, json_schema: str | None = None) -> DataFrame:
         decoded = df
     if json_schema is not None:
         payload_col = "payload" if "payload" in decoded.columns else decoded.columns[0]
+        if corrupt_col:
+            schema_arg = f"{json_schema}, {corrupt_col} string"
+            opts = {"columnNameOfCorruptRecord": corrupt_col}
+        else:
+            schema_arg, opts = json_schema, {}
         decoded = decoded.withColumn(
-            "parsed", F.from_json(F.col(payload_col), json_schema)
+            "parsed", F.from_json(F.col(payload_col), schema_arg, opts)
         ).select("parsed.*")
     return decoded
 
@@ -182,8 +204,16 @@ def run_ingest(
         raise ValueError(f"unsupported sink_format: {sink_format!r}")
     df = decode_payload(load_stream(spark, spec), json_schema=json_schema)
     if sink_format == "text":
-        payload_col = "payload" if "payload" in df.columns else df.columns[0]
-        df = df.select(F.col(payload_col).cast("string").alias("value"))
+        if "payload" in df.columns:
+            line = F.col("payload").cast("string")
+        elif len(df.columns) == 1:
+            line = F.col(df.columns[0]).cast("string")
+        else:
+            # json_schema already exploded the payload into typed
+            # columns: re-serialize the WHOLE row per line — picking
+            # columns[0] here would silently drop every other field.
+            line = F.to_json(F.struct(*df.columns))
+        df = df.select(line.alias("value"))
     writer = (
         df.writeStream.format(sink_format)
         .option("path", out_path)

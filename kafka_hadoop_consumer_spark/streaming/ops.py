@@ -81,9 +81,19 @@ def dedup_within_watermark(df: DataFrame, keys: list[str] | None = None,
     out = df.withWatermark("ts", watermark)
     if hasattr(out, "dropDuplicatesWithinWatermark"):
         return out.dropDuplicatesWithinWatermark(keys)
-    # Spark <3.5 fallback (R6): plain streaming dropDuplicates keyed with
-    # the event-time column so the watermark still bounds state.
-    return out.dropDuplicates(keys + ["ts"])
+    # Spark <3.5 fallback: plain dropDuplicates on the SAME keys keeps
+    # the contract (a redelivered event_id with a re-stamped ts is still
+    # dropped — keying on (keys + ts) would let it through), at the cost
+    # of state that the watermark cannot evict. Loud, not silent:
+    import warnings
+
+    warnings.warn(
+        "dropDuplicatesWithinWatermark unavailable (<Spark 3.5): falling "
+        "back to unbounded-state dropDuplicates on the same keys",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return out.dropDuplicates(keys)
 
 
 def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
@@ -134,11 +144,18 @@ def run_foreach_batch_upsert(
     from pyspark.sql import Window
 
     def merge(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         try:
             current = spark.read.parquet(out_path)
             merged = current.unionByName(batch)
-        except Exception:  # first batch: no snapshot yet
+        except AnalysisException:
+            # Missing path = genuinely the first batch. Anything else
+            # (transient IO, permissions, corrupt footer) PROPAGATES and
+            # fails the batch — treating it as "first batch" would
+            # overwrite the accumulated snapshot with this batch alone
+            # and silently lose every prior key.
             merged = batch
         w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
         latest = (
@@ -181,6 +198,28 @@ def _counter_fn(key: tuple, batches: Iterator[pd.DataFrame], state: Any) -> Iter
     )
 
 
+def _make_ttl_counter_fn(ttl_ms: int):
+    """Counter body with idle-key eviction: keys quiet for ttl_ms have
+    their state removed (bounding the state store by ACTIVE keys instead
+    of all keys ever seen)."""
+
+    def fn(key: tuple, batches: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return fn
+
+
 def transform_with_state_available() -> bool:
     """Feature-detect Spark 4's transformWithStateInPandas (SURVEY.md §7 R6).
 
@@ -197,24 +236,36 @@ def transform_with_state_available() -> bool:
         return False
 
 
-def stateful_user_counters(df: DataFrame) -> DataFrame:
+def stateful_user_counters(df: DataFrame, ttl_minutes: int | None = None) -> DataFrame:
     """s_stream_stateful: arbitrary per-key state via applyInPandasWithState.
 
     Emits the updated (user_id, n_events, total_value) each micro-batch;
     state lives in the checkpointed state store (the analogue of the
     reference's ZK offsets — but holding operator state, SURVEY.md §3.2).
+
+    ``ttl_minutes`` bounds the state store for always-on deployments:
+    keys idle longer than the TTL are evicted (processing-time timeout),
+    so state scales with ACTIVE keys, not with every user_id ever seen —
+    without it, an unbounded-cardinality key column grows the state
+    store and checkpoint forever. ``None`` (bounded replay harnesses,
+    tests) keeps counters exact over the whole run.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if ttl_minutes is None:
+        fn, conf = _counter_fn, GroupStateTimeout.NoTimeout
+    else:
+        fn = _make_ttl_counter_fn(ttl_minutes * 60_000)
+        conf = GroupStateTimeout.ProcessingTimeTimeout
     return (
         df.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _counter_fn,
+            fn,
             outputStructType=_COUNTER_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=conf,
         )
     )
 
@@ -253,6 +304,8 @@ def run_continuous_rollup(
     )
 
     def replace_buckets(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         batch = batch.cache()
         try:
@@ -263,7 +316,12 @@ def run_continuous_rollup(
                 "left_anti",
             )
             merged = keep.unionByName(batch)
-        except Exception:  # first batch: no snapshot yet
+        except AnalysisException:
+            # Missing path = first batch. A transient read error must
+            # FAIL the batch instead: falling back to `merged = batch`
+            # would overwrite the rollup with only the buckets this
+            # batch touched, truncating all other history — and the
+            # state store would never re-emit the lost buckets.
             merged = batch
         merged.cache().count()
         merged.write.mode("overwrite").parquet(out_path)
@@ -288,7 +346,10 @@ def run_incremental_near_dedup(
     classified against the accumulated corpus as ``exact_dup`` (md5
     fingerprint already present), ``near_dup`` (MinHash LSH band-bucket
     collision with an accepted doc — the q_dedup_minhash banding, so
-    only genuinely-similar docs collide), or ``new``. Verdicts append to
+    only genuinely-similar docs collide), or ``new``. Duplicates WITHIN
+    a micro-batch are also caught (min doc_id keeps; later same-batch
+    copies classify as dups), so a bulk backfill arriving as one batch
+    cannot smuggle copies past the gate. Verdicts append to
     ``log_dir``; only NEW docs' signatures join the corpus state at
     ``corpus_dir``, so later batches dedup against everything accepted
     so far (the streaming face of q_dedup_incremental, upgraded from
@@ -366,6 +427,32 @@ def run_incremental_near_dedup(
         else:
             exact = fps.select("doc_id").where(F.lit(False))
             near = exact
+        # Intra-batch duplicates (the same-batch blind spot): a doc whose
+        # fingerprint or band-bucket collides with an EARLIER doc of the
+        # SAME batch (min doc_id = deterministic keeper) is a dup even
+        # when the corpus has seen neither — bulk backfills deliver
+        # duplicate bursts inside one micro-batch, and classifying only
+        # against prior batches would accept every copy as "new".
+        a_fp = fps.select(F.col("doc_id").alias("a_id"), "fp")
+        b_fp = fps.select(F.col("doc_id").alias("b_id"), "fp")
+        intra_exact = (
+            a_fp.join(b_fp, "fp")
+            .where(F.col("a_id") > F.col("b_id"))
+            .select(F.col("a_id").alias("doc_id"))
+            .distinct()
+        )
+        a_bb = bands.select(F.col("doc_id").alias("a_id"), "band", "bucket")
+        b_bb = bands.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+        intra_near = (
+            a_bb.join(b_bb, ["band", "bucket"])
+            .where(F.col("a_id") > F.col("b_id"))
+            .select(F.col("a_id").alias("doc_id"))
+            .distinct()
+        )
+        exact = exact.union(intra_exact).distinct()
+        near = near.union(intra_near).distinct().join(
+            exact, "doc_id", "left_anti"
+        )
         verdicts = (
             fps.select("doc_id")
             .join(exact.withColumn("v", F.lit("exact_dup")), "doc_id", "left")

@@ -449,7 +449,9 @@ def test_kafka_sim_json_payload_decode(spark, tmp_path):
                    json_schema="k string, seq long, part int")
     assert m["rows"] == 80
     got = spark.read.parquet(out)
-    assert set(got.columns) == {"k", "seq", "part"}
+    assert set(got.columns) == {"k", "seq", "part", "_corrupt_payload"}
+    # clean payloads: the quarantine column is all-NULL
+    assert got.where(F.col("_corrupt_payload").isNotNull()).count() == 0
     assert got.where(F.col("seq").isNull()).count() == 0
     assert got.where((F.col("part") == 1) & (F.col("seq") == 39)).count() == 1
     assert got.where(F.col("k") == "k3").count() == 8  # 4 seqs × 2 partitions
@@ -742,3 +744,116 @@ def test_incremental_near_dedup_stream(spark, tmp_path):
         for r in spark.read.parquet(corpus).select("doc_id").distinct().collect()
     }
     assert accepted2 == {1, 2, 5}
+
+
+def test_decode_payload_quarantines_malformed_json(spark):
+    """A malformed JSON payload must surface in the quarantine column
+    with its raw bytes intact — not become an unrecoverable all-null
+    row (the batch PERMISSIVE corrupt-record contract, streamed)."""
+    from kafka_hadoop_consumer_spark.streaming.ingest import decode_payload
+
+    df = spark.createDataFrame(
+        [
+            (b'{"k": "a", "seq": 1}', "t", 0, 0),
+            (b"{not json", "t", 0, 1),
+        ],
+        "value binary, topic string, partition int, offset long",
+    )
+    out = decode_payload(df, json_schema="k string, seq long").collect()
+    clean = [r for r in out if r["_corrupt_payload"] is None]
+    bad = [r for r in out if r["_corrupt_payload"] is not None]
+    assert len(clean) == 1 and clean[0]["k"] == "a" and clean[0]["seq"] == 1
+    assert len(bad) == 1 and bad[0]["_corrupt_payload"] == "{not json"
+    # opt-out keeps the narrow schema
+    cols = decode_payload(df, json_schema="k string", corrupt_col=None).columns
+    assert cols == ["k"]
+
+
+def test_kafka_sim_max_per_trigger_caps_batches(spark, tmp_path):
+    """A4/limit parity for the simulated broker: max_per_trigger bounds
+    offsets admitted per partition per bounded run — the reference's
+    literal cron semantics (`-l limit` per invocation; Python sources
+    run availableNow as a single batch). Repeated cron runs over the
+    same checkpoint drain everything exactly once, capped each time."""
+    from kafka_hadoop_consumer_spark.streaming.ingest import (
+        SourceSpec,
+        run_ingest,
+    )
+
+    spec = SourceSpec(
+        kind="kafka_sim", topic="lim", max_per_trigger=10,
+        extra_options={"n_partitions": "2", "n_messages": "35"},
+    )
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+    per_run = []
+    for _ in range(8):  # cron loop: each run admits <= 10/partition
+        m = run_ingest(spark, spec, out, ck)
+        per_run.append(m["rows"])
+        if m["rows"] == 0:
+            break
+    assert max(per_run) <= 20  # 10 offsets x 2 partitions per run
+    assert per_run[:4] == [20, 20, 20, 10]  # capped drains, then dry
+    got = spark.read.parquet(out)
+    assert got.count() == 70  # nothing lost
+    assert got.select("partition", "offset").distinct().count() == 70
+
+
+def test_text_sink_with_json_schema_keeps_all_fields(spark, tmp_path):
+    """sink_format='text' after a json_schema explode must serialize the
+    WHOLE row per line, not silently emit only the first parsed field."""
+    from kafka_hadoop_consumer_spark.streaming.ingest import (
+        SourceSpec,
+        run_ingest,
+    )
+
+    spec = SourceSpec(
+        kind="kafka_sim", topic="t",
+        extra_options={"n_partitions": "1", "n_messages": "5",
+                       "payload": "json"},
+    )
+    run_ingest(
+        spark, spec, str(tmp_path / "o"), str(tmp_path / "c"),
+        json_schema="k string, seq long, part int", sink_format="text",
+    )
+    lines = [r["value"] for r in spark.read.text(str(tmp_path / "o")).collect()]
+    assert len(lines) == 5
+    assert all('"seq"' in ln and '"k"' in ln and '"part"' in ln for ln in lines)
+
+
+def test_incremental_near_dedup_catches_intra_batch_duplicates(spark, tmp_path):
+    """Two byte-identical docs landing in the SAME micro-batch: the
+    lower doc_id is accepted, the copy classifies as exact_dup (the
+    bulk-backfill blind spot — classifying only against prior batches
+    would accept both)."""
+    import os
+
+    from kafka_hadoop_consumer_spark.streaming.ops import (
+        run_incremental_near_dedup,
+    )
+
+    src = str(tmp_path / "in")
+    corpus = str(tmp_path / "corpus")
+    log = str(tmp_path / "log")
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words here entirely")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_incremental_near_dedup(stream, corpus, log, str(tmp_path / "ck"))
+    verdicts = {
+        r["doc_id"]: r["verdict"]
+        for r in spark.read.parquet(log).collect()
+    }
+    assert verdicts[1] == "new"
+    assert verdicts[2] == "exact_dup"
+    assert verdicts[3] == "new"
+    # only accepted docs' signatures joined the corpus
+    accepted = {
+        r["doc_id"] for r in spark.read.parquet(corpus).select("doc_id").distinct().collect()
+    }
+    assert accepted == {1, 3}
