@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query, track
+from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
 from kafka_hadoop_consumer_spark.queries.textutil import ngram_expr
 
 N_SHINGLE = 4           # w-shingle width (FIXTURES.md planted pairs use 4)
@@ -607,6 +607,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is one join + one agg — fully distributed; the driver loop
     only checks a 1-row convergence aggregate (sum of labels strictly
     decreases until fixpoint, so equality means converged).
+
+    Scale note: each round is ``localCheckpoint``ed, exactly as in
+    q_graph_cc (graph.py) — a persist alone leaves Catalyst
+    re-analyzing a logical plan that NESTS the prior round's plan, so
+    at boilerplate-chain diameter (~16 rounds at web scale) analysis
+    time grows exponentially even though execution reuses the cache.
+    localCheckpoint truncates lineage after eagerly materializing the
+    round (reliable checkpoint() on a cluster with lossy executors).
     """
     d = load_table(spark, sf_dir, "documents")
     pairs = (
@@ -620,11 +628,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
         )
     )
+    # lineage truncation per round: see docstring (q_graph_cc incident).
+    # Dropping the Python reference each round makes the prior round's
+    # checkpoint RDD unreachable; ContextCleaner frees it on GC.
     labels = (
         edges.select(F.col("doc1").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
-        .persist()
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(16):  # diameter cap; near-dup components are shallow
@@ -633,7 +644,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc1")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr, labels.doc_id == nbr.doc1, "left")
             .select(
                 "doc_id",
@@ -641,16 +652,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        old = labels
-        labels = new_labels
-        old.unpersist()
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    track(labels)  # final frame stays pinned until the next query call
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

@@ -94,6 +94,21 @@ def test_dedup_clusters_match_transitive_closure(spark):
     assert reps == set(expected.values())
 
 
+def test_dedup_clusters_lineage_truncated(spark):
+    """The min-label loop must localCheckpoint per round (the q_graph_cc
+    incident: a persist alone leaves Catalyst re-analyzing a logical
+    plan that nests the prior round, exponential in diameter). After
+    convergence the returned frame's plan must therefore read from a
+    checkpointed RDD — a tiny Project over a scan, NOT the unrolled
+    join tree of every round."""
+    out = QUERIES["q_dedup_clusters"](spark, SF_DIR)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan, plan
+    # an unrolled 3+-round loop would embed repeated Join/Aggregate
+    # blocks and blow far past this; the truncated plan is ~5 lines
+    assert "Join" not in plan and len(plan) < 2000, plan[:500]
+
+
 def test_hot_shingle_df_cap_bounds_pair_explosion(spark):
     """A universal stop-phrase must NOT generate O(n²) candidate pairs:
     shingles with document frequency > DF_CAP are dropped from the exact
