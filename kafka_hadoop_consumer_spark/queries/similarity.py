@@ -2398,12 +2398,12 @@ HYB_POOL = 20            # per-ranker candidate pool depth
 HYB_PRF = 3              # pseudo-relevance-feedback docs per query
 HYB_OUT = 10             # fused results emitted per query
 HYB_Q = 1_000_000        # integer-millionths embedding quantization
-# BM25 parameters shared with q_text_bm25 (queries/text.py) so the two
-# keys can't silently diverge; the full scoring pipeline is still
-# duplicated there (extraction would stale the evidenced key — r7 item)
+# BM25 scoring pipeline (Python AND oracle-SQL sides) shared with
+# q_text_bm25 — one implementation in queries/text.py, so the two keys
+# can't silently diverge (closed r6 review finding).
 from kafka_hadoop_consumer_spark.queries.text import (  # noqa: E402
-    BM25_B as _HYB_B,
-    BM25_K1 as _HYB_K1,
+    bm25_oracle_ctes,
+    bm25_scores,
 )
 _HYB_TERM_ROWS = ", ".join(
     f"('{q}', '{t}')" for q, ts in HYB_QUERIES.items() for t in ts
@@ -2414,29 +2414,13 @@ _HYB_TERM_ROWS = ", ".join(
     "q_e2e_hybrid_search",
     oracle=f"""
     WITH qt(q_id, term) AS (VALUES {_HYB_TERM_ROWS}),
-    docs AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
-             FROM documents),
-    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM docs),
-    tf AS (
-      SELECT doc_id, t AS term, count(*) AS tf
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-            FROM documents)
-      WHERE t IN (SELECT term FROM qt)
-      GROUP BY 1, 2),
-    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    lex AS (
-      SELECT qt.q_id, tf.doc_id,
-             round(sum(
-               ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-               * tf.tf * ({_HYB_K1} + 1)
-               / (tf.tf + {_HYB_K1} * (1 - {_HYB_B}
-                          + {_HYB_B} * docs.dl / stats.avgdl))), 4) AS bm25
-      FROM tf
-      JOIN qt ON qt.term = tf.term
-      JOIN df ON df.term = tf.term
-      JOIN docs ON docs.doc_id = tf.doc_id
-      CROSS JOIN stats
-      GROUP BY qt.q_id, tf.doc_id),
+    {bm25_oracle_ctes(
+        term_pred="t IN (SELECT term FROM qt)",
+        select_keys="qt.q_id AS q_id, tf.doc_id AS doc_id",
+        group_by="qt.q_id, tf.doc_id",
+        extra_joins="JOIN qt ON qt.term = tf.term",
+    )},
+    lex AS (SELECT q_id, doc_id, bm25 FROM bm25_scored),
     lexr AS (
       SELECT q_id, doc_id,
              row_number() OVER (PARTITION BY q_id
@@ -2514,27 +2498,7 @@ def q_e2e_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id string, term string",
     )
     all_terms = [t for ts in HYB_QUERIES.values() for t in ts]
-    docs = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .where(F.col("term").isin(*all_terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
-    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    denom = F.col("tf") + _HYB_K1 * (
-        1 - _HYB_B + _HYB_B * F.col("dl") / F.col("avgdl")
-    )
-    lex = (
-        tf.join(F.broadcast(qt), "term")
-        .join(F.broadcast(df_), "term")
-        .join(docs, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("q_id", "doc_id")
-        .agg(F.round(F.sum(idf * F.col("tf") * (_HYB_K1 + 1) / denom), 4).alias("bm25"))
-    )
+    lex = bm25_scores(d, all_terms, qt=qt)
     w_lex = Window.partitionBy("q_id").orderBy(F.col("bm25").desc(), "doc_id")
     lexr = persist_tracked(
         lex.withColumn("rl", F.row_number().over(w_lex)).where(

@@ -329,27 +329,83 @@ BM25_K1, BM25_B = 1.2, 0.75
 BM25_TOP = 20
 
 
+def bm25_scores(d: DataFrame, terms, qt: DataFrame | None = None) -> DataFrame:
+    """The ONE BM25 scoring pipeline, shared by q_text_bm25 and
+    q_e2e_hybrid_search so the two can't silently diverge (r6 review
+    finding: constants were shared but the scoring plan was rebuilt
+    inline in both files).
+
+    Input: documents frame ``d`` (doc_id, text) and the lexical term
+    list; optionally a (q_id, term) mapping ``qt`` for multi-query
+    scoring. Output: one row per doc_id (or per (q_id, doc_id) when
+    ``qt`` is given) with the summed BM25 score rounded 4dp.
+
+    Scale shape (unchanged from both call sites): the term IN-filter
+    prunes the token stream BEFORE the explode output shuffles; document
+    frequencies, the query-term mapping, and the 1-row (N, avgdl) corpus
+    stats are tiny → broadcast; the heavy side shuffles once into the
+    final hash agg. The ln() idf is libm → rounded on both engines
+    (SURVEY.md §7 R2)."""
+    docs = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term").isin(*list(terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (BM25_K1 + 1) / denom
+    scored, keys = tf, ["doc_id"]
+    if qt is not None:
+        scored, keys = tf.join(F.broadcast(qt), "term"), ["q_id", "doc_id"]
+    return (
+        scored.join(F.broadcast(df_), "term")
+        .join(docs, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(*keys)
+        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+    )
+
+
+def bm25_oracle_ctes(term_pred: str, select_keys: str = "tf.doc_id AS doc_id",
+                     group_by: str = "tf.doc_id", extra_joins: str = "") -> str:
+    """The matching DuckDB CTE block (ends with a ``bm25_scored`` CTE),
+    shared by the same two oracles. Emitted WITHOUT a leading WITH so
+    callers can prepend their own CTEs."""
+    return f"""docs AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM docs),
+    tf AS (
+      SELECT doc_id, t AS term, count(*) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)
+      WHERE {term_pred}
+      GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bm25_scored AS (
+      SELECT {select_keys}, round(sum(
+               ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * docs.dl / stats.avgdl))
+             ), 4) AS bm25
+      FROM tf
+      {extra_joins}
+      JOIN df ON df.term = tf.term
+      JOIN docs ON docs.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY {group_by})"""
+
+
 @query(
     "q_text_bm25",
     oracle=f"""
-    WITH docs AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM docs),
-    tf AS (
-      SELECT doc_id, t AS tok, count(*) AS tf
-      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)
-      WHERE t IN ('join', 'scan', 'filter')
-      GROUP BY 1, 2),
-    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
-    SELECT doc_id, round(sum(
-             ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
-             * tf.tf * ({BM25_K1} + 1)
-             / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * docs.dl / stats.avgdl))
-           ), 4) AS bm25
-    FROM tf
-    JOIN df USING (tok)
-    JOIN docs USING (doc_id)
-    CROSS JOIN stats
-    GROUP BY doc_id
+    WITH {bm25_oracle_ctes(
+        "t IN ('" + "', '".join(BM25_TERMS) + "')"
+    )}
+    SELECT doc_id, bm25 FROM bm25_scored
     ORDER BY bm25 DESC, doc_id
     LIMIT {BM25_TOP}
     """,
@@ -363,30 +419,11 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode output shuffles); document frequencies and the (N, avgdl)
     corpus stats are tiny — broadcast back; final top-k is
     TakeOrderedAndProject. The ln() idf is libm — score rounded 4dp on
-    both engines (SURVEY.md §7 R2)."""
+    both engines (SURVEY.md §7 R2). Scoring pipeline: bm25_scores()
+    (shared with q_e2e_hybrid_search)."""
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .where(F.col("tok").isin(*BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    )
-    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    denom = F.col("tf") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    term_score = idf * F.col("tf") * (BM25_K1 + 1) / denom
     return (
-        tf.join(F.broadcast(df_), "tok")
-        .join(docs, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+        bm25_scores(d, BM25_TERMS)
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(BM25_TOP)
     )
