@@ -650,3 +650,50 @@ def q_source_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_files"),
         F.sum("n_rows").alias("total_rows"),
     )
+
+
+@query(
+    "q_source_pysink_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date
+    FROM orders
+    WHERE o_orderkey % 8 = 0
+    """,
+)
+def q_source_pysink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER roundtrip (§2A A6 inside the same
+    Spark-4 DataSource API the kafka_sim READER uses): a filtered orders
+    projection is written through the ``arrow_sink`` source — per-task
+    Arrow-batch staging files, commit messages back to the driver,
+    all-or-nothing driver-side publish with a _SUCCESS manifest (the
+    FileOutputCommitter-v1 protocol the reference delegated to Hadoop) —
+    then re-read from the committed files and returned ROW-LEVEL, so the
+    value hash proves the sink is lossless for ints, strings, doubles
+    (bit-exact pass-through, unrounded) and dates.
+
+    Scale shape: writer tasks never coordinate (unique staging names;
+    retries can't collide), commit traffic is bytes per task, and the
+    data plane stays in Arrow — no row-at-a-time Python. The published
+    dir is plain parquet, directly readable by any engine."""
+    from kafka_hadoop_consumer_spark.sources import pysink
+
+    pysink.register(spark)
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 8 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+                "o_date"
+            ),
+        )
+    )
+    path = _out_dir(sf_dir, "pysink")
+    src.write.format("arrow_sink").mode("overwrite").option("path", path).save()
+    return spark.read.parquet(path).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_date"
+    )

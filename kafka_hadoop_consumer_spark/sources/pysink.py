@@ -1,0 +1,185 @@
+"""``arrow_sink`` — a custom Python DataSource WRITER (Spark 4
+DataSource API), batch and streaming.
+
+This completes the reference's file-sink contract (SURVEY.md §2A A6:
+the Hadoop job wrote Kafka payloads to HDFS part-files via an
+OutputFormat + FileOutputCommitter) inside the SAME custom-source API
+that ``kafka_sim`` uses for the read side, so the repo demonstrates the
+full Python DataSource surface: reader, stream reader, writer, stream
+writer.
+
+Commit protocol — the part that matters on a 1000-executor cluster:
+
+- each write task streams its partition's Arrow record batches into a
+  UNIQUE staging file (``_staging/<uuid>.parquet``; retried or
+  speculative task attempts get different names and can never collide
+  or tear a committed file);
+- the task returns (staging path, row count) as its commit message —
+  a few bytes per task, never data;
+- ONLY the driver-side ``commit()`` publishes: every staged file is
+  renamed into the target directory and a ``_SUCCESS`` manifest lists
+  exactly the published files with their row counts. Readers see the
+  complete committed set or nothing — the all-or-nothing semantics the
+  reference delegated to HDFS's FileOutputCommitter (v1 algorithm:
+  task-attempt dirs + driver rename);
+- ``abort()`` deletes the staged files, leaving prior committed data
+  untouched.
+
+The streaming writer adds idempotent-replay exactly-once on top: each
+micro-batch publishes under batch-scoped names and records a
+``_commits/<batchId>`` marker INSIDE the same publish step; a replayed
+batch (restart from checkpoint after a crash between sink-commit and
+checkpoint-commit) sees its marker and publishes nothing, so re-reads
+never observe duplicates.
+
+Files are parquet (written by pyarrow from the Arrow batches Spark
+hands the writer — zero row-level Python work), so the committed
+directory is directly re-readable by ``spark.read.parquet`` and by
+DuckDB, which is what makes the roundtrip key fully SQL-oracle-able.
+On a real cluster the ``os.replace`` calls become HDFS/S3 renames
+(single-object rename is atomic on HDFS; on S3 use a manifest-only
+commit, same message shape).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+import sys
+import uuid
+from typing import Iterator, List, Optional
+
+from pyspark import cloudpickle
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+# writer tasks ship to executor python workers, which do not inherit the
+# driver's sys.path — serialize this module by value (same as kafka_sim)
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+SUCCESS_FILE = "_SUCCESS"
+
+
+@dataclasses.dataclass
+class StagedFile(WriterCommitMessage):
+    staged_path: str
+    rows: int
+
+
+def _stage_batches(staging_dir: str, iterator) -> Optional[StagedFile]:
+    """Stream one task's Arrow batches into a unique staging parquet
+    file; empty partitions stage nothing (no 0-row files to publish)."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(staging_dir, exist_ok=True)
+    path = os.path.join(staging_dir, f"{uuid.uuid4().hex}.parquet")
+    writer, rows = None, 0
+    try:
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    if writer is None:
+        return None
+    return StagedFile(staged_path=path, rows=rows)
+
+
+def _publish(target: str, messages: List[Optional[StagedFile]],
+             prefix: str = "part") -> List[dict]:
+    """Driver-side rename of every staged file into ``target``; returns
+    the manifest entries. Deterministic final names (ordinal per task
+    slot) so a listing is stable across reruns of the same data."""
+    entries = []
+    for i, m in enumerate(messages):
+        if m is None:
+            continue
+        final = os.path.join(target, f"{prefix}-{i:05d}.parquet")
+        os.replace(m.staged_path, final)
+        entries.append({"file": os.path.basename(final), "rows": m.rows})
+    return entries
+
+
+def _clean_staging(messages: List[Optional[StagedFile]]) -> None:
+    for m in messages:
+        if m is not None and os.path.exists(m.staged_path):
+            os.remove(m.staged_path)
+
+
+class ArrowSinkWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.overwrite = overwrite
+        self.staging = os.path.join(self.path, "_staging")
+
+    def write(self, iterator) -> Optional[StagedFile]:
+        return _stage_batches(self.staging, iterator)
+
+    def commit(self, messages: List[Optional[StagedFile]]) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f != "_staging":
+                    full = os.path.join(self.path, f)
+                    shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+        entries = _publish(self.path, messages)
+        with open(os.path.join(self.path, SUCCESS_FILE), "w") as fh:
+            json.dump({"files": entries}, fh)
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages: List[Optional[StagedFile]]) -> None:
+        _clean_staging(messages)
+
+
+class ArrowSinkStreamWriter(DataSourceStreamArrowWriter):
+    """Micro-batch sink with idempotent-replay exactly-once (§2A A6+A7):
+    a replayed batchId is detected by its ``_commits/<batchId>`` marker
+    and publishes nothing."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.staging = os.path.join(self.path, "_staging")
+        self.commits = os.path.join(self.path, "_commits")
+
+    def write(self, iterator) -> Optional[StagedFile]:
+        return _stage_batches(self.staging, iterator)
+
+    def commit(self, messages: List[Optional[StagedFile]], batchId: int) -> None:
+        os.makedirs(self.commits, exist_ok=True)
+        marker = os.path.join(self.commits, str(batchId))
+        if os.path.exists(marker):  # replay after crash: already published
+            _clean_staging(messages)
+            return
+        entries = _publish(self.path, messages, prefix=f"batch-{batchId:08d}")
+        with open(marker, "w") as fh:
+            json.dump({"files": entries}, fh)
+
+    def abort(self, messages: List[Optional[StagedFile]], batchId: int) -> None:
+        _clean_staging(messages)
+
+
+class ArrowSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "arrow_sink"
+
+    def writer(self, schema, overwrite: bool) -> ArrowSinkWriter:
+        os.makedirs(self.options["path"], exist_ok=True)
+        return ArrowSinkWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> ArrowSinkStreamWriter:
+        os.makedirs(self.options["path"], exist_ok=True)
+        return ArrowSinkStreamWriter(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering replaces the entry)."""
+    spark.dataSource.register(ArrowSinkDataSource)
