@@ -129,8 +129,14 @@ def _driver_checked_keys() -> set:
                     and rec["def_hash"] != led.def_hash(key, QUERIES, ORACLES)
                 ):
                     seen.discard(key)
-    except Exception:
-        pass
+    except Exception as exc:  # degrade to registration order, but LOUDLY:
+        # a dead STALE mechanism silently presents old green rows as
+        # current ordering input (r6 advice)
+        print(
+            f"warning: STALE-definition re-entry check disabled ({exc!r}); "
+            "key ordering falls back to prior-evidence order",
+            file=sys.stderr,
+        )
     _CHECKED_CACHE[cache_key] = set(seen)
     return seen
 

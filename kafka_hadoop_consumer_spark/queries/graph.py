@@ -299,6 +299,9 @@ _EDGES_CTE = f"""
 # RAISES on a cap exit rather than returning unconverged components.
 CC_MAX_ROUNDS = 12
 CC_LAST_ROUNDS: dict[str, int] = {}  # observability: rounds to fixpoint
+# per-round edge-set sizes of the last run (index 0 = input edges) — the
+# bench scaling probe records these to evidence the O(log V) round claim
+CC_LAST_EDGE_COUNTS: dict[str, list[int]] = {}
 
 
 @query(
@@ -345,7 +348,17 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm — so the hash gate proves the star alternation converged
     to true components rather than replaying its own steps."""
     e = load_table(spark, sf_dir, "events")
-    E = copurchase_edges(e)  # (u, v), u < v, distinct
+    return cc_from_edges(copurchase_edges(e))
+
+
+def cc_from_edges(
+    E: DataFrame, key: str = "q_graph_cc", max_rounds: int = CC_MAX_ROUNDS
+) -> DataFrame:
+    """The large-star/small-star CC core over a distinct (u, v) (u < v)
+    edge frame -> (user_id, component_id, component_size). Extracted
+    from q_graph_cc so bench.py can measure round-count scaling on
+    synthetic graphs (scaling_10x) and other callers reuse the
+    scale-path CC; rounds-to-fixpoint recorded in CC_LAST_ROUNDS[key]."""
 
     def star_round(E: DataFrame) -> DataFrame:
         sym = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -409,17 +422,27 @@ def q_graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eventual, which is fine for a dozen small per-round edge sets.
     E = E.localCheckpoint()
     prev = checksum(E)
-    for rounds in range(1, CC_MAX_ROUNDS + 1):
+    edge_counts = [int(prev[0])]
+    for rounds in range(1, max_rounds + 1):
+        prev_frame = E
         E = star_round(E).localCheckpoint()
         cur = checksum(E)
-        if cur == prev:
+        edge_counts.append(int(cur[0]))
+        # fingerprint equality is probabilistic (count is exact, the
+        # hash-sum could collide); confirm the fixpoint EXACTLY once —
+        # counts already match, so one-direction multiset difference
+        # empty ⇒ set equality. A collision (non-empty diff) just means
+        # the loop keeps iterating; wrong components can never be
+        # emitted (r6 advice).
+        if cur == prev and E.exceptAll(prev_frame).isEmpty():
             break
         prev = cur
     else:
         raise RuntimeError(
-            f"q_graph_cc did not converge in {CC_MAX_ROUNDS} star rounds"
+            f"{key} did not converge in {max_rounds} star rounds"
         )
-    CC_LAST_ROUNDS["q_graph_cc"] = rounds
+    CC_LAST_ROUNDS[key] = rounds
+    CC_LAST_EDGE_COUNTS[key] = edge_counts
     # fixpoint: E = {(node, component_min) | node != component_min};
     # add the self-rooted representatives back in
     roots = E.select(F.col("v").alias("user_id")).distinct().join(
