@@ -6,7 +6,7 @@ result against the plain batch SQL over the same rows.
 This is the "continuous aggregate / materialized view" contract every
 streaming warehouse (Timescale caggs, Materialize, Flink dynamic tables)
 makes: maintaining state incrementally over arriving chunks must be
-indistinguishable from recomputing over the full table. Five state
+indistinguishable from recomputing over the full table. Six state
 shapes are gated, one per fundamentally different state-store path:
 
 - q_stream_continuous_agg — fixed tumbling windows (keyed state, windows
@@ -19,7 +19,10 @@ shapes are gated, one per fundamentally different state-store path:
   landed in different micro-batches are emitted once);
 - q_stream_join_interval — stream-stream join (state is buffered ROWS on
   BOTH unbounded sides, matched across micro-batches, evicted by the
-  other side's watermark).
+  other side's watermark);
+- q_stream_stateful_counters — ARBITRARY user-defined value state
+  (transformWithState where the runtime supports it, auto-downgraded to
+  applyInPandasWithState here — the probe lives in the key itself).
 
 The s_stream_* pytest suite drives the richer streaming surface (restart
 exactly-once, watermark eviction, stream-stream joins); these keys put
@@ -29,6 +32,7 @@ hash gate.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -52,20 +56,40 @@ LAST_BATCHES: dict[str, int] = {}
 LAST_LANDING: dict[str, str] = {}
 
 
+def _reap_landings() -> None:
+    while LAST_LANDING:
+        shutil.rmtree(LAST_LANDING.popitem()[1], ignore_errors=True)
+
+
+atexit.register(_reap_landings)
+
+
+def _new_landing(key: str) -> str:
+    """Fresh per-invocation landing dir (a shared fixed path would let
+    two concurrent sessions — e.g. pytest overlapping a driver pass on
+    the same sf_dir — overwrite each other's files mid-stream). Reaps
+    the key's PREVIOUS landing, so repeated driver/pytest runs keep at
+    most one events-table copy per key under /tmp instead of
+    accumulating them (r6 advice); only the most recent survives for
+    LAST_LANDING-based test re-reads, and atexit removes those."""
+    old = LAST_LANDING.get(key)
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    landing = tempfile.mkdtemp(prefix=f"khcs_{key}_landing_")
+    LAST_LANDING[key] = landing
+    return landing
+
+
 def _land_events(spark: SparkSession, sf_dir: str, key: str) -> tuple[str, object]:
     """Rewrite the events table as N_LANDING_FILES parquet chunks under a
-    FRESH per-invocation landing dir (a shared fixed path would let two
-    concurrent sessions — e.g. pytest overlapping a driver pass on the
-    same sf_dir — overwrite each other's files mid-stream); returns
+    fresh per-invocation landing dir (see _new_landing); returns
     (path, schema). Each chunk becomes one micro-batch
-    (maxFilesPerTrigger=1 + availableNow). Dirs are small and /tmp is
-    ephemeral, so past landings are left for the OS to reap."""
+    (maxFilesPerTrigger=1 + availableNow)."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    landing = tempfile.mkdtemp(prefix=f"khcs_{key}_landing_")
+    landing = _new_landing(key)
     e.repartition(N_LANDING_FILES).write.mode("overwrite").parquet(landing)
-    LAST_LANDING[key] = landing
     return landing, e.schema
 
 
@@ -233,10 +257,9 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    landing = tempfile.mkdtemp(prefix="khcs_q_stream_dedup_exact_landing_")
+    landing = _new_landing("q_stream_dedup_exact")
     half = max(N_LANDING_FILES // 2, 1)
     e.repartition(half).write.mode("overwrite").parquet(landing)
-    LAST_LANDING["q_stream_dedup_exact"] = landing
     extra = [
         f
         for f in os.listdir(landing)
@@ -495,8 +518,7 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mrow = e.orderBy(F.col("ts").desc(), F.col("event_id").desc()).first()
     mid = mrow["event_id"]
-    landing = tempfile.mkdtemp(prefix="khcs_q_stream_late_drop_landing_")
-    LAST_LANDING["q_stream_late_drop"] = landing
+    landing = _new_landing("q_stream_late_drop")
     for k in range(4):
         cond = (
             (F.col("event_id") % 4 == 0) | (F.col("event_id") == mid)
@@ -512,6 +534,7 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dst = os.path.join(landing, f"chunk-{k}.parquet")
         shutil.copyfile(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)  # scratch copied out — reap now
         os.utime(dst, (1_000_000 + k * 100, 1_000_000 + k * 100))
     stream = (
         spark.readStream.schema(e.schema)
@@ -575,9 +598,7 @@ def q_stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def land_side(event_type: str) -> tuple[str, object]:
         side = e.where(F.col("event_type") == event_type)
-        landing = tempfile.mkdtemp(
-            prefix=f"khcs_q_stream_join_interval_{event_type}_"
-        )
+        landing = _new_landing(f"q_stream_join_interval_{event_type}")
         side.repartition(2).write.mode("overwrite").parquet(landing)
         return landing, side.schema
 
@@ -617,4 +638,135 @@ def q_stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.unix_micros("p_ts") - F.unix_micros("c_ts")
             ) / F.lit(60_000_000)
         ).cast("long").alias("mins_before"),
+    )
+
+
+def _cents_counter_fn(key, batches, state):
+    """applyInPandasWithState body for q_stream_stateful_counters:
+    per-user (event count, exact integer cents) carried across
+    micro-batches. Cents via floor(value*100 + 0.5) — the repo's
+    float-free streaming-sum discipline (see q_stream_late_drop), so the
+    cross-batch accumulation order can't drift the hash."""
+    import numpy as np
+    import pandas as pd
+
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
+    )
+
+
+_CENTS_OUT_DDL = "user_id long, n_events long, sum_cents long"
+_CENTS_STATE_DDL = "n long, cents long"
+
+
+class _CentsStatefulProcessor:
+    """transformWithState processor with the same semantics as
+    _cents_counter_fn, instantiated ONLY where the runtime supports it
+    (see q_stream_stateful_counters). Defined lazily as a plain class so
+    importing this module never touches the TWS runner's protobuf
+    dependency."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("counter", _CENTS_STATE_DDL)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+        import pandas as pd
+
+        got = self._state.get()
+        n, cents = got if got is not None else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+        self._state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+@query(
+    "q_stream_stateful_counters",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key streaming state under the driver hash gate: a
+    per-user (count, exact-cents sum) counter maintained ACROSS
+    micro-batches by the arbitrary-stateful operator, whose final
+    per-user values must equal DuckDB's one-shot GROUP BY — the sixth
+    gated state shape (custom value-state, complementing the windowed /
+    session / upsert / seen-key / join-buffer shapes above).
+
+    API selection IS the probe (SURVEY.md §7 R6, r6 verdict item 7):
+    Spark 4's transformWithStateInPandas is preferred when the runtime
+    supports it, but its runner imports google.protobuf, which this
+    container lacks — transform_with_state_available() detects that at
+    runtime and the operator auto-downgrades to applyInPandasWithState
+    with IDENTICAL semantics (same state row, same emissions), so the
+    registry itself documents the limitation instead of only SURVEY.md.
+
+    Update mode emits the running counter each time a batch touches a
+    user; the FINAL counter per user is selected by max n_events (the
+    count is strictly monotonic per emission, so the argmax is unique
+    and deterministic). Scale shape: state is one row per user; each
+    micro-batch partial-aggregates map-side before the state-store
+    merge; the update stream into the sink is the CDC-style changelog a
+    production deployment would upsert, here unioned in memory as the
+    comparison harness."""
+    from kafka_hadoop_consumer_spark.streaming.ops import (
+        transform_with_state_available,
+    )
+
+    landing, schema = _land_events(spark, sf_dir, "q_stream_stateful_counters")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .select("user_id", "value")
+    )
+    if transform_with_state_available():  # pragma: no cover — protobuf
+        # absent in this container; path exercised on full deployments
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        proc = type(
+            "CentsProcessor", (_CentsStatefulProcessor, StatefulProcessor), {}
+        )()
+        counters = stream.groupBy("user_id").transformWithStateInPandas(
+            proc,
+            outputStructType=_CENTS_OUT_DDL,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        counters = stream.groupBy("user_id").applyInPandasWithState(
+            _cents_counter_fn,
+            outputStructType=_CENTS_OUT_DDL,
+            stateStructType=_CENTS_STATE_DDL,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    out = _run_to_table(
+        spark, counters, "q_stream_stateful_counters", mode="update"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_cents")
     )
