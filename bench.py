@@ -44,6 +44,11 @@ HEADLINE = [
     "q_text_tfidf",        # tf-idf with broadcast vocabulary
     "q_e2e_q9",            # 5-table profit rollup (round-2 TPC-H set)
     "q_cdc_scd2",          # change-compressed SCD2 (single-shuffle windows)
+    # r7 promotions (r6 verdict item 6): the two most representative
+    # "modern pipeline" costs, review-hardened in r6 — headline from r7
+    # on (BASELINE.md records the 16-entry anchor arithmetic)
+    "q_graph_cc",          # log-round connected components (iterative)
+    "q_e2e_hybrid_search", # BM25 + PRF dense + RRF fusion composition
 ]
 
 N_RUNS = 3
@@ -413,6 +418,42 @@ def _time_scaling(spark) -> dict:
             "bins_10x": b10x,
             "ratio_bins": round(b10x / b1x, 2) if b1x else None,
         }
+
+        # CC round-scaling (r6 verdict item 5): the large-star/small-star
+        # loop on a PATH graph — maximum diameter per node count, the
+        # adversarial case where diameter-round CC (q_dedup_clusters'
+        # shape) needs n rounds but log-round CC must stay ~log2(V). The
+        # invariant is ROUNDS-TO-FIXPOINT (deterministic, noise-free);
+        # wall-clock from a single run is context only, so no
+        # warm-up/median here — rounds don't jitter.
+        from kafka_hadoop_consumer_spark.queries.graph import (
+            CC_LAST_EDGE_COUNTS,
+            CC_LAST_ROUNDS,
+            cc_from_edges,
+        )
+
+        def cc_run(n: int, key: str) -> float:
+            edges = spark.range(1, n).select(
+                (F.col("id") - 1).alias("u"), F.col("id").alias("v")
+            )
+            t0 = time.perf_counter()
+            materialize(cc_from_edges(edges, key=key, max_rounds=40))
+            return round(time.perf_counter() - t0, 3)
+
+        cc_t1 = cc_run(SCALE_N1, "bench_cc_1x")
+        cc_t10 = cc_run(SCALE_N1 * SCALE_FACTOR, "bench_cc_10x")
+        r1x, r10x = CC_LAST_ROUNDS["bench_cc_1x"], CC_LAST_ROUNDS["bench_cc_10x"]
+        out["q_graph_cc"] = {
+            "graph": "path (diameter = n-1)",
+            "n_1x": SCALE_N1,
+            "n_10x": SCALE_N1 * SCALE_FACTOR,
+            "sec_1x": cc_t1,
+            "sec_10x": cc_t10,
+            "rounds_1x": r1x,
+            "rounds_10x": r10x,
+            "ratio_rounds": round(r10x / r1x, 2) if r1x else None,
+            "edge_counts_per_round_10x": CC_LAST_EDGE_COUNTS["bench_cc_10x"],
+        }
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d10, ignore_errors=True)
@@ -645,8 +686,7 @@ def main() -> None:
                      "q_sim_pq_topk", "q_stats_bootstrap",
                      "q_dedup_substring", "q_graph_triangles",
                      "q_dedup_semdedup", "q_text_bpe_encode",
-                     "q_e2e_dedup_cascade", "q_graph_cc",
-                     "q_e2e_hybrid_search")
+                     "q_e2e_dedup_cascade")
     }
 
     scaling = _time_scaling(spark)
