@@ -678,8 +678,10 @@ def main() -> None:
     # Later-round additions, timed OUTSIDE the headline total so the
     # BASELINE.md anchor comparison stays like-for-like (same policy as
     # scaling_10x/skew_join): the MG heavy-hitter plan, the near-dup-graph
-    # PageRank, PQ ANN, the Poisson bootstrap, and the r6 iterative /
-    # composition keys (log-round CC, hybrid search).
+    # PageRank, PQ ANN, the Poisson bootstrap, and the dedup/text/graph
+    # extras. (q_graph_cc and q_e2e_hybrid_search were timed here through
+    # r6; they are HEADLINE entries from r7 on — BASELINE.md records the
+    # anchor arithmetic.)
     extras = {
         name: time_query(spark, name, sf_dir)
         for name in ("q_text_heavy_hitters", "q_graph_pagerank",

@@ -641,19 +641,31 @@ def q_stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cents_counter_fn(key, batches, state):
-    """applyInPandasWithState body for q_stream_stateful_counters:
-    per-user (event count, exact integer cents) carried across
-    micro-batches. Cents via floor(value*100 + 0.5) — the repo's
-    float-free streaming-sum discipline (see q_stream_late_drop), so the
-    cross-batch accumulation order can't drift the hash."""
+def _accumulate_cents(n: int, cents: int, batches) -> tuple[int, int]:
+    """The ONE accumulation body behind both stateful-counter API paths
+    (applyInPandasWithState and transformWithState must stay
+    bit-identical for the downgrade to be semantics-preserving). Cents
+    via floor(value*100 + 0.5) — the repo's float-free streaming-sum
+    discipline (see q_stream_late_drop), so cross-batch accumulation
+    order can't drift the hash. NULL values are skipped from the sum
+    but counted in n — exactly the oracle's sum()/count(*) semantics
+    (int(NaN) would otherwise crash the query)."""
     import numpy as np
+
+    for pdf in batches:
+        n += len(pdf)
+        v = pdf["value"].to_numpy(dtype="float64")
+        v = v[~np.isnan(v)]
+        cents += int(np.floor(v * 100 + 0.5).sum())
+    return n, cents
+
+
+def _cents_counter_fn(key, batches, state):
+    """applyInPandasWithState body for q_stream_stateful_counters."""
     import pandas as pd
 
     n, cents = state.get if state.exists else (0, 0)
-    for pdf in batches:
-        n += len(pdf)
-        cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+    n, cents = _accumulate_cents(n, cents, batches)
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
@@ -675,14 +687,11 @@ class _CentsStatefulProcessor:
         self._state = handle.getValueState("counter", _CENTS_STATE_DDL)
 
     def handleInputRows(self, key, rows, timerValues):
-        import numpy as np
         import pandas as pd
 
         got = self._state.get()
         n, cents = got if got is not None else (0, 0)
-        for pdf in rows:
-            n += len(pdf)
-            cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+        n, cents = _accumulate_cents(n, cents, rows)
         self._state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}

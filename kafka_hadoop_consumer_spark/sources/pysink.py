@@ -26,11 +26,13 @@ Commit protocol — the part that matters on a 1000-executor cluster:
   untouched.
 
 The streaming writer adds idempotent-replay exactly-once on top: each
-micro-batch publishes under batch-scoped names and records a
-``_commits/<batchId>`` marker INSIDE the same publish step; a replayed
-batch (restart from checkpoint after a crash between sink-commit and
-checkpoint-commit) sees its marker and publishes nothing, so re-reads
-never observe duplicates.
+micro-batch publishes under deterministic (batchId, ordinal) names and
+then records a ``_commits/<batchId>`` marker. A replayed batch with the
+marker present publishes nothing; a replay that finds the marker ABSENT
+(crash between the renames and the marker write) first removes any
+partial prior attempt for that batchId and republishes, so the
+committed directory always converges to exactly one copy of every
+batch — duplicates are impossible in the final state.
 
 Files are parquet (written by pyarrow from the Arrow batches Spark
 hands the writer — zero row-level Python work), so the committed
@@ -120,19 +122,31 @@ class ArrowSinkWriter(DataSourceArrowWriter):
         self.path = options["path"]
         self.overwrite = overwrite
         self.staging = os.path.join(self.path, "_staging")
+        # per-JOB publish prefix: append jobs must never reuse a prior
+        # job's final names (deterministic part-{i} names starting at 0
+        # would silently os.replace an earlier append's files)
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> Optional[StagedFile]:
         return _stage_batches(self.staging, iterator)
 
     def commit(self, messages: List[Optional[StagedFile]]) -> None:
+        manifest_path = os.path.join(self.path, SUCCESS_FILE)
+        prior: List[dict] = []
         if self.overwrite:
             for f in os.listdir(self.path):
                 if f != "_staging":
                     full = os.path.join(self.path, f)
                     shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
-        entries = _publish(self.path, messages)
-        with open(os.path.join(self.path, SUCCESS_FILE), "w") as fh:
-            json.dump({"files": entries}, fh)
+        elif os.path.exists(manifest_path):
+            # append: keep the committed set and extend its manifest
+            with open(manifest_path) as fh:
+                prior = json.load(fh).get("files", [])
+        entries = _publish(
+            self.path, messages, prefix=f"part-{self.job_id}"
+        )
+        with open(manifest_path, "w") as fh:
+            json.dump({"files": prior + entries}, fh)
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages: List[Optional[StagedFile]]) -> None:
@@ -158,7 +172,21 @@ class ArrowSinkStreamWriter(DataSourceStreamArrowWriter):
         if os.path.exists(marker):  # replay after crash: already published
             _clean_staging(messages)
             return
-        entries = _publish(self.path, messages, prefix=f"batch-{batchId:08d}")
+        # The marker lands AFTER the renames, so a crash in between makes
+        # the NEXT replay re-enter here; it must converge to exactly the
+        # replayed batch's files. Deterministic (batchId, ordinal) names
+        # make the renames overwrite a prior partial attempt, and any
+        # higher-ordinal leftovers from an attempt that staged MORE task
+        # files (source repartitioning between attempts) are removed
+        # first — so the committed state is exactly-once even though the
+        # two steps aren't atomic. (On HDFS/S3 swap this for a
+        # manifest-only commit: readers then never see the brief
+        # mid-replay partial state either.)
+        prefix = f"batch-{batchId:08d}"
+        for f in os.listdir(self.path):
+            if f.startswith(prefix):
+                os.remove(os.path.join(self.path, f))
+        entries = _publish(self.path, messages, prefix=prefix)
         with open(marker, "w") as fh:
             json.dump({"files": entries}, fh)
 

@@ -295,6 +295,14 @@ def test_arrow_sink_batch_commit_protocol(spark, tmp_path):
     manifest2 = json.load(open(os.path.join(path, "_SUCCESS")))
     assert sum(e["rows"] for e in manifest2["files"]) == 7
 
+    # append EXTENDS the committed set (job-scoped file names must not
+    # collide with the prior job's) and merges the manifest
+    small.write.format("arrow_sink").mode("append").option("path", path).save()
+    assert spark.read.parquet(path).count() == 14
+    manifest3 = json.load(open(os.path.join(path, "_SUCCESS")))
+    assert sum(e["rows"] for e in manifest3["files"]) == 14
+    assert len(manifest3["files"]) == len(set(e["file"] for e in manifest3["files"]))
+
 
 def test_arrow_sink_stream_exactly_once(spark, tmp_path):
     """Stream writer end-to-end over the kafka_sim source: multiple
@@ -350,3 +358,19 @@ def test_arrow_sink_stream_exactly_once(spark, tmp_path):
     w.commit([pysink.StagedFile(staged_path=os.path.join(out, "_nope"), rows=1)],
              done_batch)
     assert sorted(os.listdir(out)) == committed
+
+    # marker-ABSENT replay after a partial publish: leftovers for that
+    # batchId are removed before republish, so no duplicate files survive
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    b = max(int(x) for x in batches) + 1000
+    tbl = pa.table({"x": [1]})
+    pq.write_table(tbl, os.path.join(out, f"batch-{b:08d}-99999.parquet"))
+    os.makedirs(os.path.join(out, "_staging"), exist_ok=True)
+    sp = os.path.join(out, "_staging", "replay.parquet")
+    pq.write_table(tbl, sp)
+    w.commit([pysink.StagedFile(staged_path=sp, rows=1)], b)
+    files_b = [f for f in os.listdir(out) if f.startswith(f"batch-{b:08d}")]
+    assert files_b == [f"batch-{b:08d}-00000.parquet"]
+    assert os.path.exists(os.path.join(out, "_commits", str(b)))
