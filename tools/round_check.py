@@ -67,6 +67,11 @@ def main() -> int:
 
     for scope in LEAK_SCOPE:
         path = os.path.join(REPO, scope)
+        if not os.path.exists(path):
+            # a renamed/missing scope must FAIL the gate, not silently
+            # scan nothing — this check's whole job is to fail loudly
+            failures.append(f"leak-scan scope missing: {scope}")
+            continue
         files = []
         if os.path.isfile(path):
             files = [path]
