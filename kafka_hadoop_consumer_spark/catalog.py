@@ -37,9 +37,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
     (Spark timestamps are µs). We read it as raw nanos
     (``legacy.parquet.nanosAsLong``) and truncate to a ``timestamp_ntz``
-    with exact integer division — ``ts div 1000``, NOT double division,
-    which rounds up for ns%1000 ≥ ~875 and would disagree with the
-    oracle's ``CAST(ts AS TIMESTAMP)`` floor-truncation.
+    with exact integer FLOOR division — ``(ts - pmod(ts, 1000)) div 1000``:
+    double division rounds up for ns%1000 ≥ ~875, and a bare ``div``
+    truncates toward zero, so a pre-epoch (negative) nanosecond would
+    round UP by 1µs; both would disagree with the oracle's
+    ``CAST(ts AS TIMESTAMP)`` floor-truncation. pmod is always in
+    [0, 999], so the numerator is an exact multiple of 1000 and the
+    division is exact for any sign.
     """
     from kafka_hadoop_consumer_spark.session import ensure_session_defaults
 
@@ -53,7 +57,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+                F.timestamp_micros(
+                    F.expr("(ts - pmod(ts, 1000)) div 1000")
+                ).cast("timestamp_ntz"),
             )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

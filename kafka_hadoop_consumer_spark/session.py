@@ -33,12 +33,21 @@ def ensure_session_defaults(spark: SparkSession) -> None:
       comparisons assume UTC epoch math (SURVEY.md §7 R3);
     - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS) (catalog.py);
     - Arrow: pandas-UDF interchange.
+
+    Pinned once per session object: every load_table call routes here
+    (10x per register_views), and each conf.set is a py4j round-trip —
+    the memo keeps the hot path free of ~40 redundant driver calls. A
+    caller that mutates these confs afterwards owns the consequences
+    (nothing in the engine does).
     """
+    if getattr(spark, "_khcs_defaults_pinned", False):
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # custom Python data sources absorb offset-range predicates
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark._khcs_defaults_pinned = True
 
 
 def get_spark(app_name: str = "kafka_hadoop_consumer_spark",

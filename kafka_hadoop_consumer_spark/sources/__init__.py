@@ -7,9 +7,21 @@ is a full extra scan at 100 TB).
 """
 
 from kafka_hadoop_consumer_spark.sources.batch import (
+    corrupt_record_schema,
     read_csv,
     read_json,
+    read_sequence_file,
+    write_bucketed_table,
     write_partitioned_parquet,
+    write_sequence_file,
 )
 
-__all__ = ["read_csv", "read_json", "write_partitioned_parquet"]
+__all__ = [
+    "corrupt_record_schema",
+    "read_csv",
+    "read_json",
+    "read_sequence_file",
+    "write_bucketed_table",
+    "write_partitioned_parquet",
+    "write_sequence_file",
+]

@@ -22,6 +22,16 @@ def read_csv(spark: SparkSession, path: str, schema: str,
     )
 
 
+def corrupt_record_schema(schema: str, corrupt_col: str) -> str:
+    """Append the quarantine column to a DDL schema — the PERMISSIVE
+    dead-letter contract shared by this batch JSON reader and the
+    streaming decode path (streaming/ingest.py): the corrupt-record
+    column must be part of the DECLARED schema or the parser has nowhere
+    to put the raw line (from_json PERMISSIVE otherwise yields an
+    all-null struct with no signal)."""
+    return f"{schema}, {corrupt_col} string"
+
+
 def read_json(spark: SparkSession, path: str, schema: str,
               mode: str = "PERMISSIVE",
               corrupt_col: str | None = None) -> DataFrame:
@@ -35,7 +45,7 @@ def read_json(spark: SparkSession, path: str, schema: str,
     tests/test_sources.py exercises all three."""
     reader = spark.read
     if corrupt_col:
-        schema = f"{schema}, {corrupt_col} string"
+        schema = corrupt_record_schema(schema, corrupt_col)
         reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     return reader.schema(schema).option("mode", mode).json(path)
 
@@ -63,12 +73,33 @@ def write_sequence_file(df: DataFrame, path: str,
     then ``saveAsSequenceFile`` (org.apache.hadoop.io.Text via the
     default converters). No shuffle — one part file per partition,
     exactly the reference's map-task layout.
+
+    Coercion is explicit, not str(): a NULL payload lands as the empty
+    string (not the literal "None") and a binary payload is UTF-8
+    decoded (not repr'd as "bytearray(b'...')") — str() would silently
+    corrupt both in the lake. Missing columns fail HERE, not as a
+    KeyError inside an executor lambda.
     """
-    cols = df.columns
+    need = [value_col] + ([key_col] if key_col else [])
+    missing = [c for c in need if c not in df.columns]
+    if missing:
+        raise KeyError(
+            f"write_sequence_file: column(s) {missing} not in {df.columns}"
+        )
+
+    def to_text(v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).decode("utf-8", "replace")
+        return str(v)
+
     if key_col is None:
-        pairs = df.rdd.map(lambda r: ("", str(r[value_col])))
+        pairs = df.rdd.map(lambda r: ("", to_text(r[value_col])))
     else:
-        pairs = df.rdd.map(lambda r, k=key_col: (str(r[k]), str(r[value_col])))
+        pairs = df.rdd.map(
+            lambda r, k=key_col: (to_text(r[k]), to_text(r[value_col]))
+        )
     pairs.saveAsSequenceFile(path)
 
 

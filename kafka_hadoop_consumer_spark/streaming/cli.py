@@ -110,7 +110,28 @@ def spec_from_args(args: argparse.Namespace) -> SourceSpec:
 
 
 def main(argv: list[str] | None = None) -> None:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    # normalize "a, b" / trailing-comma spellings instead of passing
+    # whitespace-prefixed or empty column names to partitionBy
+    partition_by = (
+        [c.strip() for c in args.partition_by.split(",") if c.strip()]
+        if args.partition_by
+        else None
+    )
+    # reject flag combinations that could only fail later with a
+    # confusing AnalysisException (or be silently ignored):
+    if args.sink_format == "text" and partition_by:
+        parser.error(
+            "--sink-format text writes a single 'value' column and "
+            "cannot be partitioned by payload columns; use parquet"
+        )
+    if args.kind == "rate" and args.limit is not None:
+        parser.error(
+            "--limit is not supported for --kind rate (the rate source "
+            "has no offset to cap); use a file or kafka_sim source for "
+            "capped runs"
+        )
     from kafka_hadoop_consumer_spark import get_spark
 
     spark = get_spark(app_name="ingest-cli")
@@ -121,7 +142,7 @@ def main(argv: list[str] | None = None) -> None:
         checkpoint=args.checkpoint,
         json_schema=args.json_payload_schema,
         available_now=not args.continuous,
-        partition_by=args.partition_by.split(",") if args.partition_by else None,
+        partition_by=partition_by,
         max_runtime_sec=args.max_runtime_sec,
         sink_format=args.sink_format,
     )

@@ -154,7 +154,11 @@ def decode_payload(
     if json_schema is not None:
         payload_col = "payload" if "payload" in decoded.columns else decoded.columns[0]
         if corrupt_col:
-            schema_arg = f"{json_schema}, {corrupt_col} string"
+            from kafka_hadoop_consumer_spark.sources.batch import (
+                corrupt_record_schema,
+            )
+
+            schema_arg = corrupt_record_schema(json_schema, corrupt_col)
             opts = {"columnNameOfCorruptRecord": corrupt_col}
         else:
             schema_arg, opts = json_schema, {}

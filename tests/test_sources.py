@@ -374,3 +374,75 @@ def test_arrow_sink_stream_exactly_once(spark, tmp_path):
     files_b = [f for f in os.listdir(out) if f.startswith(f"batch-{b:08d}")]
     assert files_b == [f"batch-{b:08d}-00000.parquet"]
     assert os.path.exists(os.path.join(out, "_commits", str(b)))
+
+
+def test_sequence_file_null_and_binary_coercion(spark, tmp_path):
+    """NULL payloads must land as empty strings (not the literal 'None')
+    and binary payloads as their UTF-8 decoding (not a bytearray repr) —
+    str() coercion silently corrupted both."""
+    from kafka_hadoop_consumer_spark.sources import (
+        read_sequence_file,
+        write_sequence_file,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok", bytearray(b"raw-bytes")), (2, None, None)],
+        "id long, payload string, blob binary",
+    )
+    p1 = str(tmp_path / "seq_null")
+    write_sequence_file(df, p1, key_col="id", value_col="payload")
+    got = {r.key: r.value for r in read_sequence_file(spark, p1).collect()}
+    assert got == {"1": "ok", "2": ""}
+
+    p2 = str(tmp_path / "seq_bin")
+    write_sequence_file(df, p2, key_col="id", value_col="blob")
+    got = {r.key: r.value for r in read_sequence_file(spark, p2).collect()}
+    assert got == {"1": "raw-bytes", "2": ""}
+
+    import pytest
+
+    with pytest.raises(KeyError, match="nope"):
+        write_sequence_file(df, str(tmp_path / "x"), value_col="nope")
+
+
+def test_ingest_cli_rejects_impossible_flag_combos(tmp_path):
+    """The CLI must refuse up front what could only crash (text sink +
+    partition-by: the text sink carries one 'value' column) or be
+    silently ignored (--limit on the rate source)."""
+    import pytest
+
+    from kafka_hadoop_consumer_spark.streaming.cli import main
+
+    base = ["--out", str(tmp_path / "o"), "--checkpoint", str(tmp_path / "c")]
+    with pytest.raises(SystemExit):
+        main(["--kind", "kafka_sim", "--sink-format", "text",
+              "--partition-by", "partition", *base])
+    with pytest.raises(SystemExit):
+        main(["--kind", "rate", "--limit", "10", *base])
+
+
+def test_ingest_cli_normalizes_partition_by(spark, tmp_path):
+    """Natural shell spacing ('a, b') and trailing commas must not
+    produce whitespace-prefixed or empty partition column names."""
+    from kafka_hadoop_consumer_spark.streaming.cli import main
+
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+    main(["--kind", "kafka_sim", "--topic", "t", "--n-partitions", "2",
+          "--n-messages", "10", "--partition-by", " topic, partition,",
+          "--out", out, "--checkpoint", ck])
+    import os
+
+    assert any(d.startswith("topic=") for d in os.listdir(out)), os.listdir(out)
+
+
+def test_events_ts_floor_division_is_sign_correct(spark):
+    """Nanos -> micros truncation must FLOOR (match the oracle's CAST),
+    not truncate toward zero: a pre-epoch ts with ns%1000 != 0 rounds
+    DOWN, never up."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(-1500,), (1500,), (-2000,)], "ts long")
+    out = df.select(
+        F.expr("(ts - pmod(ts, 1000)) div 1000").alias("us")
+    ).collect()
+    assert [r.us for r in out] == [-2, 1, -2]
