@@ -27,8 +27,11 @@ def observed(df: DataFrame, *required_cols: str) -> tuple[DataFrame, Observation
     obs = Observation()
     metrics = [F.count(F.lit(1)).alias("n_rows")]
     for c in required_cols:
+        # count(when(...)), not sum(when/otherwise): sum over ZERO rows
+        # is NULL, so an empty input would surface null_<col> = None and
+        # break `obs.get["null_ts"] == 0` gates; count is always integral
         metrics.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}")
         )
     return df.observe(obs, *metrics), obs
 

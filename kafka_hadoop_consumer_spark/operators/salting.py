@@ -50,6 +50,10 @@ def salted_join(
             "outer variants would emit each unmatched small-side row "
             "n_salts times (one per replica)"
         )
+    if n_salts < 1:
+        # pmod(x, 0) is NULL (non-ANSI), which never equi-joins — a typo
+        # would silently drop the entire join output
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     salt_src = F.xxhash64(*[F.col(c) for c in (salt_cols or large.columns)])
     salted_large = large.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)).cast("int"))
     replicated_small = small.withColumn(

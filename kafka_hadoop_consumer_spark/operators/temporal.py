@@ -52,9 +52,14 @@ def asof_join(
     null-key left row into ONE window partition, of which only the
     row_number()==1 winner survives — silently violating the
     one-output-row-per-left-row contract rather than erroring. Filter or
-    surrogate-key null ids before calling. ``tolerance`` (same units as
-    the timestamp columns)
-    bounds how far back/forward a match may be. ``how='left'`` keeps
+    surrogate-key null ids before calling.
+
+    ``tolerance`` bounds how far back/forward a match may be. Type
+    contract (checked eagerly): for ``backward``/``forward`` the band is
+    ``ts ± tolerance`` in the ts columns' OWN units, so those columns
+    must be numeric (epoch micros/seconds); for ``nearest`` the ts
+    columns must instead be timestamp-castable and ``tolerance`` is in
+    SECONDS. ``how='left'`` keeps
     unmatched left rows null-extended. Equal right timestamps are broken
     by ``tie_break`` (a unique right column, ordered in the same direction
     as the timestamp) — pass one whenever right timestamps can collide,
@@ -73,6 +78,24 @@ def asof_join(
     overlap = (set(left.columns) & set(right.columns)) - {by}
     if overlap:
         raise ValueError(f"non-by columns must be disjoint, shared: {sorted(overlap)}")
+    if tolerance is not None and direction != "nearest":
+        # fail with guidance NOW, not as a DATATYPE_MISMATCH at analysis:
+        # the banded condition computes ts - tolerance in the column's
+        # own units, which timestamp types don't support
+        bad = [
+            (c, t)
+            for c, t in (
+                (left_ts, dict(left.dtypes).get(left_ts, "")),
+                (right_ts, dict(right.dtypes).get(right_ts, "")),
+            )
+            if t.startswith(("timestamp", "date"))
+        ]
+        if bad:
+            raise ValueError(
+                f"direction={direction!r} with a tolerance needs NUMERIC "
+                f"(epoch) ts columns, got {bad}; cast to epoch units or "
+                "use direction='nearest' (tolerance in seconds)"
+            )
 
     r = right.withColumnRenamed(by, "_asof_by")
     lt, rt = F.col(left_ts), F.col(right_ts)
@@ -140,19 +163,27 @@ def interval_overlap_join(
             f"column names must be disjoint, shared: {sorted(set(a.columns) & set(b.columns))}"
         )
     W = int(bucket_width)
+    if W <= 0:
+        # x DIV 0 is NULL, sequence(NULL, NULL) is NULL, explode(NULL)
+        # emits nothing — a zero width would silently return 0 pairs
+        raise ValueError(f"bucket_width must be a positive integer, got {W}")
+    # column names are backtick-quoted inside the SQL fragments so names
+    # with spaces/reserved words behave like they do under F.col
+    qa_s, qa_e = f"`{a_start}`", f"`{a_end}`"
+    qb_s, qb_e = f"`{b_start}`", f"`{b_end}`"
     ab = a.withColumn(
-        "_ivl_bkt", F.explode(F.expr(f"sequence({a_start} DIV {W}, {a_end} DIV {W})"))
+        "_ivl_bkt", F.explode(F.expr(f"sequence({qa_s} DIV {W}, {qa_e} DIV {W})"))
     )
     bb = b.withColumn(
         "_ivl_bkt",
-        F.explode(F.expr(f"sequence({b_start} DIV {W}, ({b_end} - 1) DIV {W})")),
+        F.explode(F.expr(f"sequence({qb_s} DIV {W}, ({qb_e} - 1) DIV {W})")),
     )
     return (
         ab.join(bb, "_ivl_bkt")
         .where(
             (F.col(a_start) < F.col(b_end))
             & (F.col(a_end) >= F.col(b_start))
-            & (F.col("_ivl_bkt") == F.expr(f"greatest({a_start}, {b_start}) DIV {W}"))
+            & (F.col("_ivl_bkt") == F.expr(f"greatest({qa_s}, {qb_s}) DIV {W}"))
         )
         .drop("_ivl_bkt")
     )

@@ -20,14 +20,37 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def _split_top_level(body: str) -> list[str]:
+    """Split on commas NOT nested inside (), [], or <> — filter entries
+    like EqualTo(col,val) and struct fields like v:array<double> contain
+    commas/angle brackets that a naive split would shred."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in body:
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
-    """Filters that reached the parquet scan (PushedFilters: [...])."""
+    """Filters that reached the parquet scan (PushedFilters: [...]),
+    one WHOLE entry per filter (EqualTo(col,val) stays one element)."""
     plan = formatted_plan(df)
     out: list[str] = []
     for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan):
         body = m.group(1).strip()
         if body:
-            out.extend(p.strip() for p in body.split(","))
+            out.extend(_split_top_level(body))
     return out
 
 
@@ -36,10 +59,14 @@ def read_schema_columns(df: DataFrame) -> list[set[str]]:
     the observable form of column pruning."""
     plan = formatted_plan(df)
     schemas: list[set[str]] = []
-    for m in re.finditer(r"ReadSchema: struct<(.*?)>", plan):
+    # greedy to the LAST '>' on the line: a non-greedy match would stop
+    # at the first '>' of a nested complex type (array<double>) and drop
+    # every column after it; top-level-comma split keeps nested commas in
+    # their field
+    for m in re.finditer(r"ReadSchema: struct<(.*)>", plan):
         cols = {
             c.split(":")[0].strip()
-            for c in m.group(1).split(",")
+            for c in _split_top_level(m.group(1))
             if ":" in c
         }
         schemas.append(cols)
@@ -62,6 +89,8 @@ def n_shuffle_exchanges(df: DataFrame) -> int:
     for line in tree.splitlines():
         if "Exchange" not in line or "BroadcastExchange" in line:
             continue
+        if "ReusedExchange" in line:
+            continue  # reuse of an already-counted shuffle, not a new one
         m = re.search(r"Exchange.*\((\d+)\)\s*$", line)
         if m:
             ids.add(m.group(1))

@@ -41,17 +41,12 @@ ORACLES: dict[str, str] = {}
 # accumulates dead caches across the operator inventory.
 _TRACKED: list[DataFrame] = []
 _TRACKED_OWNER: str | None = None
+_ACTIVE_DEPTH = 0  # >0 while inside a registered query's build function
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     """Persist ``df`` and pin it until a different query runs."""
     _TRACKED.append(df.persist())
-    return df
-
-
-def track(df: DataFrame) -> DataFrame:
-    """Pin an already-persisted ``df`` for release when the query changes."""
-    _TRACKED.append(df)
     return df
 
 
@@ -62,7 +57,14 @@ def release_tracked() -> None:
 
 
 def _on_query_start(name: str) -> None:
+    # A registered query that DELEGATES to another registered query
+    # (e.g. q_win_ntile -> q_win_ntile_scalable) must not ping-pong the
+    # owner: releasing inside the outer call would unpersist the outer
+    # query's pins mid-build, and warm reruns of the delegating key
+    # would rebuild the cache cold every invocation.
     global _TRACKED_OWNER
+    if _ACTIVE_DEPTH > 0:
+        return
     if _TRACKED_OWNER != name:
         release_tracked()
         _TRACKED_OWNER = name
@@ -124,6 +126,8 @@ def distributed_prefix(
     acc = None
     for pid, v in per_part:
         offsets[pid] = acc
+        if v is None:  # a range partition whose values are all NULL
+            continue   # contributes nothing to the running prefix
         if acc is None:
             acc = v
         elif op == "sum":
@@ -176,8 +180,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            global _ACTIVE_DEPTH
             _on_query_start(name)
-            return fn(spark, sf_dir)
+            _ACTIVE_DEPTH += 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _ACTIVE_DEPTH -= 1
 
         QUERIES[name] = wrapped
         if oracle is not None:
