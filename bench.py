@@ -440,6 +440,73 @@ def _time_scaling(spark) -> dict:
             materialize(cc_from_edges(edges, key=key, max_rounds=40))
             return round(time.perf_counter() - t0, 3)
 
+        # Hybrid-search scaling (r7 verdict item: it joined the headline
+        # set without the scale evidence every other promoted key
+        # carries). Same hybrid_search core as q_e2e_hybrid_search, with
+        # vocabulary-matched query terms over the synthetic corpora. Two
+        # invariants: wall ratio ~linear (every stage is one corpus scan
+        # + per-query windows over <=POOL rows), and the PRUNED token
+        # stream — the rows that actually reach the BM25 explode-output
+        # shuffle — stays the query-term fraction of the corpus (6 of 40
+        # vocab words), evidencing "the IN-filter prunes BEFORE the
+        # shuffle" with row counts, not prose.
+        from kafka_hadoop_consumer_spark.queries.similarity import (
+            hybrid_search,
+        )
+
+        hyb_queries = {
+            "hq1": ("w1", "w2"),
+            "hq2": ("w3", "w4"),
+            "hq3": ("w5", "w6"),
+        }
+        hyb_terms = [t for ts in hyb_queries.values() for t in ts]
+
+        def load_docs(d):
+            # synth docs lack the metadata cols the hydration projects
+            return (
+                spark.read.parquet(os.path.join(d, "documents.parquet"))
+                .withColumn("lang", F.lit("en"))
+                .withColumn("source", F.lit("synth"))
+            )
+
+        def hyb(d):
+            return hybrid_search(spark, load_docs(d), spark.read.parquet(
+                os.path.join(d, "embeddings.parquet")), hyb_queries)
+
+        def token_counts(d):
+            """(total exploded tokens, tokens surviving the term
+            IN-filter) — the second number is the BM25 stage's shuffle
+            input row count."""
+            row = (
+                load_docs(d)
+                .select(F.explode(F.split("text", " ")).alias("term"))
+                .agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.count(
+                        F.when(F.col("term").isin(*hyb_terms), 1)
+                    ).alias("pruned"),
+                )
+                .first()
+            )
+            return int(row["total"]), int(row["pruned"])
+
+        hy_t1, hy_t10 = timed(lambda: hyb(d1)), timed(lambda: hyb(d10))
+        tot1, pr1 = token_counts(d1)
+        tot10, pr10 = token_counts(d10)
+        out["q_e2e_hybrid_search"] = {
+            "n_1x": SCALE_N1,
+            "n_10x": SCALE_N1 * SCALE_FACTOR,
+            "sec_1x": hy_t1,
+            "sec_10x": hy_t10,
+            "ratio": round(hy_t10 / hy_t1, 2) if hy_t1 else None,
+            "tokens_total_1x": tot1,
+            "tokens_after_in_filter_1x": pr1,
+            "tokens_total_10x": tot10,
+            "tokens_after_in_filter_10x": pr10,
+            "ratio_pruned_tokens": round(pr10 / pr1, 2) if pr1 else None,
+            "prune_fraction_10x": round(pr10 / tot10, 3) if tot10 else None,
+        }
+
         cc_t1 = cc_run(SCALE_N1, "bench_cc_1x")
         cc_t10 = cc_run(SCALE_N1 * SCALE_FACTOR, "bench_cc_10x")
         r1x, r10x = CC_LAST_ROUNDS["bench_cc_1x"], CC_LAST_ROUNDS["bench_cc_10x"]

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
@@ -399,15 +399,22 @@ def cc_from_edges(
         )
         return small
 
-    def checksum(E: DataFrame) -> tuple:
+    def checkpoint_with_fingerprint(E: DataFrame) -> tuple[DataFrame, tuple]:
         # order-independent exact set fingerprint: count + decimal sum of
         # a 64-bit row hash (decimal so the sum can't overflow); equality
-        # across a round == the edge set reached its fixpoint
-        row = E.agg(
-            F.count(F.lit(1)),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-        ).collect()[0]
-        return tuple(row)
+        # across a round == the edge set reached its fixpoint. The
+        # fingerprint rides the localCheckpoint materialization job via
+        # observe() — ONE job per round, not checksum-job + round-job
+        # (the Observation is populated by checkpoint's own action; the
+        # wait after the job is sub-millisecond).
+        obs = Observation()
+        out = E.observe(
+            obs,
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("hsum"),
+        ).localCheckpoint()
+        m = obs.get
+        return out, (m["cnt"], m["hsum"])
 
     # Each round's plan references the previous round's frame ~8 times,
     # so a cache alone leaves Catalyst re-analyzing an exponentially
@@ -420,13 +427,11 @@ def cc_from_edges(
     # dropping the Python reference each round makes the old round's
     # RDD unreachable, and Spark's ContextCleaner unpersists it on GC —
     # eventual, which is fine for a dozen small per-round edge sets.
-    E = E.localCheckpoint()
-    prev = checksum(E)
+    E, prev = checkpoint_with_fingerprint(E)
     edge_counts = [int(prev[0])]
     for rounds in range(1, max_rounds + 1):
         prev_frame = E
-        E = star_round(E).localCheckpoint()
-        cur = checksum(E)
+        E, cur = checkpoint_with_fingerprint(star_round(E))
         edge_counts.append(int(cur[0]))
         # fingerprint equality is probabilistic (count is exact, the
         # hash-sum could collide); confirm the fixpoint EXACTLY once —
@@ -451,11 +456,18 @@ def cc_from_edges(
     labels = E.select(
         F.col("u").alias("user_id"), F.col("v").alias("component_id")
     ).unionAll(roots.select("user_id", F.col("user_id").alias("component_id")))
-    sizes = labels.groupBy("component_id").agg(
-        F.count(F.lit(1)).alias("component_size")
-    )
-    return labels.join(F.broadcast(sizes), "component_id").select(
-        "user_id", "component_id", "component_size"
+    # component_size via an unordered window over component_id: ONE
+    # shuffle of labels, no second frame. The former groupBy+broadcast
+    # join was an UNBOUNDED broadcast — component count is O(|V|) on a
+    # sparse 100 TB graph (worst case: all-singleton components), far
+    # beyond driver/broadcast range. A window partition holds one
+    # component's rows, the same residency a shuffle join on
+    # component_id would need, so skew is not made worse.
+    w = Window.partitionBy("component_id")
+    return labels.select(
+        "user_id",
+        "component_id",
+        F.count(F.lit(1)).over(w).alias("component_size"),
     )
 
 

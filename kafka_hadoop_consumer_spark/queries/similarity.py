@@ -2492,12 +2492,28 @@ def q_e2e_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection included — replays bit-exactly in the oracle. At 100 TB
     swap stage (3) for the IVF/PQ shortlist (same (q, doc, rank)
     shape); ranks stay per-query windows, never global."""
-    d = load_table(spark, sf_dir, "documents")
+    return hybrid_search(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        HYB_QUERIES,
+    )
+
+
+def hybrid_search(
+    spark: SparkSession, d: DataFrame, emb: DataFrame, queries: dict
+) -> DataFrame:
+    """The hybrid-retrieval core behind q_e2e_hybrid_search, extracted
+    (same pattern as graph.cc_from_edges) so bench.py's scaling_10x
+    probe can run the identical plan over synthetic 1x/10x corpora with
+    vocabulary-matched query terms. ``d`` needs (doc_id, text, lang,
+    source); ``emb`` needs (vec_id, embedding array<float>); ``queries``
+    maps q_id -> lexical term tuple."""
     qt = spark.createDataFrame(
-        [(q, t) for q, ts in HYB_QUERIES.items() for t in ts],
+        [(q, t) for q, ts in queries.items() for t in ts],
         "q_id string, term string",
     )
-    all_terms = [t for ts in HYB_QUERIES.values() for t in ts]
+    all_terms = [t for ts in queries.values() for t in ts]
     lex = bm25_scores(d, all_terms, qt=qt)
     w_lex = Window.partitionBy("q_id").orderBy(F.col("bm25").desc(), "doc_id")
     lexr = persist_tracked(
@@ -2505,7 +2521,7 @@ def q_e2e_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rl") <= HYB_POOL
         )
     )
-    eq = load_table(spark, sf_dir, "embeddings").select(
+    eq = emb.select(
         "vec_id",
         F.transform(
             "embedding",
