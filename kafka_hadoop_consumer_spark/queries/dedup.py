@@ -82,7 +82,9 @@ def exact_jaccard_pairs(sh: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
 
     The capped posting table feeds two plan branches (pairs + sizes) and
     is persisted for the duration of the query. The per-doc sizes table
-    is rows=|docs| → broadcast on both probe sides.
+    is rows=|docs| — UNBOUNDED, so its two probe joins carry no
+    broadcast hint (AQE broadcasts when small; at corpus scale they are
+    shuffle equi-joins keyed on the same doc ids as the pair table).
     """
     return pair_overlap_counts(sh, df_cap).select(
         "doc1",
@@ -119,7 +121,7 @@ def pair_overlap_counts(sh: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
     )
     s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("n2"))
-    return inter.join(F.broadcast(s1), "doc1").join(F.broadcast(s2), "doc2")
+    return inter.join(s1, "doc1").join(s2, "doc2")
 
 
 @query(
@@ -1051,8 +1053,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     each iteration is one join (rank table moves to the edges'
     partitioning) plus one groupBy-dst shuffle carrying |V| partial
     sums — the standard distributed PageRank plan, linear per iteration.
-    Degree and |V| are broadcast-sized and the unrolled loop builds ONE
-    Catalyst plan (no driver-side collect between iterations)."""
+    The per-node degree table is O(|V|) (unbounded on a 100 TB graph) so
+    its per-iteration join carries NO broadcast hint — it lands on the
+    groupBy(dst)'s existing partitioning, and AQE broadcasts it when the
+    graph is actually small; only the 1-row |V| count is hint-broadcast.
+    The unrolled loop builds ONE Catalyst plan (no driver-side collect
+    between iterations)."""
     d = load_table(spark, sf_dir, "documents")
     pairs = (
         exact_jaccard_pairs(shingles(d))
@@ -1077,7 +1083,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = (
             contrib.groupBy("dst")
             .agg(F.sum("m").alias("s"))
-            .join(F.broadcast(deg), F.col("dst") == F.col("src"))
+            .join(deg, F.col("dst") == F.col("src"))
             .crossJoin(F.broadcast(nv))
             .select(
                 F.col("dst").alias("id"),

@@ -1691,10 +1691,13 @@ def q_time_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue per cohort user (the LTV curve a growth team plots).
 
     Scale shape: firsts and weekly revenue are user-keyed hash aggs
-    (map-side combinable); the cohort assignment join broadcasts the
-    per-user firsts at fixture scale and stays an equi-join at any
-    scale; the cumulative window rides a per-cohort partitioning of the
-    |cohorts| x |periods| aggregate. Weekly revenue is rounded 2dp on
+    (map-side combinable); the cohort assignment is a plain equi-join on
+    user_id — firsts is one row PER USER (unbounded), so it must never
+    carry a broadcast hint; AQE broadcasts it when it is actually small.
+    The cumulative window rides a per-cohort partitioning of the
+    |cohorts| x |periods| aggregate, and the cohort-sizes join side is
+    bounded by the number of WEEKS in the data, which is why that one
+    keeps its hint. Weekly revenue is rounded 2dp on
     both engines BEFORE the cumulative sum (windowed double sums
     associate differently), and the final per-user division rounds 4dp.
     """
@@ -1711,7 +1714,7 @@ def q_time_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cohort_users")
     )
     weekly = (
-        e.join(F.broadcast(firsts), "user_id")
+        e.join(firsts, "user_id")
         .groupBy(
             "cohort_week", (F.col("week_id") - F.col("cohort_week")).alias("period")
         )

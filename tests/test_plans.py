@@ -605,3 +605,27 @@ def test_dpp_join_key_prunes_partitions(spark):
 
     plan = formatted_plan(QUERIES["q_source_dpp_join"](spark, SF_DIR))
     assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def test_broadcast_sites_classified():
+    """Every explicit F.broadcast site must carry a size-bound
+    classification in tools/broadcast_audit.py's ledger (r7 verdict:
+    cc_from_edges broadcast an O(|V|)-row aggregate; this gate makes
+    the boundedness argument a reviewed artifact instead of a per-site
+    docstring convention). A new/edited site fails here until its
+    bound is classified; a removed site fails until its ledger entry
+    is dropped."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "broadcast_audit",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "broadcast_audit.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    unclassified, stale = mod.audit()
+    assert not unclassified, f"unclassified F.broadcast sites: {unclassified}"
+    assert not stale, f"stale broadcast-ledger entries: {stale}"
