@@ -34,6 +34,18 @@ _CHECKED_CACHE: dict = {}
 
 
 def _driver_checked_keys() -> set:
+    return _evidence_state()[0]
+
+
+def _evidence_rounds() -> dict:
+    """{key: round of its latest driver row} — ordering input only (lets
+    _prioritized spend spare window slots on the OLDEST evidence, so no
+    key's certification row ages more than a few rounds behind shared-
+    helper churn; r7 verdict item 5)."""
+    return _evidence_state()[1]
+
+
+def _evidence_state() -> tuple:
     import glob
     import json
     import re
@@ -64,7 +76,8 @@ def _driver_checked_keys() -> set:
         _stat(os.path.join(here, "COVERAGE_DEFS.json")),
     )
     if cache_key in _CHECKED_CACHE:
-        return set(_CHECKED_CACHE[cache_key])
+        seen, rounds = _CHECKED_CACHE[cache_key]
+        return set(seen), dict(rounds)
 
     # Classification AND the file scan mirror tools/coverage_ledger (the
     # loaded module's versions are preferred so the two cannot drift); a
@@ -91,10 +104,11 @@ def _driver_checked_keys() -> set:
         led = None
 
     latest: dict = {}
+    rounds: dict = {}
     if led is not None:
-        latest = {
-            k: row for k, (_rnd, row) in led.collect_rows(repo=here).items()
-        }
+        for k, (rnd, row) in led.collect_rows(repo=here).items():
+            latest[k] = row
+            rounds[k] = rnd
     else:
         for _rnd, path in sorted(paths):
             try:
@@ -116,6 +130,7 @@ def _driver_checked_keys() -> set:
                 continue
             for key, row in rows.items():
                 latest[key] = row
+                rounds[key] = _rnd
 
     def _ok(row) -> bool:
         if led is not None:
@@ -163,16 +178,28 @@ def _driver_checked_keys() -> set:
             "key ordering falls back to prior-evidence order",
             file=sys.stderr,
         )
-    _CHECKED_CACHE[cache_key] = set(seen)
-    return seen
+    _CHECKED_CACHE[cache_key] = (set(seen), dict(rounds))
+    return seen, rounds
 
 
 def _prioritized(mapping: dict) -> dict:
     checked = _driver_checked_keys()
+    rounds = _evidence_rounds()
     fresh_oracled = [k for k in QUERIES if k not in checked and k in ORACLES]
     fresh_rows_only = [k for k in QUERIES if k not in checked and k not in ORACLES]
+    # Spare window slots go to the OLDEST driver evidence first: r1-era
+    # rows predate rounds of shared-helper churn (registry/windows/plans
+    # edits touch execution paths without changing a key's own def hash),
+    # so re-certifying oldest-first keeps every key's latest row within a
+    # few rounds of the code that actually runs it. Ties (same round)
+    # keep registration order — stable and deterministic.
+    reg_order = {k: i for i, k in enumerate(QUERIES)}
+    recheck = sorted(
+        (k for k in QUERIES if k in checked),
+        key=lambda k: (rounds.get(k, 0), reg_order[k]),
+    )
     ordered = {}
-    for k in (*fresh_oracled, *fresh_rows_only, *QUERIES):
+    for k in (*fresh_oracled, *fresh_rows_only, *recheck, *QUERIES):
         if k in mapping and k not in ordered:
             ordered[k] = mapping[k]
     ordered.update((k, v) for k, v in mapping.items() if k not in ordered)
