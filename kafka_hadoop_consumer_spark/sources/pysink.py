@@ -121,11 +121,15 @@ class ArrowSinkWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool) -> None:
         self.path = options["path"]
         self.overwrite = overwrite
-        self.staging = os.path.join(self.path, "_staging")
         # per-JOB publish prefix: append jobs must never reuse a prior
         # job's final names (deterministic part-{i} names starting at 0
         # would silently os.replace an earlier append's files)
         self.job_id = uuid.uuid4().hex[:12]
+        # staging is job-scoped too: abort()/commit() can then reap the
+        # WHOLE job dir — including partial files from tasks that crashed
+        # mid-stage and never returned a commit message — without ever
+        # touching a concurrent job's staged files on the same target
+        self.staging = os.path.join(self.path, "_staging", self.job_id)
 
     def write(self, iterator) -> Optional[StagedFile]:
         return _stage_batches(self.staging, iterator)
@@ -147,10 +151,20 @@ class ArrowSinkWriter(DataSourceArrowWriter):
         )
         with open(manifest_path, "w") as fh:
             json.dump({"files": prior + entries}, fh)
-        shutil.rmtree(self.staging, ignore_errors=True)
+        self._reap_staging()
 
     def abort(self, messages: List[Optional[StagedFile]]) -> None:
         _clean_staging(messages)
+        # tasks that died mid-stage never returned a message; their
+        # partial files live only in this job's staging dir — reap it
+        self._reap_staging()
+
+    def _reap_staging(self) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+        try:  # drop the shared _staging parent once no job is using it
+            os.rmdir(os.path.dirname(self.staging))
+        except OSError:
+            pass
 
 
 class ArrowSinkStreamWriter(DataSourceStreamArrowWriter):
