@@ -199,7 +199,9 @@ def _prioritized(mapping: dict) -> dict:
         key=lambda k: (rounds.get(k, 0), reg_order[k]),
     )
     ordered = {}
-    for k in (*fresh_oracled, *fresh_rows_only, *recheck, *QUERIES):
+    # fresh + recheck partition QUERIES exactly (not-checked / checked);
+    # the update() below appends any mapping key outside QUERIES
+    for k in (*fresh_oracled, *fresh_rows_only, *recheck):
         if k in mapping and k not in ordered:
             ordered[k] = mapping[k]
     ordered.update((k, v) for k, v in mapping.items() if k not in ordered)

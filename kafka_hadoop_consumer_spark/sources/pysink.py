@@ -79,7 +79,17 @@ def _stage_batches(staging_dir: str, iterator) -> Optional[StagedFile]:
     file; empty partitions stage nothing (no 0-row files to publish)."""
     import pyarrow.parquet as pq
 
-    os.makedirs(staging_dir, exist_ok=True)
+    # a concurrent job's _reap_staging may rmdir the shared _staging
+    # parent between this makedirs' two mkdir steps — exist_ok only
+    # suppresses FileExistsError, so retry the rare FileNotFoundError
+    for _ in range(3):
+        try:
+            os.makedirs(staging_dir, exist_ok=True)
+            break
+        except FileNotFoundError:
+            continue
+    else:
+        os.makedirs(staging_dir, exist_ok=True)
     path = os.path.join(staging_dir, f"{uuid.uuid4().hex}.parquet")
     writer, rows = None, 0
     try:
@@ -117,6 +127,30 @@ def _clean_staging(messages: List[Optional[StagedFile]]) -> None:
             os.remove(m.staged_path)
 
 
+def _reap_staging_dir(staging: str) -> None:
+    """Remove one writer's scoped staging dir — including partial files
+    from tasks that crashed before returning a commit message — then
+    drop the shared ``_staging`` parent if no other writer is using it.
+
+    On abort, tasks the scheduler is still tearing down can race the
+    sweep (a file created between rmtree's listdir and its rmdir leaves
+    the dir behind with ENOTEMPTY silently ignored), so retry briefly
+    until the dir stays gone; killed tasks stop creating files within
+    milliseconds, and an open handle to an already-unlinked file keeps
+    writing to the orphaned inode without resurrecting the directory."""
+    import time
+
+    for attempt in range(10):
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.exists(staging):
+            break
+        time.sleep(0.2)
+    try:
+        os.rmdir(os.path.dirname(staging))
+    except OSError:
+        pass
+
+
 class ArrowSinkWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool) -> None:
         self.path = options["path"]
@@ -151,20 +185,14 @@ class ArrowSinkWriter(DataSourceArrowWriter):
         )
         with open(manifest_path, "w") as fh:
             json.dump({"files": prior + entries}, fh)
-        self._reap_staging()
+        _reap_staging_dir(self.staging)
 
     def abort(self, messages: List[Optional[StagedFile]]) -> None:
-        _clean_staging(messages)
-        # tasks that died mid-stage never returned a message; their
-        # partial files live only in this job's staging dir — reap it
-        self._reap_staging()
-
-    def _reap_staging(self) -> None:
-        shutil.rmtree(self.staging, ignore_errors=True)
-        try:  # drop the shared _staging parent once no job is using it
-            os.rmdir(os.path.dirname(self.staging))
-        except OSError:
-            pass
+        # every staged file — message-listed or orphaned by a task that
+        # died mid-stage — lives inside this job's staging dir; one reap
+        # covers both (the per-file _clean_staging path is only for the
+        # stream writer's marker-present replay, which must not reap)
+        _reap_staging_dir(self.staging)
 
 
 class ArrowSinkStreamWriter(DataSourceStreamArrowWriter):
@@ -174,7 +202,13 @@ class ArrowSinkStreamWriter(DataSourceStreamArrowWriter):
 
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
-        self.staging = os.path.join(self.path, "_staging")
+        # instance-scoped staging (same rationale as the batch writer's
+        # job scoping): micro-batches of one query are sequential, so at
+        # commit(batchId) time every file in this dir belongs to that
+        # batch — one reap per commit also sweeps partials from task
+        # attempts that died before returning a commit message, and a
+        # concurrent query writing the same path can never be swept
+        self.staging = os.path.join(self.path, "_staging", uuid.uuid4().hex[:12])
         self.commits = os.path.join(self.path, "_commits")
 
     def write(self, iterator) -> Optional[StagedFile]:
@@ -184,7 +218,8 @@ class ArrowSinkStreamWriter(DataSourceStreamArrowWriter):
         os.makedirs(self.commits, exist_ok=True)
         marker = os.path.join(self.commits, str(batchId))
         if os.path.exists(marker):  # replay after crash: already published
-            _clean_staging(messages)
+            _clean_staging(messages)  # replayed paths may predate this instance
+            _reap_staging_dir(self.staging)
             return
         # The marker lands AFTER the renames, so a crash in between makes
         # the NEXT replay re-enter here; it must converge to exactly the
@@ -203,9 +238,11 @@ class ArrowSinkStreamWriter(DataSourceStreamArrowWriter):
         entries = _publish(self.path, messages, prefix=prefix)
         with open(marker, "w") as fh:
             json.dump({"files": entries}, fh)
+        _reap_staging_dir(self.staging)
 
     def abort(self, messages: List[Optional[StagedFile]], batchId: int) -> None:
-        _clean_staging(messages)
+        _clean_staging(messages)  # defensive: paths outside this instance
+        _reap_staging_dir(self.staging)
 
 
 class ArrowSinkDataSource(DataSource):

@@ -229,6 +229,24 @@ def scan() -> list[tuple[str, str, str]]:
             rel = os.path.relpath(p, PKG)
             tree = ast.parse(open(p).read())
 
+            def _is_broadcast_call(call: ast.Call) -> bool:
+                """Every spelling of a forced broadcast: F.broadcast(x),
+                a bare imported broadcast(x), and df.hint('broadcast'/
+                'broadcastjoin'/'mapjoin', ...) — a site written in any
+                of these forms must not bypass the ledger."""
+                f = call.func
+                if isinstance(f, ast.Attribute) and f.attr == "broadcast":
+                    return True  # F.broadcast / functions.broadcast / ...
+                if isinstance(f, ast.Name) and f.id == "broadcast":
+                    return True  # from pyspark.sql.functions import broadcast
+                if (isinstance(f, ast.Attribute) and f.attr == "hint"
+                        and call.args
+                        and isinstance(call.args[0], ast.Constant)
+                        and str(call.args[0].value).lower()
+                        in ("broadcast", "broadcastjoin", "mapjoin")):
+                    return True
+                return False
+
             def walk(node, fname):
                 for child in ast.iter_child_nodes(node):
                     cf = fname
@@ -236,12 +254,13 @@ def scan() -> list[tuple[str, str, str]]:
                                           ast.AsyncFunctionDef)):
                         cf = child.name
                     if (isinstance(child, ast.Call)
-                            and isinstance(child.func, ast.Attribute)
-                            and child.func.attr == "broadcast"
-                            and isinstance(child.func.value, ast.Name)
-                            and child.func.value.id == "F"):
-                        arg = (ast.unparse(child.args[0])
-                               if child.args else "?")
+                            and _is_broadcast_call(child)):
+                        if isinstance(child.func, ast.Attribute) and \
+                                child.func.attr == "hint":
+                            arg = ast.unparse(child.func.value)
+                        else:
+                            arg = (ast.unparse(child.args[0])
+                                   if child.args else "?")
                         sites.append((rel, cf or "<module>", arg))
                     walk(child, cf)
 
