@@ -507,6 +507,71 @@ def _time_scaling(spark) -> dict:
             "prune_fraction_10x": round(pr10 / tot10, 3) if tot10 else None,
         }
 
+        # Triangle scaling (r8): the most expensive bench extra gets the
+        # same receipts as the promoted keys. Graph = k disjoint 8-node
+        # cliques (k scales 10x) PLUS a disjoint star whose hub has
+        # n/2 leaves — the adversarial hub that makes unoriented wedge
+        # enumeration quadratic. Invariants (noise-free row counts):
+        # enumerated wedges track triangles EXACTLY (every clique wedge
+        # closes, the hub emits zero because orientation gives its
+        # leaves out-degree 1 and the hub out-degree 0), so
+        # ratio_wedges == 10 at 10x nodes while the unoriented
+        # per-center probe count Σ C(deg,2) — also measured — grows
+        # ~100x, dominated by C(n/2, 2) at the hub. Wall-clock is
+        # context; the counts are the claim.
+        from kafka_hadoop_consumer_spark.queries.graph import (
+            triangles_from_edges,
+        )
+
+        CLIQUE = 8
+        clique_pairs = F.array(*[
+            F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+            for i in range(CLIQUE) for j in range(i + 1, CLIQUE)
+        ])
+
+        def tri_edges(n_nodes: int):
+            g = spark.range(n_nodes // CLIQUE).select(
+                (F.col("id") * CLIQUE).alias("base"),
+                F.explode(clique_pairs).alias("p"),
+            )
+            cliques = g.select(
+                (F.col("base") + F.col("p.i")).alias("u"),
+                (F.col("base") + F.col("p.j")).alias("v"),
+            )
+            hub = F.lit(10 * n_nodes)  # id above every leaf -> u < v holds
+            star = spark.range(n_nodes, n_nodes + n_nodes // 2).select(
+                F.col("id").alias("u"), hub.alias("v")
+            )
+            return cliques.unionAll(star)
+
+        def tri_run(n_nodes: int):
+            tri, deg, wedges = triangles_from_edges(tri_edges(n_nodes))
+            t0 = time.perf_counter()
+            n_tri = tri.count()
+            wall = round(time.perf_counter() - t0, 3)
+            unoriented = deg.agg(
+                F.sum(F.expr("d * (d - 1) / 2")).cast("long")
+            ).first()[0]
+            return wall, n_tri, wedges.count(), int(unoriented)
+
+        tw1, tc1, wc1, un1 = tri_run(SCALE_N1)
+        tw10, tc10, wc10, un10 = tri_run(SCALE_N1 * SCALE_FACTOR)
+        out["q_graph_triangles"] = {
+            "graph": f"disjoint {CLIQUE}-cliques + (n/2)-leaf hub star",
+            "n_1x": SCALE_N1,
+            "n_10x": SCALE_N1 * SCALE_FACTOR,
+            "sec_1x": tw1,
+            "sec_10x": tw10,
+            "triangles_1x": tc1,
+            "triangles_10x": tc10,
+            "wedges_1x": wc1,
+            "wedges_10x": wc10,
+            "unoriented_probes_1x": un1,
+            "unoriented_probes_10x": un10,
+            "ratio_wedges": round(wc10 / wc1, 2) if wc1 else None,
+            "ratio_unoriented_probes": round(un10 / un1, 2) if un1 else None,
+        }
+
         cc_t1 = cc_run(SCALE_N1, "bench_cc_1x")
         cc_t10 = cc_run(SCALE_N1 * SCALE_FACTOR, "bench_cc_10x")
         r1x, r10x = CC_LAST_ROUNDS["bench_cc_1x"], CC_LAST_ROUNDS["bench_cc_10x"]

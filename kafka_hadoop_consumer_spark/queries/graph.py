@@ -123,7 +123,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collect."""
     e = load_table(spark, sf_dir, "events")
     edges = persist_tracked(copurchase_edges(e))
-    tri, deg = triangles_from_edges(edges)
+    tri, deg, _wedges = triangles_from_edges(edges)
     part = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
@@ -139,11 +139,17 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def triangles_from_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+def triangles_from_edges(
+    edges: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Degree-ordered triangle enumeration over a distinct undirected edge
-    frame (u, v) with u < v. Returns (triangles(a, b, c), degrees(node, d));
-    each triangle appears exactly once. Exposed so tests can check the
-    orientation count against a brute-force triple join."""
+    frame (u, v) with u < v. Returns (triangles(a, b, c),
+    degrees(node, d), wedges(a, b, c)); each triangle appears exactly
+    once. Exposed so tests can check the orientation count against a
+    brute-force triple join, and so bench.py's scaling probe can count
+    the enumerated WEDGES — the quantity degree-ordered orientation
+    exists to bound (Σ out-deg², ≤ O(E^1.5) instead of Σ deg² which a
+    hub makes quadratic)."""
     deg = persist_tracked(
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -176,7 +182,7 @@ def triangles_from_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("d2").alias("c"))
     )
     closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    return wedges.join(closing, ["b", "c"]), deg
+    return wedges.join(closing, ["b", "c"]), deg, wedges
 
 
 LP_TOP = 25      # candidate links emitted (by score)

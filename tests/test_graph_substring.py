@@ -114,7 +114,7 @@ def test_triangle_orientation_matches_brute_force(spark):
     k6 = [(u, v) for u in range(6) for v in range(6) if u < v]
     path = [(6, 7), (7, 8)]
     edges = spark.createDataFrame(k6 + path, "u long, v long")
-    tri, _deg = triangles_from_edges(edges)
+    tri, _deg, _wedges = triangles_from_edges(edges)
     assert tri.count() == 20  # C(6,3)
 
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
