@@ -188,3 +188,38 @@ def test_bad_sf_dir_raises_cleanly(spark):
 
     with pytest.raises(AnalysisException):
         QUERIES["q_agg_groupby"](spark, "/root/testdata/sf_nonexistent").collect()
+
+
+def test_recheck_ordering_fronts_oldest_evidence(tmp_path, monkeypatch):
+    """Previously-checked keys must be re-offered to the driver OLDEST
+    evidencing round first (r7 verdict item 5): with a capped ~50-key
+    window, r1-era rows would otherwise never refresh while shared
+    helpers keep evolving under them. Fresh (never-checked) keys still
+    front the window ahead of any recheck."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    green = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 1, "oracle_rows": 1, "err": None,
+    }
+    # q_agg_groupby evidenced r1, q_agg_global r5; q_scan_parquet never
+    (tmp_path / "CORRECTNESS_r1.json").write_text(
+        json.dumps({"q_agg_groupby": green})
+    )
+    (tmp_path / "CORRECTNESS_r5.json").write_text(
+        json.dumps({"q_agg_global": green})
+    )
+    monkeypatch.setattr(entrymod.os.path, "dirname", lambda _: str(tmp_path))
+    ordered = list(entrymod.queries())
+    pos = {k: ordered.index(k) for k in
+           ("q_scan_parquet", "q_agg_groupby", "q_agg_global")}
+    assert pos["q_scan_parquet"] < pos["q_agg_groupby"], (
+        "never-checked keys must front the window"
+    )
+    assert pos["q_agg_groupby"] < pos["q_agg_global"], (
+        "older evidence (r1) must be re-offered before newer (r5)"
+    )

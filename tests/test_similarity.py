@@ -281,3 +281,52 @@ def test_pq_recall_vs_exact_cosine(spark):
             assert abs(em[v] - am[v]) < 1e-9
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.8, f"mean recall {mean_recall:.2f} ({recalls})"
+
+
+def test_hybrid_search_core_parameterized(spark):
+    """The extracted hybrid_search core (bench's scaling-probe entry
+    point) must honor an arbitrary query->terms mapping on an arbitrary
+    corpus: HYB_OUT fused hits per query, lexically-seeded PRF hits
+    present, and hydrated metadata columns intact."""
+    from pyspark.sql import functions as F
+
+    from kafka_hadoop_consumer_spark.queries.similarity import (
+        HYB_OUT,
+        hybrid_search,
+    )
+
+    n = 200
+    d = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("alpha "),
+                F.when(F.col("id") % 3 == 0, "beta beta").otherwise("gamma"),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("synth").alias("source"),
+        )
+    )
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (F.col("id") % (i + 2)).cast("float") for i in range(8)
+        ]).alias("embedding"),
+    )
+    out = hybrid_search(
+        spark, d, emb, {"qa": ("beta",), "qb": ("gamma",)}
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {"qa", "qb"}
+    for q, rows in by_q.items():
+        assert len(rows) == HYB_OUT
+        assert [r.fused_rank for r in sorted(rows, key=lambda r: r.fused_rank)] == list(
+            range(1, HYB_OUT + 1)
+        )
+        assert all(r.lang == "en" and r.source == "synth" for r in rows)
+    # lexical stage must seed the fusion: every 'beta' doc is a %3==0 id
+    beta_docs = [r.doc_id for r in by_q["qa"]]
+    assert any(doc % 3 == 0 for doc in beta_docs)
