@@ -458,3 +458,61 @@ def test_round_half_up_matches_spark_round(spark):
     ).collect()
     for r in rows:
         assert _round_half_up(r["v"], 6) == r["r"] + 0.0, (r["v"], r["r"])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cc_from_edges_matches_union_find(spark, raw_edges):
+    """Large-star/small-star CC must agree with a driver-side union-find
+    on arbitrary small graphs — the structural edge cases (singleton
+    components, chains, already-converged inputs, duplicate edges) the
+    fixture oracle can't enumerate. Guards the r8 observe()-fused
+    fingerprint refactor: a wrong fixpoint test would surface here as a
+    premature or missed convergence."""
+    from kafka_hadoop_consumer_spark.queries.graph import cc_from_edges
+
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw_edges if u != v})
+    if not edges:
+        return  # cc_from_edges contract: a distinct (u < v) edge frame
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    comp = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    expected = {}
+    for members in comp.values():
+        root, size = min(members), len(members)
+        for m in members:
+            expected[m] = (root, size)
+
+    E = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r.user_id: (r.component_id, r.component_size)
+        for r in cc_from_edges(E, key="prop_cc", max_rounds=40).collect()
+    }
+    assert got == expected
