@@ -426,6 +426,39 @@ def test_distributed_prefix_equals_reference_window(spark):
         assert diff == 0, f"distributed_prefix({op}, include_current={incl})"
         release_tracked()
 
+    # NULL-heavy variant: ~a third of values NULL, and the ENTIRE lowest
+    # key range NULL so leading range partitions carry no value at all —
+    # the all-null-partition path whose None-accumulator handling was
+    # the r7 fix (a null partition must forward its predecessor's prefix
+    # unchanged, not reset it).
+    dfn = df.select(
+        "id",
+        "k",
+        F.when((F.col("k") <= 2) | (F.col("id") % 3 == 0), F.lit(None))
+        .otherwise(F.col("v"))
+        .alias("v"),
+    )
+    for op, incl in (("sum", True), ("sum", False), ("max", True), ("max", False)):
+        got = distributed_prefix(
+            dfn, order, "v", op=op, out_col="got", include_current=incl
+        ).select("id", "got")
+        end = Window.currentRow if incl else -1
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, end)
+        agg = F.sum("v") if op == "sum" else F.max("v")
+        want = dfn.select("id", agg.over(w).alias("want"))
+        diff = (
+            got.join(want, "id")
+            .where(
+                ~(
+                    (F.col("got") == F.col("want"))
+                    | (F.col("got").isNull() & F.col("want").isNull())
+                )
+            )
+            .count()
+        )
+        assert diff == 0, f"null-heavy distributed_prefix({op}, incl={incl})"
+        release_tracked()
+
 
 def test_round_half_up_matches_engines():
     """similarity._round_half_up must agree with BOTH Spark's F.round
