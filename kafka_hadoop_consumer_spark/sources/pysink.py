@@ -121,12 +121,6 @@ def _publish(target: str, messages: List[Optional[StagedFile]],
     return entries
 
 
-def _clean_staging(messages: List[Optional[StagedFile]]) -> None:
-    for m in messages:
-        if m is not None and os.path.exists(m.staged_path):
-            os.remove(m.staged_path)
-
-
 def _reap_staging_dir(staging: str) -> None:
     """Remove one writer's scoped staging dir — including partial files
     from tasks that crashed before returning a commit message — then
@@ -162,8 +156,12 @@ class ArrowSinkWriter(DataSourceArrowWriter):
         # staging is job-scoped too: abort()/commit() can then reap the
         # WHOLE job dir — including partial files from tasks that crashed
         # mid-stage and never returned a commit message — without ever
-        # touching a concurrent job's staged files on the same target
-        self.staging = os.path.join(self.path, "_staging", self.job_id)
+        # touching a concurrent job's staged files on the same target.
+        # A dir orphaned by a CRASHED driver (no commit/abort ran) is
+        # invisible to readers (underscore prefix) and is reclaimed by
+        # the next overwrite-mode commit below.
+        self.staging_parent = os.path.join(self.path, "_staging")
+        self.staging = os.path.join(self.staging_parent, self.job_id)
 
     def write(self, iterator) -> Optional[StagedFile]:
         return _stage_batches(self.staging, iterator)
@@ -176,6 +174,19 @@ class ArrowSinkWriter(DataSourceArrowWriter):
                 if f != "_staging":
                     full = os.path.join(self.path, f)
                     shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+            # overwrite owns the target: also sweep OTHER writers' staging
+            # dirs — the one reclamation point for dirs orphaned by a
+            # crashed driver (no commit/abort ever ran for them), the same
+            # role FileOutputCommitter's _temporary cleanup plays. A live
+            # concurrent writer to an overwritten target is already
+            # semantically broken, so sweeping it loses nothing durable.
+            for f in os.listdir(self.staging_parent) if os.path.isdir(
+                    self.staging_parent) else ():
+                if f != self.job_id:
+                    shutil.rmtree(
+                        os.path.join(self.staging_parent, f),
+                        ignore_errors=True,
+                    )
         elif os.path.exists(manifest_path):
             # append: keep the committed set and extend its manifest
             with open(manifest_path) as fh:
@@ -190,8 +201,7 @@ class ArrowSinkWriter(DataSourceArrowWriter):
     def abort(self, messages: List[Optional[StagedFile]]) -> None:
         # every staged file — message-listed or orphaned by a task that
         # died mid-stage — lives inside this job's staging dir; one reap
-        # covers both (the per-file _clean_staging path is only for the
-        # stream writer's marker-present replay, which must not reap)
+        # covers both
         _reap_staging_dir(self.staging)
 
 
@@ -218,7 +228,8 @@ class ArrowSinkStreamWriter(DataSourceStreamArrowWriter):
         os.makedirs(self.commits, exist_ok=True)
         marker = os.path.join(self.commits, str(batchId))
         if os.path.exists(marker):  # replay after crash: already published
-            _clean_staging(messages)  # replayed paths may predate this instance
+            # the replayed batch's tasks re-ran under THIS instance, so
+            # its staged files all live in self.staging — one reap
             _reap_staging_dir(self.staging)
             return
         # The marker lands AFTER the renames, so a crash in between makes
@@ -241,7 +252,6 @@ class ArrowSinkStreamWriter(DataSourceStreamArrowWriter):
         _reap_staging_dir(self.staging)
 
     def abort(self, messages: List[Optional[StagedFile]], batchId: int) -> None:
-        _clean_staging(messages)  # defensive: paths outside this instance
         _reap_staging_dir(self.staging)
 
 

@@ -213,6 +213,10 @@ def test_recheck_ordering_fronts_oldest_evidence(tmp_path, monkeypatch):
     (tmp_path / "CORRECTNESS_r5.json").write_text(
         json.dumps({"q_agg_global": green})
     )
+    # symlinked tools/ makes _evidence_state load the REAL ledger module
+    # against tmp_path, so the PRIMARY collect_rows ordering path (not
+    # the led=None fallback scan) is what this test asserts
+    (tmp_path / "tools").symlink_to("/root/repo/tools")
     monkeypatch.setattr(entrymod.os.path, "dirname", lambda _: str(tmp_path))
     ordered = list(entrymod.queries())
     pos = {k: ordered.index(k) for k in

@@ -235,8 +235,13 @@ def scan() -> list[tuple[str, str, str]]:
                 'broadcastjoin'/'mapjoin', ...) — a site written in any
                 of these forms must not bypass the ledger."""
                 f = call.func
-                if isinstance(f, ast.Attribute) and f.attr == "broadcast":
-                    return True  # F.broadcast / functions.broadcast / ...
+                if (isinstance(f, ast.Attribute) and f.attr == "broadcast"
+                        and isinstance(f.value, ast.Name)
+                        and f.value.id in ("F", "functions", "sf")):
+                    return True  # F.broadcast / functions.broadcast
+                    # (base restricted to the functions-module aliases so
+                    # sparkContext.broadcast — a broadcast VARIABLE, not a
+                    # join hint — doesn't false-positive the lint)
                 if isinstance(f, ast.Name) and f.id == "broadcast":
                     return True  # from pyspark.sql.functions import broadcast
                 if (isinstance(f, ast.Attribute) and f.attr == "hint"
