@@ -45,12 +45,19 @@ def _evidence_rounds() -> dict:
     return _evidence_state()[1]
 
 
+def _repo_root() -> str:
+    """Seam for tests: the directory holding CORRECTNESS_r*.json,
+    COVERAGE_DEFS.json and tools/ (normally this file's directory).
+    Tests monkeypatch THIS, never the process-global os.path."""
+    return os.path.dirname(os.path.abspath(__file__))
+
+
 def _evidence_state() -> tuple:
     import glob
     import json
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = _repo_root()
     # Files ordered by PARSED round number so the LATEST round's row wins
     # per key (a green-at-r2 key that FAILED at r6 must re-enter the
     # fresh window — unioning greens across rounds would keep it buried).

@@ -185,13 +185,21 @@ def _time_scaling(spark) -> dict:
             "vec_id", _vec_double().alias("v")
         )
 
+    # Direct operator calls bypass the registry's _on_query_start release
+    # hook, so each probe's persist_tracked pins (bucketed, lexr, deg, ...)
+    # would otherwise accumulate across the ~10 runs and skew the later
+    # cc_run timings with cache pressure (r8 advice).
+    from kafka_hadoop_consumer_spark.queries.registry import release_tracked
+
     def timed(build):
         materialize(build())  # warm-up
+        release_tracked()
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             materialize(build())
             runs.append(time.perf_counter() - t0)
+            release_tracked()
         return round(statistics.median(runs), 3)
 
     out = {}
@@ -438,7 +446,9 @@ def _time_scaling(spark) -> dict:
             )
             t0 = time.perf_counter()
             materialize(cc_from_edges(edges, key=key, max_rounds=40))
-            return round(time.perf_counter() - t0, 3)
+            wall = round(time.perf_counter() - t0, 3)
+            release_tracked()
+            return wall
 
         # Hybrid-search scaling (r7 verdict item: it joined the headline
         # set without the scale evidence every other promoted key
@@ -552,7 +562,9 @@ def _time_scaling(spark) -> dict:
             unoriented = deg.agg(
                 F.sum(F.expr("d * (d - 1) / 2")).cast("long")
             ).first()[0]
-            return wall, n_tri, wedges.count(), int(unoriented)
+            n_wedges = wedges.count()
+            release_tracked()
+            return wall, n_tri, n_wedges, int(unoriented)
 
         tw1, tc1, wc1, un1 = tri_run(SCALE_N1)
         tw10, tc10, wc10, un10 = tri_run(SCALE_N1 * SCALE_FACTOR)

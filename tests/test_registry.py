@@ -93,9 +93,7 @@ def test_failed_driver_rows_reenter_fresh_window(tmp_path, monkeypatch):
         },
     }
     (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(rows))
-    monkeypatch.setattr(
-        entrymod.os.path, "dirname", lambda _: str(tmp_path)
-    )
+    monkeypatch.setattr(entrymod, "_repo_root", lambda: str(tmp_path))
     checked = entrymod._driver_checked_keys()
     assert "green_key" in checked
     assert "rows_only_key" in checked
@@ -128,7 +126,7 @@ def test_stale_definition_reenters_fresh_window(tmp_path, monkeypatch):
     (tmp_path / "COVERAGE_DEFS.json").write_text(
         json.dumps({"q_agg_groupby": {"round": 99, "def_hash": "stale!"}})
     )
-    monkeypatch.setattr(entrymod.os.path, "dirname", lambda _: str(tmp_path))
+    monkeypatch.setattr(entrymod, "_repo_root", lambda: str(tmp_path))
     checked = entrymod._driver_checked_keys()
     assert "q_agg_global" in checked  # no snapshot -> evidence stands
     assert "q_agg_groupby" not in checked, (
@@ -179,8 +177,7 @@ def test_zorder_key_validates_arguments():
 
 def test_bad_sf_dir_raises_cleanly(spark):
     """A wrong sf_dir must fail with Spark's AnalysisException (path not
-    found) — not a hang, not a silent empty result (driver-contract
-    probe from .claude/skills/verify)."""
+    found) — not a hang, not a silent empty result."""
     import pytest
     from pyspark.errors import AnalysisException
 
@@ -217,7 +214,7 @@ def test_recheck_ordering_fronts_oldest_evidence(tmp_path, monkeypatch):
     # against tmp_path, so the PRIMARY collect_rows ordering path (not
     # the led=None fallback scan) is what this test asserts
     (tmp_path / "tools").symlink_to("/root/repo/tools")
-    monkeypatch.setattr(entrymod.os.path, "dirname", lambda _: str(tmp_path))
+    monkeypatch.setattr(entrymod, "_repo_root", lambda: str(tmp_path))
     ordered = list(entrymod.queries())
     pos = {k: ordered.index(k) for k in
            ("q_scan_parquet", "q_agg_groupby", "q_agg_global")}

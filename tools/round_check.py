@@ -28,7 +28,7 @@ sys.path.insert(0, REPO)
 WINDOW = 50
 # assembled so this file never literally contains what it hunts for
 LEAK_PATTERNS = [r"\." + "cla" + "ude", "anthro" + "pic"]
-LEAK_SCOPE = ["kafka_hadoop_consumer_spark", "tools", "bench.py",
+LEAK_SCOPE = ["kafka_hadoop_consumer_spark", "tools", "tests", "bench.py",
               "__spark_entry__.py"]
 
 
