@@ -121,6 +121,43 @@ def _publish(target: str, messages: List[Optional[StagedFile]],
     return entries
 
 
+# a sibling staging dir this much older than "now" (newest entry inside
+# it included) is treated as a crashed run's orphan — a LIVE writer
+# mid-batch keeps flushing into its staging files, so its dir stays
+# young, while an orphan only ages
+STALE_STAGING_SECS = 300.0
+
+
+def _reap_stale_siblings(staging_parent: str, own: str,
+                         max_age: float = STALE_STAGING_SECS) -> None:
+    """Reclaim sibling staging dirs orphaned by a CRASHED driver — one
+    whose commit()/abort() never ran, so the per-instance reap never
+    fired. The batch writer's overwrite-mode commit already sweeps
+    siblings unconditionally (it owns the target); the streaming writer
+    calls this at each commit, once its ``_commits`` marker proves this
+    query owns the sink, with an age gate so a concurrent mid-batch
+    writer (actively flushing, dir mtime young) is never touched."""
+    import time
+
+    try:
+        siblings = os.listdir(staging_parent)
+    except OSError:
+        return
+    now = time.time()
+    for name in siblings:
+        d = os.path.join(staging_parent, name)
+        if d == own or not os.path.isdir(d):
+            continue
+        try:
+            newest = os.path.getmtime(d)
+            for f in os.listdir(d):
+                newest = max(newest, os.path.getmtime(os.path.join(d, f)))
+        except OSError:
+            continue  # racing a live writer or another sweep: skip
+        if now - newest > max_age:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _reap_staging_dir(staging: str) -> None:
     """Remove one writer's scoped staging dir — including partial files
     from tasks that crashed before returning a commit message — then
@@ -218,7 +255,8 @@ class ArrowSinkStreamWriter(DataSourceStreamArrowWriter):
         # batch — one reap per commit also sweeps partials from task
         # attempts that died before returning a commit message, and a
         # concurrent query writing the same path can never be swept
-        self.staging = os.path.join(self.path, "_staging", uuid.uuid4().hex[:12])
+        self.staging_parent = os.path.join(self.path, "_staging")
+        self.staging = os.path.join(self.staging_parent, uuid.uuid4().hex[:12])
         self.commits = os.path.join(self.path, "_commits")
 
     def write(self, iterator) -> Optional[StagedFile]:
@@ -231,6 +269,7 @@ class ArrowSinkStreamWriter(DataSourceStreamArrowWriter):
             # the replayed batch's tasks re-ran under THIS instance, so
             # its staged files all live in self.staging — one reap
             _reap_staging_dir(self.staging)
+            _reap_stale_siblings(self.staging_parent, self.staging)
             return
         # The marker lands AFTER the renames, so a crash in between makes
         # the NEXT replay re-enter here; it must converge to exactly the
@@ -250,6 +289,9 @@ class ArrowSinkStreamWriter(DataSourceStreamArrowWriter):
         with open(marker, "w") as fh:
             json.dump({"files": entries}, fh)
         _reap_staging_dir(self.staging)
+        # marker written -> this query owns the sink: reclaim staging
+        # dirs orphaned by a prior crashed run (age-gated; r8 advice)
+        _reap_stale_siblings(self.staging_parent, self.staging)
 
     def abort(self, messages: List[Optional[StagedFile]], batchId: int) -> None:
         _reap_staging_dir(self.staging)

@@ -626,6 +626,10 @@ def test_broadcast_sites_classified():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    unclassified, stale = mod.audit()
+    unclassified, stale, miscount = mod.audit()
     assert not unclassified, f"unclassified F.broadcast sites: {unclassified}"
     assert not stale, f"stale broadcast-ledger entries: {stale}"
+    assert not miscount, (
+        "broadcast site-count mismatches (a textually identical twin was "
+        f"added or deleted — update MULTI): {miscount}"
+    )

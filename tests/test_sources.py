@@ -427,6 +427,60 @@ def test_arrow_sink_stream_exactly_once(spark, tmp_path):
     assert os.path.exists(os.path.join(out, "_commits", str(b)))
 
 
+def test_stream_sink_commit_reclaims_crashed_runs_staging(tmp_path):
+    """A staging dir orphaned by a CRASHED driver (its commit()/abort()
+    never ran) must be reclaimed by the next run's commit — age-gated,
+    so a LIVE concurrent writer's young staging dir is never touched
+    (r8 advice: before this sweep, partial parquet accumulated across
+    crash/restart cycles forever)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_hadoop_consumer_spark.sources import pysink
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    parent = os.path.join(out, "_staging")
+    tbl = pa.table({"x": [1]})
+
+    # crashed run's orphan: every entry aged past the stale threshold
+    orphan = os.path.join(parent, "deadrun000001")
+    os.makedirs(orphan)
+    pq.write_table(tbl, os.path.join(orphan, "partial.parquet"))
+    old = time.time() - 2 * pysink.STALE_STAGING_SECS
+    os.utime(os.path.join(orphan, "partial.parquet"), (old, old))
+    os.utime(orphan, (old, old))
+
+    # live concurrent writer mid-batch: fresh mtimes
+    live = os.path.join(parent, "liverun000001")
+    os.makedirs(live)
+    pq.write_table(tbl, os.path.join(live, "inflight.parquet"))
+
+    w = pysink.ArrowSinkStreamWriter({"path": out})
+    os.makedirs(w.staging, exist_ok=True)
+    sp = os.path.join(w.staging, "staged.parquet")
+    pq.write_table(tbl, sp)
+    w.commit([pysink.StagedFile(staged_path=sp, rows=1)], 0)
+
+    assert not os.path.exists(orphan), "aged orphan must be reclaimed"
+    assert os.path.exists(os.path.join(live, "inflight.parquet")), (
+        "young sibling (live writer) must be preserved"
+    )
+    assert os.path.exists(os.path.join(out, "batch-00000000-00000.parquet"))
+
+    # replay path (marker present) sweeps too: re-age the orphan
+    os.makedirs(orphan, exist_ok=True)
+    pq.write_table(tbl, os.path.join(orphan, "partial.parquet"))
+    os.utime(os.path.join(orphan, "partial.parquet"), (old, old))
+    os.utime(orphan, (old, old))
+    w2 = pysink.ArrowSinkStreamWriter({"path": out})
+    w2.commit([], 0)  # batch 0 marker exists -> replay branch
+    assert not os.path.exists(orphan)
+
+
 def test_sequence_file_null_and_binary_coercion(spark, tmp_path):
     """NULL payloads must land as empty strings (not the literal 'None')
     and binary payloads as their UTF-8 decoding (not a bytearray repr) —

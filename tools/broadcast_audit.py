@@ -49,6 +49,18 @@ PKG = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
 # (relpath, enclosing function, argument source text) -> class
 LEDGER: dict[tuple[str, str, str], str] = {}
 
+# keys whose argument text legitimately appears MORE THAN ONCE in the
+# same function; every other key is expected exactly once, so adding or
+# deleting a textually identical twin is a count mismatch, not invisible
+# (r8 advice: the un-counted ledger collapsed 143 sites onto 138 keys)
+MULTI: dict[tuple[str, str, str], int] = {
+    ("queries/dedup.py", "q_graph_pagerank", "nv"): 2,
+    ("queries/e2e.py", "q_e2e_q7", "n"): 2,
+    ("queries/e2e_tpch.py", "q_e2e_q8", "n"): 2,
+    ("queries/quality.py", "q_ml_logreg", "beta"): 2,
+    ("queries/similarity.py", "ranked", "q"): 2,
+}
+
 
 def _add(path: str, func: str, arg: str, cls: str) -> None:
     LEDGER[(path, func, arg)] = cls
@@ -229,6 +241,29 @@ def scan() -> list[tuple[str, str, str]]:
             rel = os.path.relpath(p, PKG)
             tree = ast.parse(open(p).read())
 
+            # functions-module aliases resolved from THIS file's imports
+            # (r8 advice: a hardcoded ("F","functions","sf") whitelist let
+            # `import pyspark.sql.functions as pf` bypass the lint); the
+            # restriction to aliases of the functions MODULE stays, so
+            # sparkContext.broadcast — a broadcast VARIABLE, not a join
+            # hint — doesn't false-positive
+            mod_aliases: set[str] = set()
+            bare_names: set[str] = {"broadcast"}
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Import):
+                    for a in node.names:
+                        if a.name == "pyspark.sql.functions":
+                            mod_aliases.add(a.asname or a.name)
+                elif isinstance(node, ast.ImportFrom):
+                    if node.module == "pyspark.sql":
+                        for a in node.names:
+                            if a.name == "functions":
+                                mod_aliases.add(a.asname or a.name)
+                    elif node.module == "pyspark.sql.functions":
+                        for a in node.names:
+                            if a.name == "broadcast":
+                                bare_names.add(a.asname or a.name)
+
             def _is_broadcast_call(call: ast.Call) -> bool:
                 """Every spelling of a forced broadcast: F.broadcast(x),
                 a bare imported broadcast(x), and df.hint('broadcast'/
@@ -236,13 +271,9 @@ def scan() -> list[tuple[str, str, str]]:
                 of these forms must not bypass the ledger."""
                 f = call.func
                 if (isinstance(f, ast.Attribute) and f.attr == "broadcast"
-                        and isinstance(f.value, ast.Name)
-                        and f.value.id in ("F", "functions", "sf")):
-                    return True  # F.broadcast / functions.broadcast
-                    # (base restricted to the functions-module aliases so
-                    # sparkContext.broadcast — a broadcast VARIABLE, not a
-                    # join hint — doesn't false-positive the lint)
-                if isinstance(f, ast.Name) and f.id == "broadcast":
+                        and ast.unparse(f.value) in mod_aliases):
+                    return True  # <any functions-module alias>.broadcast
+                if isinstance(f, ast.Name) and f.id in bare_names:
                     return True  # from pyspark.sql.functions import broadcast
                 if (isinstance(f, ast.Attribute) and f.attr == "hint"
                         and call.args
@@ -273,21 +304,35 @@ def scan() -> list[tuple[str, str, str]]:
     return sites
 
 
-def audit() -> tuple[list, list]:
-    """(unclassified sites, stale ledger entries)."""
-    sites = scan()
-    unclassified = [s for s in sites if s not in LEDGER]
-    stale = [k for k in LEDGER if k not in set(sites)]
-    return unclassified, stale
+def audit() -> tuple[list, list, list]:
+    """(unclassified sites, stale ledger entries, count mismatches)."""
+    from collections import Counter
+
+    counts = Counter(scan())
+    unclassified = [s for s in counts if s not in LEDGER]
+    stale = [k for k in LEDGER if k not in counts]
+    miscount = [
+        (k, n, MULTI.get(k, 1))
+        for k, n in counts.items()
+        if k in LEDGER and n != MULTI.get(k, 1)
+    ]
+    miscount += [
+        (k, 0, exp) for k, exp in MULTI.items() if k not in counts
+    ]
+    return unclassified, stale, miscount
 
 
 if __name__ == "__main__":
-    unclassified, stale = audit()
+    unclassified, stale, miscount = audit()
     for s in unclassified:
         print(f"UNCLASSIFIED broadcast: {s[0]}:{s[1]} arg={s[2]!r}")
     for s in stale:
         print(f"STALE ledger entry (site gone/edited): {s}")
+    for k, got, exp in miscount:
+        print(f"COUNT MISMATCH {k}: {got} sites scanned, ledger expects "
+              f"{exp} — update MULTI (or a twin was added/deleted)")
     n = len(scan())
     print(f"{n} sites scanned, {len(LEDGER)} classified, "
-          f"{len(unclassified)} unclassified, {len(stale)} stale")
-    sys.exit(1 if (unclassified or stale) else 0)
+          f"{len(unclassified)} unclassified, {len(stale)} stale, "
+          f"{len(miscount)} count-mismatched")
+    sys.exit(1 if (unclassified or stale or miscount) else 0)
