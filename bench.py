@@ -598,6 +598,53 @@ def _time_scaling(spark) -> dict:
             "ratio_rounds": round(r10x / r1x, 2) if r1x else None,
             "edge_counts_per_round_10x": CC_LAST_EDGE_COUNTS["bench_cc_10x"],
         }
+
+        # Min-label round-scaling (r8 verdict item 5): q_dedup_clusters'
+        # diameter-round CC previously capped at 16 rounds on an
+        # ASSERTED "near-dup components are shallow" claim. This probe
+        # makes the cap data: planted near-dup chains (doc i ~ doc i+1
+        # only → one component, diameter = n-1) at two depths, recording
+        # rounds-to-fixpoint — the invariant is rounds == diameter + 1
+        # confirm round, so the old cap silently mislabeled any chain
+        # deeper than 16 (the operator now raises past its cap instead).
+        from kafka_hadoop_consumer_spark.queries.dedup import (
+            MINLABEL_LAST_ROUNDS,
+            min_label_components,
+        )
+
+        def chain_rounds(diam: int) -> float:
+            e = spark.range(diam).select(
+                F.col("id").alias("doc1"), (F.col("id") + 1).alias("doc2")
+            )
+            e = e.union(e.select(
+                F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2")
+            ))
+            t0 = time.perf_counter()
+            labels = min_label_components(e, key=f"bench_chain_{diam}")
+            not_min = labels.where(F.col("label") != 0).count()
+            wall = round(time.perf_counter() - t0, 3)
+            release_tracked()
+            assert not_min == 0, (
+                f"chain diam={diam}: {not_min} nodes never reached the "
+                "component min — propagation broke"
+            )
+            return wall
+
+        DIAM_A, DIAM_B = 5, 20
+        ml_ta, ml_tb = chain_rounds(DIAM_A), chain_rounds(DIAM_B)
+        ml_ra = MINLABEL_LAST_ROUNDS[f"bench_chain_{DIAM_A}"]
+        ml_rb = MINLABEL_LAST_ROUNDS[f"bench_chain_{DIAM_B}"]
+        out["q_dedup_clusters"] = {
+            "graph": "planted near-dup chain (diameter = n-1)",
+            "diam_a": DIAM_A,
+            "rounds_a": ml_ra,
+            "sec_a": ml_ta,
+            "diam_b": DIAM_B,
+            "rounds_b": ml_rb,
+            "sec_b": ml_tb,
+            # rounds = diameter + 1 confirm -> 21/6 = 3.5 at 4x depth
+            "ratio_rounds": round(ml_rb / ml_ra, 2) if ml_ra else None,
+        }
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d10, ignore_errors=True)
@@ -894,8 +941,14 @@ def format_final_line(detail: dict) -> str:
         for k, sec in control.get("queries", {}).items()
         if detail["queries"].get(k)
     ]
+    # ratio keys only, "ratio_" prefix stripped (bare "ratio" -> "wall"):
+    # the full names live in bench_detail.json and the final line runs
+    # close to its 1600-byte budget
     scaling = {
-        name: {k: v for k, v in d.items() if k.startswith("ratio")}
+        name: {
+            (k[6:] if k.startswith("ratio_") else "wall"): v
+            for k, v in d.items() if k.startswith("ratio")
+        }
         for name, d in detail.get("scaling_10x", {}).items()
     }
     skew = {

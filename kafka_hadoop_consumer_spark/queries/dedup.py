@@ -603,20 +603,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE (min reachable id over the transitive closure).
 
     Algorithm: iterative min-label propagation (the Pregel pattern as
-    plain DataFrame joins). Each round every node takes the min of its
-    own label and its neighbors'; rounds needed = graph diameter, which
-    for near-dup clusters is tiny (pairs/chains of a few docs). Each
-    round is one join + one agg — fully distributed; the driver loop
-    only checks a 1-row convergence aggregate (sum of labels strictly
-    decreases until fixpoint, so equality means converged).
-
-    Scale note: each round is ``localCheckpoint``ed, exactly as in
-    q_graph_cc (graph.py) — a persist alone leaves Catalyst
-    re-analyzing a logical plan that NESTS the prior round's plan, so
-    at boilerplate-chain diameter (~16 rounds at web scale) analysis
-    time grows exponentially even though execution reuses the cache.
-    localCheckpoint truncates lineage after eagerly materializing the
-    round (reliable checkpoint() on a cluster with lossy executors).
+    plain DataFrame joins) — see ``min_label_components``; rounds
+    needed = component diameter, tiny for near-dup clusters
+    (pairs/chains of a few docs) and MEASURED, not asserted: bench's
+    ``scaling_10x.q_dedup_clusters`` probe plants deep chains and
+    records rounds-to-fixpoint == diameter + 1 confirm round.
     """
     d = load_table(spark, sf_dir, "documents")
     pairs = (
@@ -630,9 +621,47 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
         )
     )
-    # lineage truncation per round: see docstring (q_graph_cc incident).
-    # Dropping the Python reference each round makes the prior round's
-    # checkpoint RDD unreachable; ContextCleaner frees it on GC.
+    labels = min_label_components(edges, key="q_dedup_clusters")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_representative"),
+    )
+
+
+# rounds-to-fixpoint of the last min_label_components run, by caller key
+# (same shape as graph.CC_LAST_ROUNDS) — bench reads this for the
+# rounds-vs-diameter receipt
+MINLABEL_LAST_ROUNDS: dict = {}
+
+
+def min_label_components(edges: DataFrame, max_rounds: int = 64,
+                         key: str = "default") -> DataFrame:
+    """Connected components by iterative min-label propagation over a
+    BIDIRECTIONAL edge list (doc1, doc2) → (doc_id, label = component
+    min). Each round every node takes the min of its own label and its
+    neighbors' — one join + one 1-row convergence aggregate, fully
+    distributed; rounds-to-fixpoint = component diameter (+1 round to
+    confirm the sum stopped moving), which bench measures on planted
+    chains of diameter 5 and 20.
+
+    The cap is a safety valve, not a semantic bound: a graph whose
+    diameter exceeds it RAISES instead of silently returning labels
+    that never reached the component min (the pre-r9 16-round cap broke
+    exactly that way on a planted 20-deep chain). Deep graphs belong on
+    the log-round large-star/small-star path (graph.cc_from_edges);
+    near-dup cluster graphs converge in a handful of rounds.
+
+    Scale note: each round is ``localCheckpoint``ed, exactly as in
+    q_graph_cc (graph.py) — a persist alone leaves Catalyst
+    re-analyzing a logical plan that NESTS the prior round's plan, so
+    at depth ~16 analysis time grows exponentially even though
+    execution reuses the cache. localCheckpoint truncates lineage after
+    eagerly materializing the round (reliable checkpoint() on a cluster
+    with lossy executors); dropping the Python reference each round
+    makes the prior round's checkpoint RDD unreachable and
+    ContextCleaner frees it on GC.
+    """
     labels = (
         edges.select(F.col("doc1").alias("doc_id"))
         .distinct()
@@ -640,7 +669,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(16):  # diameter cap; near-dup components are shallow
+    rounds = 0
+    converged = prev_sum is None  # empty graph: nothing to propagate
+    while not converged and rounds < max_rounds:
         nbr = (
             edges.join(labels, edges.doc2 == labels.doc_id)
             .groupBy("doc1")
@@ -656,15 +687,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+        rounds += 1
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if new_sum == prev_sum:
-            break
+        converged = new_sum == prev_sum
         prev_sum = new_sum
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_representative"),
-    )
+    MINLABEL_LAST_ROUNDS[key] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"min_label_components: no fixpoint after {max_rounds} rounds "
+            "— component diameter exceeds the cap; raise max_rounds or "
+            "use the log-round graph.cc_from_edges for deep graphs"
+        )
+    return labels
 
 
 EDITDIST_BAND = 3        # n_chars band width for blocking

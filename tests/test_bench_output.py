@@ -88,12 +88,15 @@ def test_final_line_carries_judge_evidence():
     assert parsed["control"]["value"] == 123.456
     assert parsed["control"]["max_query_ratio"] == 1.0
     # scaling ratios: candidate-pair ratios are the headline invariant
-    # (r5 verdict item 5); wall ratios stay as context
+    # (r5 verdict item 5); wall ratios stay as context. Compacted names
+    # drop the "ratio_" prefix (bare "ratio" -> "wall") — the r9 budget
+    # trim; full names stay in bench_detail.json
     emb = parsed["scaling_10x_ratios"]["q_dedup_embedding"]
-    assert emb["ratio_pairs_same_config"] == 1000.12
-    assert emb["ratio_pairs_retuned"] == 100.01
-    assert emb["ratio_wall_same_config"] == 10.01
-    assert parsed["scaling_10x_ratios"]["q_dedup_minhash"]["ratio_pairs"] == 10.02
+    assert emb["pairs_same_config"] == 1000.12
+    assert emb["pairs_retuned"] == 100.01
+    assert emb["wall_same_config"] == 10.01
+    assert parsed["scaling_10x_ratios"]["q_dedup_minhash"]["pairs"] == 10.02
+    assert parsed["scaling_10x_ratios"]["q_dedup_substring"]["wall"] == 10.01
     # skew straggler evidence incl. the tuned-AQE point (r4 verdict item 6)
     assert parsed["skew_join"]["salted_max_task_ms"] == 717.0
     assert parsed["skew_join"]["aqe_tuned_max_task_ms"] == 600.0

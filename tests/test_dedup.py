@@ -109,6 +109,36 @@ def test_dedup_clusters_lineage_truncated(spark):
     assert "Join" not in plan and len(plan) < 2000, plan[:500]
 
 
+def test_min_label_deep_chain_converges_or_raises(spark):
+    """The round cap is a safety valve, not a semantic bound (r8 verdict
+    item 5): a planted chain of diameter D must converge in exactly
+    D + 1 rounds (D propagation hops + one sum-unchanged confirm), and
+    a cap below that must RAISE — the pre-r9 16-round cap instead
+    returned silently mislabeled components on any deeper chain."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_hadoop_consumer_spark.queries.dedup import (
+        MINLABEL_LAST_ROUNDS,
+        min_label_components,
+    )
+
+    diam = 6
+    e = spark.range(diam).select(
+        F.col("id").alias("doc1"), (F.col("id") + 1).alias("doc2")
+    )
+    e = e.union(
+        e.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    )
+
+    labels = min_label_components(e, key="test_chain")
+    assert labels.where(F.col("label") != 0).count() == 0
+    assert MINLABEL_LAST_ROUNDS["test_chain"] == diam + 1
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        min_label_components(e, max_rounds=diam - 1, key="test_chain_capped")
+
+
 def test_hot_shingle_df_cap_bounds_pair_explosion(spark):
     """A universal stop-phrase must NOT generate O(n²) candidate pairs:
     shingles with document frequency > DF_CAP are dropped from the exact
