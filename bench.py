@@ -910,6 +910,17 @@ def main() -> None:
         "skew_join": skew,
         "sf": float(sf),
     }
+    # One-time 100x ANN stress receipt (r8 verdict item 8): recorded by
+    # `python tools/scale100_probe.py` into a committed sidecar (the
+    # ~2-4 min probe is not worth re-paying per round) and embedded
+    # verbatim — its "recorded" date marks it as a prior measurement,
+    # not this run's.
+    path_100x = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_100x.json"
+    )
+    if os.path.exists(path_100x):
+        with open(path_100x) as f:
+            detail["scaling_100x_recorded"] = json.load(f)
     # Full detail to a committed sidecar + stderr; the driver's tail buffer
     # only holds ~2000 chars, so everything stderr/diagnostic prints BEFORE
     # the final compact stdout line (r4 post-mortem: control_rerun grew the

@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""One-time 100× ANN stress receipt (r8 verdict item 8).
+
+The per-round bench measures the LSH/embedding-dedup paths at 10× and
+records that bits-per-table must grow ~log2(n) for candidate pairs to
+stay linear. This probe adds the SECOND measured point: a 100× corpus
+(200k × 64-dim gaussian vectors, same generator as bench's scaling
+probe) run with the re-tuned config the operators' scale contract
+prescribes — bits_100x = bits_1x + log2(100) ≈ 5 + 6.6 → 12 — plus the
+per-table ΣC(bucket,2) candidate bound for the UN-tuned configs, which
+shows the blow-up re-tuning avoids without paying to materialize it
+(bits=5 at 200k rows is ~7.5e9 pair slots — exactly the all-pairs
+behavior the cascade exists to avoid, so it is reported analytically
+from the bucket histogram, not joined).
+
+Writes bench_100x.json (committed); bench.py embeds it verbatim under
+"scaling_100x_recorded" in bench_detail.json so the receipt rides every
+round's artifact without re-paying the ~2-4 min probe per round.
+
+Run: python tools/scale100_probe.py  [--n1 2000]
+"""
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.normpath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
+sys.path.insert(0, REPO)
+
+
+def sigma_pairs(spark, d, bits, planes_for):
+    """Per-table Σ C(bucket,2) — the candidate-generation upper bound
+    from the bucket histogram alone (cheap: one groupBy, no self-join).
+    Counts a multi-table collision once per table, so it upper-bounds
+    the distinct-pair count the operator actually verifies."""
+    from pyspark.sql import functions as F
+
+    from kafka_hadoop_consumer_spark.queries.similarity import (
+        _table_buckets,
+        _vec_double,
+    )
+
+    ed = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
+        "vec_id", _vec_double().alias("v")
+    )
+    row = (
+        ed.select(
+            F.posexplode(
+                F.array(*_table_buckets(F.col("v"), planes_for(bits)))
+            ).alias("l", "bucket")
+        )
+        .groupBy("l", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).cast("long").alias("s"))
+        .first()
+    )
+    return int(row["s"] or 0)
+
+
+def main() -> int:
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import bench
+    from kafka_hadoop_consumer_spark.queries.registry import release_tracked
+    from kafka_hadoop_consumer_spark.queries.similarity import (
+        _vec_double,
+        embedding_near_dup_pairs,
+        lsh_topk,
+    )
+
+    n1 = int(sys.argv[sys.argv.index("--n1") + 1]) if "--n1" in sys.argv else bench.SCALE_N1
+    n100 = n1 * 100
+    BITS_1X = bench.SCALE_DEDUP_BITS_1X          # 5
+    BITS_10X = bench.SCALE_DEDUP_BITS_10X        # 8
+    BITS_100X = BITS_1X + 7                      # ceil(5 + log2(100)) = 12
+
+    spark = bench.get_spark(app_name="scale100_probe")
+
+    def planes_for(bits):
+        return (
+            np.random.RandomState(7)
+            .randn(bench.SCALE_DEDUP_TABLES, bits, 64)
+            .tolist()
+        )
+
+    d100 = tempfile.mkdtemp(prefix="bench_scale_100x_")
+    try:
+        bench._synth_embeddings(spark, n100, d100)
+
+        def load_ed():
+            return spark.read.parquet(
+                os.path.join(d100, "embeddings.parquet")
+            ).select("vec_id", _vec_double().alias("v"))
+
+        # analytic candidate bounds per config (no join materialized)
+        sig = {
+            bits: sigma_pairs(spark, d100, bits, planes_for)
+            for bits in (BITS_1X, BITS_10X, BITS_100X)
+        }
+
+        # the re-tuned cascade, actually run: wall + verified pair count
+        t0 = time.perf_counter()
+        pairs_out = embedding_near_dup_pairs(
+            load_ed(), planes_for(BITS_100X)
+        ).count()
+        dedup_wall = round(time.perf_counter() - t0, 3)
+        release_tracked()
+
+        # distinct candidate pairs the cascade cosine-verifies at the
+        # re-tuned config (same measurement as bench's 1x/10x points)
+        from pyspark.sql import functions as F2
+
+        from kafka_hadoop_consumer_spark.queries.similarity import (
+            _table_buckets,
+        )
+
+        bucketed = load_ed().select(
+            "vec_id",
+            F2.posexplode(
+                F2.array(*_table_buckets(F2.col("v"), planes_for(BITS_100X)))
+            ).alias("l", "bucket"),
+        ).persist()
+        try:
+            cand_100x = (
+                bucketed.alias("a")
+                .join(
+                    bucketed.alias("b"),
+                    (F2.col("a.l") == F2.col("b.l"))
+                    & (F2.col("a.bucket") == F2.col("b.bucket"))
+                    & (F2.col("a.vec_id") < F2.col("b.vec_id")),
+                )
+                .select(
+                    F2.col("a.vec_id").alias("v1"),
+                    F2.col("b.vec_id").alias("v2"),
+                )
+                .distinct()
+                .count()
+            )
+        finally:
+            bucketed.unpersist()
+
+        # LSH top-k ANN at 100×, re-tuned planes: one wall point
+        ed = load_ed()
+        q = ed.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+        t0 = time.perf_counter()
+        lsh_rows = lsh_topk(ed, q).count()
+        lsh_wall = round(time.perf_counter() - t0, 3)
+        release_tracked()
+
+        out = {
+            "recorded": datetime.date.today().isoformat(),
+            "command": "python tools/scale100_probe.py",
+            "n_1x": n1,
+            "n_100x": n100,
+            "tables": bench.SCALE_DEDUP_TABLES,
+            "bits": {"1x": BITS_1X, "10x_retuned": BITS_10X,
+                     "100x_retuned": BITS_100X},
+            "sigma_pair_bound_100x": {
+                "bits_5_same_config": sig[BITS_1X],
+                "bits_8_10x_tuned": sig[BITS_10X],
+                "bits_12_100x_retuned": sig[BITS_100X],
+            },
+            "candidate_pairs_100x_retuned": cand_100x,
+            "near_dup_pairs_out_100x": pairs_out,
+            "dedup_wall_sec_100x_retuned_single_run": dedup_wall,
+            "lsh_topk_wall_sec_100x_single_run": lsh_wall,
+            "lsh_topk_rows": lsh_rows,
+        }
+        path = os.path.join(REPO, "bench_100x.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps(out, indent=2))
+        print(f"wrote {path}", file=sys.stderr)
+        return 0
+    finally:
+        shutil.rmtree(d100, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
