@@ -117,6 +117,67 @@ SCALE_DEDUP_BITS_1X = 5
 SCALE_DEDUP_BITS_10X = 8
 
 
+def scale_planes_for(bits: int) -> list:
+    """Seed-7 hyperplane family shared by the per-round 10x probes AND
+    tools/scale100_probe.py — ONE definition so the 1x/10x/100x candidate
+    series measures the same LSH family (r9 review: the probe carried a
+    textual copy that could silently drift from this one)."""
+    import numpy as np
+
+    return (
+        np.random.RandomState(7).randn(SCALE_DEDUP_TABLES, bits, 64).tolist()
+    )
+
+
+def scale_load_embeddings(spark, d: str):
+    """vec_id + double-vector view of a synthetic embeddings dir."""
+    from kafka_hadoop_consumer_spark.queries.similarity import _vec_double
+
+    return spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
+        "vec_id", _vec_double().alias("v")
+    )
+
+
+def scale_candidate_pairs(ed, bits: int) -> int:
+    """DISTINCT candidate pairs the embedding-dedup cascade
+    cosine-verifies — the same (table, bucket) self-join + distinct the
+    operator itself performs. A pair colliding in multiple tables counts
+    once; Σ C(bucket,2) per table would overcount multi-table collisions
+    relative to the verified set. This count is noise-free (no
+    wall-clock), so it is the headline scaling invariant for the
+    embedding-dedup probe (shared with tools/scale100_probe.py)."""
+    from pyspark.sql import functions as F
+
+    from kafka_hadoop_consumer_spark.queries.similarity import _table_buckets
+
+    # persist: the self-join would otherwise recompute the full
+    # hyperplane bucketing once per side
+    bucketed = ed.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*_table_buckets(F.col("v"), scale_planes_for(bits)))
+        ).alias("l", "bucket"),
+    ).persist()
+    try:
+        return (
+            bucketed.alias("a")
+            .join(
+                bucketed.alias("b"),
+                (F.col("a.l") == F.col("b.l"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("v1"),
+                F.col("b.vec_id").alias("v2"),
+            )
+            .distinct()
+            .count()
+        )
+    finally:
+        bucketed.unpersist()
+
+
 def _synth_embeddings(spark, n: int, out_dir: str) -> None:
     """Deterministic gaussian corpus shaped like the embeddings fixture
     (vec_id int64, label int32, embedding array<float>)."""
@@ -162,7 +223,6 @@ def _synth_documents(spark, n: int, out_dir: str) -> None:
 
 
 def _time_scaling(spark) -> dict:
-    import numpy as np
     from pyspark.sql import functions as F
 
     from kafka_hadoop_consumer_spark.queries.dedup import (
@@ -175,15 +235,12 @@ def _time_scaling(spark) -> dict:
         verbatim_runs,
     )
     from kafka_hadoop_consumer_spark.queries.similarity import (
-        _vec_double,
         embedding_near_dup_pairs,
         lsh_topk,
     )
 
     def load_ed(d):
-        return spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
-            "vec_id", _vec_double().alias("v")
-        )
+        return scale_load_embeddings(spark, d)
 
     # Direct operator calls bypass the registry's _on_query_start release
     # hook, so each probe's persist_tracked pins (bucketed, lexr, deg, ...)
@@ -222,55 +279,11 @@ def _time_scaling(spark) -> dict:
             )
             return lsh_topk(ed, q)
 
-        def planes_for(bits):
-            return (
-                np.random.RandomState(7)
-                .randn(SCALE_DEDUP_TABLES, bits, 64)
-                .tolist()
-            )
-
         def dedup(d, bits):
-            return embedding_near_dup_pairs(load_ed(d), planes_for(bits))
+            return embedding_near_dup_pairs(load_ed(d), scale_planes_for(bits))
 
         def n_candidate_pairs(d, bits):
-            """DISTINCT candidate pairs the cascade cosine-verifies — the
-            same (table, bucket) self-join + distinct the operator itself
-            performs. A pair colliding in multiple tables counts once;
-            Σ C(bucket,2) per table would overcount multi-table
-            collisions relative to the verified set. This count is
-            noise-free (no wall-clock), so it is the headline scaling
-            invariant for the embedding-dedup probe."""
-            from kafka_hadoop_consumer_spark.queries.similarity import (
-                _table_buckets,
-            )
-
-            ed = load_ed(d)
-            # persist: the self-join would otherwise recompute the full
-            # hyperplane bucketing once per side
-            bucketed = ed.select(
-                "vec_id",
-                F.posexplode(
-                    F.array(*_table_buckets(F.col("v"), planes_for(bits)))
-                ).alias("l", "bucket"),
-            ).persist()
-            try:
-                return (
-                    bucketed.alias("a")
-                    .join(
-                        bucketed.alias("b"),
-                        (F.col("a.l") == F.col("b.l"))
-                        & (F.col("a.bucket") == F.col("b.bucket"))
-                        & (F.col("a.vec_id") < F.col("b.vec_id")),
-                    )
-                    .select(
-                        F.col("a.vec_id").alias("v1"),
-                        F.col("b.vec_id").alias("v2"),
-                    )
-                    .distinct()
-                    .count()
-                )
-            finally:
-                bucketed.unpersist()
+            return scale_candidate_pairs(load_ed(d), bits)
 
         for name, b1, b10 in (
             ("q_sim_lsh_topk", lambda: lsh(d1), lambda: lsh(d10)),
@@ -621,8 +634,11 @@ def _time_scaling(spark) -> dict:
             ))
             t0 = time.perf_counter()
             labels = min_label_components(e, key=f"bench_chain_{diam}")
-            not_min = labels.where(F.col("label") != 0).count()
+            # per-round localCheckpoints make the fixpoint loop eager, so
+            # the operator's work is done here; the invariant scan below
+            # stays OUTSIDE the window (cc_run/tri_run convention)
             wall = round(time.perf_counter() - t0, 3)
+            not_min = labels.where(F.col("label") != 0).count()
             release_tracked()
             assert not_min == 0, (
                 f"chain diam={diam}: {not_min} nodes never reached the "

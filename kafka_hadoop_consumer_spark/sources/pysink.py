@@ -74,9 +74,24 @@ class StagedFile(WriterCommitMessage):
     rows: int
 
 
+# every live staging task re-touches its job's staging-dir mtime this
+# often, so the stale-sibling reaper's age gate sees a young dir even
+# while a straggler task computes upstream for minutes before its first
+# Arrow batch arrives (ParquetWriter only creates the file on the first
+# batch, so file mtimes alone would not advance)
+HEARTBEAT_SECS = 30.0
+
+
 def _stage_batches(staging_dir: str, iterator) -> Optional[StagedFile]:
     """Stream one task's Arrow batches into a unique staging parquet
-    file; empty partitions stage nothing (no 0-row files to publish)."""
+    file; empty partitions stage nothing (no 0-row files to publish).
+    A daemon heartbeat keeps the staging dir's mtime young for the
+    task's whole lifetime — including the pre-first-batch compute —
+    so ``_reap_stale_siblings``'s age gate never fires on a live job;
+    a crashed task's heartbeat dies with its worker process, letting
+    the orphaned dir age out normally."""
+    import threading
+
     import pyarrow.parquet as pq
 
     # a concurrent job's _reap_staging may rmdir the shared _staging
@@ -90,6 +105,17 @@ def _stage_batches(staging_dir: str, iterator) -> Optional[StagedFile]:
             continue
     else:
         os.makedirs(staging_dir, exist_ok=True)
+
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(HEARTBEAT_SECS):
+            try:
+                os.utime(staging_dir)
+            except OSError:
+                return  # dir reaped by our own abort: nothing to keep alive
+
+    threading.Thread(target=_beat, daemon=True).start()
     path = os.path.join(staging_dir, f"{uuid.uuid4().hex}.parquet")
     writer, rows = None, 0
     try:
@@ -99,6 +125,7 @@ def _stage_batches(staging_dir: str, iterator) -> Optional[StagedFile]:
             writer.write_batch(batch)
             rows += batch.num_rows
     finally:
+        stop.set()
         if writer is not None:
             writer.close()
     if writer is None:
@@ -122,9 +149,10 @@ def _publish(target: str, messages: List[Optional[StagedFile]],
 
 
 # a sibling staging dir this much older than "now" (newest entry inside
-# it included) is treated as a crashed run's orphan — a LIVE writer
-# mid-batch keeps flushing into its staging files, so its dir stays
-# young, while an orphan only ages
+# it included) is treated as a crashed run's orphan — every LIVE task
+# heartbeats its dir's mtime (HEARTBEAT_SECS, well inside this gate)
+# even while computing upstream of its first batch, while an orphan's
+# heartbeats died with its process and it only ages
 STALE_STAGING_SECS = 300.0
 
 
@@ -136,7 +164,8 @@ def _reap_stale_siblings(staging_parent: str, own: str,
     siblings unconditionally (it owns the target); the streaming writer
     calls this at each commit, once its ``_commits`` marker proves this
     query owns the sink, with an age gate so a concurrent mid-batch
-    writer (actively flushing, dir mtime young) is never touched."""
+    writer (whose live tasks heartbeat the dir mtime — see
+    ``_stage_batches``) is never touched."""
     import time
 
     try:
@@ -255,6 +284,8 @@ class ArrowSinkStreamWriter(DataSourceStreamArrowWriter):
         # batch — one reap per commit also sweeps partials from task
         # attempts that died before returning a commit message, and a
         # concurrent query writing the same path can never be swept
+        # (its live tasks heartbeat their staging dir past the stale
+        # age gate; see _stage_batches)
         self.staging_parent = os.path.join(self.path, "_staging")
         self.staging = os.path.join(self.staging_parent, uuid.uuid4().hex[:12])
         self.commits = os.path.join(self.path, "_commits")

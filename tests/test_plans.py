@@ -633,3 +633,44 @@ def test_broadcast_sites_classified():
         "broadcast site-count mismatches (a textually identical twin was "
         f"added or deleted — update MULTI): {miscount}"
     )
+
+
+def test_broadcast_scanner_catches_every_import_spelling(tmp_path):
+    """The scanner must see a forced broadcast through EVERY import
+    route to pyspark.sql.functions — r8 closed the functions-alias
+    bypass, r9 review found parent-module access (`import pyspark.sql
+    as psql; psql.functions.broadcast(...)`) still slipped past the
+    ledger while the gate stayed green."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "broadcast_audit",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "broadcast_audit.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    (tmp_path / "spellings.py").write_text(
+        "import pyspark.sql.functions as pf\n"
+        "import pyspark.sql as psql\n"
+        "import pyspark\n"
+        "from pyspark import sql as s\n"
+        "from pyspark.sql import functions as fx\n"
+        "from pyspark.sql.functions import broadcast as bc\n"
+        "def f(df, dim):\n"
+        "    a = df.join(pf.broadcast(dim), 'k')\n"
+        "    b = df.join(psql.functions.broadcast(dim), 'k')\n"
+        "    c = df.join(pyspark.sql.functions.broadcast(dim), 'k')\n"
+        "    d = df.join(s.functions.broadcast(dim), 'k')\n"
+        "    e = df.join(fx.broadcast(dim), 'k')\n"
+        "    g = df.join(bc(dim), 'k')\n"
+        "    h = df.join(dim.hint('broadcast'), 'k')\n"
+        "    nope = df.sparkSession.sparkContext.broadcast([1])\n"
+        "    return a, b, c, d, e, g, h, nope\n"
+    )
+    sites = mod.scan(root=str(tmp_path))
+    assert len(sites) == 7, sites
+    assert all(s[0] == "spellings.py" and s[1] == "f" for s in sites), sites

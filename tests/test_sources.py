@@ -481,6 +481,40 @@ def test_stream_sink_commit_reclaims_crashed_runs_staging(tmp_path):
     assert not os.path.exists(orphan)
 
 
+def test_stage_batches_heartbeat_keeps_staging_dir_young(tmp_path, monkeypatch):
+    """A straggler task computing upstream of its FIRST Arrow batch
+    creates no parquet file and advances no mtime — without the task
+    heartbeat, a >STALE_STAGING_SECS compute would let a sibling's
+    stale-staging sweep rmtree a LIVE job's staging dir (r9 review).
+    The heartbeat must keep re-touching the dir while the iterator
+    stalls, even back-dated past the stale gate."""
+    import os
+    import time
+
+    import pyarrow as pa
+
+    from kafka_hadoop_consumer_spark.sources import pysink
+
+    monkeypatch.setattr(pysink, "HEARTBEAT_SECS", 0.05)
+    staging = str(tmp_path / "_staging" / "slowjob00001")
+    observed = []
+
+    def slow_iter():
+        # simulate the straggler: back-date the dir past the stale gate,
+        # then "compute" — only the heartbeat thread can re-young it
+        old = time.time() - 2 * pysink.STALE_STAGING_SECS
+        os.utime(staging, (old, old))
+        time.sleep(0.5)
+        observed.append(os.path.getmtime(staging))
+        yield pa.record_batch({"v": pa.array([1, 2])})
+
+    msg = pysink._stage_batches(staging, slow_iter())
+    assert msg is not None and msg.rows == 2
+    assert observed[0] > time.time() - pysink.STALE_STAGING_SECS, (
+        "heartbeat must re-touch the staging dir while the task computes"
+    )
+
+
 def test_sequence_file_null_and_binary_coercion(spark, tmp_path):
     """NULL payloads must land as empty strings (not the literal 'None')
     and binary payloads as their UTF-8 decoding (not a bytearray repr) —

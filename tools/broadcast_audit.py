@@ -229,16 +229,16 @@ for f, a, c in [
     _add("queries/windows.py", f, a, c)
 
 
-def scan() -> list[tuple[str, str, str]]:
-    """Every F.broadcast call site in the package as
+def scan(root: str = PKG) -> list[tuple[str, str, str]]:
+    """Every F.broadcast call site under ``root`` as
     (relpath, enclosing function, argument source text)."""
     sites = []
-    for dirpath, _, files in os.walk(PKG):
+    for dirpath, _, files in os.walk(root):
         for fn in sorted(files):
             if not fn.endswith(".py"):
                 continue
             p = os.path.join(dirpath, fn)
-            rel = os.path.relpath(p, PKG)
+            rel = os.path.relpath(p, root)
             tree = ast.parse(open(p).read())
 
             # functions-module aliases resolved from THIS file's imports
@@ -254,11 +254,26 @@ def scan() -> list[tuple[str, str, str]]:
                     for a in node.names:
                         if a.name == "pyspark.sql.functions":
                             mod_aliases.add(a.asname or a.name)
+                        # parent-module imports reach functions through
+                        # attribute access (r9 review: `import pyspark.sql
+                        # as psql; psql.functions.broadcast(...)` bypassed
+                        # the ledger)
+                        elif a.name == "pyspark.sql":
+                            mod_aliases.add(
+                                f"{a.asname or a.name}.functions")
+                        elif a.name == "pyspark":
+                            mod_aliases.add(
+                                f"{a.asname or a.name}.sql.functions")
                 elif isinstance(node, ast.ImportFrom):
                     if node.module == "pyspark.sql":
                         for a in node.names:
                             if a.name == "functions":
                                 mod_aliases.add(a.asname or a.name)
+                    elif node.module == "pyspark":
+                        for a in node.names:
+                            if a.name == "sql":
+                                mod_aliases.add(
+                                    f"{a.asname or a.name}.functions")
                     elif node.module == "pyspark.sql.functions":
                         for a in node.names:
                             if a.name == "broadcast":

@@ -35,21 +35,15 @@ REPO = os.path.normpath(
 sys.path.insert(0, REPO)
 
 
-def sigma_pairs(spark, d, bits, planes_for):
+def sigma_pairs(ed, bits, planes_for):
     """Per-table Σ C(bucket,2) — the candidate-generation upper bound
     from the bucket histogram alone (cheap: one groupBy, no self-join).
     Counts a multi-table collision once per table, so it upper-bounds
     the distinct-pair count the operator actually verifies."""
     from pyspark.sql import functions as F
 
-    from kafka_hadoop_consumer_spark.queries.similarity import (
-        _table_buckets,
-        _vec_double,
-    )
+    from kafka_hadoop_consumer_spark.queries.similarity import _table_buckets
 
-    ed = spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
-        "vec_id", _vec_double().alias("v")
-    )
     row = (
         ed.select(
             F.posexplode(
@@ -65,18 +59,21 @@ def sigma_pairs(spark, d, bits, planes_for):
 
 
 def main() -> int:
-    import numpy as np
+    import argparse
+
     from pyspark.sql import functions as F
 
     import bench
     from kafka_hadoop_consumer_spark.queries.registry import release_tracked
     from kafka_hadoop_consumer_spark.queries.similarity import (
-        _vec_double,
         embedding_near_dup_pairs,
         lsh_topk,
     )
 
-    n1 = int(sys.argv[sys.argv.index("--n1") + 1]) if "--n1" in sys.argv else bench.SCALE_N1
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n1", type=int, default=bench.SCALE_N1,
+                    help="1x corpus size (probe runs at 100x this)")
+    n1 = ap.parse_args().n1
     n100 = n1 * 100
     BITS_1X = bench.SCALE_DEDUP_BITS_1X          # 5
     BITS_10X = bench.SCALE_DEDUP_BITS_10X        # 8
@@ -84,25 +81,21 @@ def main() -> int:
 
     spark = bench.get_spark(app_name="scale100_probe")
 
-    def planes_for(bits):
-        return (
-            np.random.RandomState(7)
-            .randn(bench.SCALE_DEDUP_TABLES, bits, 64)
-            .tolist()
-        )
+    # ONE plane family + loader + candidate count, shared with bench's
+    # 1x/10x probes — the 1x/10x/100x series must measure the same
+    # definitions or the receipt's comparison is meaningless
+    planes_for = bench.scale_planes_for
 
     d100 = tempfile.mkdtemp(prefix="bench_scale_100x_")
     try:
         bench._synth_embeddings(spark, n100, d100)
 
         def load_ed():
-            return spark.read.parquet(
-                os.path.join(d100, "embeddings.parquet")
-            ).select("vec_id", _vec_double().alias("v"))
+            return bench.scale_load_embeddings(spark, d100)
 
         # analytic candidate bounds per config (no join materialized)
         sig = {
-            bits: sigma_pairs(spark, d100, bits, planes_for)
+            bits: sigma_pairs(load_ed(), bits, planes_for)
             for bits in (BITS_1X, BITS_10X, BITS_100X)
         }
 
@@ -115,37 +108,8 @@ def main() -> int:
         release_tracked()
 
         # distinct candidate pairs the cascade cosine-verifies at the
-        # re-tuned config (same measurement as bench's 1x/10x points)
-        from pyspark.sql import functions as F2
-
-        from kafka_hadoop_consumer_spark.queries.similarity import (
-            _table_buckets,
-        )
-
-        bucketed = load_ed().select(
-            "vec_id",
-            F2.posexplode(
-                F2.array(*_table_buckets(F2.col("v"), planes_for(BITS_100X)))
-            ).alias("l", "bucket"),
-        ).persist()
-        try:
-            cand_100x = (
-                bucketed.alias("a")
-                .join(
-                    bucketed.alias("b"),
-                    (F2.col("a.l") == F2.col("b.l"))
-                    & (F2.col("a.bucket") == F2.col("b.bucket"))
-                    & (F2.col("a.vec_id") < F2.col("b.vec_id")),
-                )
-                .select(
-                    F2.col("a.vec_id").alias("v1"),
-                    F2.col("b.vec_id").alias("v2"),
-                )
-                .distinct()
-                .count()
-            )
-        finally:
-            bucketed.unpersist()
+        # re-tuned config (the SAME function as bench's 1x/10x points)
+        cand_100x = bench.scale_candidate_pairs(load_ed(), BITS_100X)
 
         # LSH top-k ANN at 100×, re-tuned planes: one wall point
         ed = load_ed()
