@@ -42,7 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--limit", type=int, default=None,
-        help="max records per trigger (reference -l)",
+        help="per-trigger cap (reference -l): RECORDS per partition for "
+             "kafka/kafka_sim, FILES per micro-batch for --kind file "
+             "(the file source's only admission unit)",
     )
     # file
     p.add_argument("--path", help="input directory (file kind)")
@@ -131,6 +133,11 @@ def main(argv: list[str] | None = None) -> None:
             "--limit is not supported for --kind rate (the rate source "
             "has no offset to cap); use a file or kafka_sim source for "
             "capped runs"
+        )
+    if args.max_runtime_sec is not None and not args.continuous:
+        parser.error(
+            "--max-runtime-sec only bounds a --continuous run; a bounded "
+            "drain (the default) already stops when the source is empty"
         )
     from kafka_hadoop_consumer_spark import get_spark
 

@@ -142,17 +142,41 @@ def decode_payload(
     # fixture events table does).
     kafka_envelope = {"value", "topic", "partition", "offset"}
     if kafka_envelope <= set(df.columns):
+        if "timestamp" in df.columns:
+            event_time = [F.col("timestamp")]
+        elif "ts_us" in df.columns:
+            # kafka_sim's envelope carries event time as epoch micros
+            # (sources/kafka_sim.py); surface it under the real Kafka
+            # source's column name so downstream event-time use (window
+            # aggs, time-based partition_by) is source-agnostic —
+            # dropping it silently broke the "same envelope" stand-in
+            # contract (r9 review)
+            event_time = [F.timestamp_micros("ts_us").alias("timestamp")]
+        else:
+            event_time = []
         decoded = df.select(
             F.col("value").cast("string").alias("payload"),
             "topic",
             "partition",
             "offset",
-            *(["timestamp"] if "timestamp" in df.columns else []),
+            *event_time,
         )
     else:
         decoded = df
     if json_schema is not None:
-        payload_col = "payload" if "payload" in decoded.columns else decoded.columns[0]
+        if "payload" in decoded.columns:
+            payload_col = "payload"
+        elif len(decoded.columns) == 1:
+            payload_col = decoded.columns[0]
+        else:
+            # guessing columns[0] on a multi-column non-envelope frame
+            # would silently parse the wrong column (r9 review: a csv
+            # with the JSON in column 2 lands every row in quarantine)
+            raise ValueError(
+                "decode_payload: json_schema given but no 'payload' "
+                f"column to parse among {decoded.columns}; select or "
+                "alias the JSON column to 'payload' first"
+            )
         if corrupt_col:
             from kafka_hadoop_consumer_spark.sources.batch import (
                 corrupt_record_schema,
@@ -243,6 +267,9 @@ def run_ingest(
         else:
             deadline = time.monotonic() + max_runtime_sec
             while time.monotonic() < deadline:
+                if not q.isActive:
+                    break  # failed/finished: surface the error NOW, not
+                    # after spinning out the whole max_runtime_sec budget
                 if any(
                     p is not None and p["numInputRows"] > 0
                     for p in q.recentProgress

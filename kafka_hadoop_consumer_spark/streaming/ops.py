@@ -125,6 +125,55 @@ def stream_stream_funnel(views: DataFrame, purchases: DataFrame,
     ).select("view_id", "purchase_id", "user_id")
 
 
+def _read_snapshot(spark, out_path: str) -> DataFrame:
+    """Recovery-aware read of a snapshot maintained by ``_swap_snapshot``.
+
+    If a crash interrupted a prior swap, ``out_path`` may be missing
+    while a sibling holds the data: a fully-staged dir (Spark's
+    ``_SUCCESS`` marker proves the write committed) supersedes the
+    ``.old`` snapshot it was about to replace; an incomplete staging
+    dir means the old snapshot is still current. After recovery, a
+    genuinely missing path (true first batch) raises
+    AnalysisException exactly like a plain read."""
+    import shutil
+
+    staged, old = out_path + ".staging", out_path + ".old"
+    if not os.path.isdir(out_path):
+        if os.path.exists(os.path.join(staged, "_SUCCESS")):
+            os.rename(staged, out_path)
+        elif os.path.isdir(old):
+            os.rename(old, out_path)
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(out_path)
+
+
+def _swap_snapshot(merged: DataFrame, out_path: str) -> None:
+    """Crash-safe replacement of a parquet snapshot that ``merged``'s
+    own plan reads from (r9 review: overwrite-in-place truncated the
+    only copy of the accumulated state BEFORE the write committed, so
+    a crash mid-write made the checkpoint replay read an empty path,
+    fall into its first-batch branch, and permanently lose every
+    previously accumulated row).
+
+    localCheckpoint (not cache: best-effort, an evicted partition
+    would recompute from lineage and re-read the dir mid-replacement —
+    the run_incremental_near_dedup precedent) severs the plan from
+    ``out_path``; the new snapshot is fully staged to a sibling dir,
+    then swapped via two renames. Every crash point leaves a complete
+    snapshot recoverable by ``_read_snapshot``."""
+    import shutil
+
+    staged, old = out_path + ".staging", out_path + ".old"
+    merged = merged.localCheckpoint()
+    merged.write.mode("overwrite").parquet(staged)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(out_path):
+        os.rename(out_path, old)
+    os.rename(staged, out_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def run_foreach_batch_upsert(
     df: DataFrame,
     out_path: str,
@@ -148,14 +197,14 @@ def run_foreach_batch_upsert(
 
         spark = batch.sparkSession
         try:
-            current = spark.read.parquet(out_path)
+            current = _read_snapshot(spark, out_path)
             merged = current.unionByName(batch)
         except AnalysisException:
-            # Missing path = genuinely the first batch. Anything else
-            # (transient IO, permissions, corrupt footer) PROPAGATES and
-            # fails the batch — treating it as "first batch" would
-            # overwrite the accumulated snapshot with this batch alone
-            # and silently lose every prior key.
+            # Missing path AFTER swap recovery = genuinely the first
+            # batch. Anything else (transient IO, permissions, corrupt
+            # footer) PROPAGATES and fails the batch — treating it as
+            # "first batch" would overwrite the accumulated snapshot
+            # with this batch alone and silently lose every prior key.
             merged = batch
         w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
         latest = (
@@ -163,13 +212,9 @@ def run_foreach_batch_upsert(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # rewrite the snapshot atomically-enough for a demo sink: stage
-        # then swap would be the production move; overwrite is fine here
-        # because foreachBatch re-runs are idempotent (same batch id →
-        # same resulting snapshot)
-        latest.cache().count()
-        latest.write.mode("overwrite").parquet(out_path)
-        latest.unpersist()
+        # stage-then-swap: replay of this batch id must find the PRIOR
+        # snapshot intact if the rewrite dies mid-flight
+        _swap_snapshot(latest, out_path)
 
     q = (
         df.writeStream.foreachBatch(merge)
@@ -309,7 +354,7 @@ def run_continuous_rollup(
         spark = batch.sparkSession
         batch = batch.cache()
         try:
-            current = spark.read.parquet(out_path)
+            current = _read_snapshot(spark, out_path)
             keep = current.join(
                 batch.select("bucket", "event_type").distinct(),
                 ["bucket", "event_type"],
@@ -317,15 +362,17 @@ def run_continuous_rollup(
             )
             merged = keep.unionByName(batch)
         except AnalysisException:
-            # Missing path = first batch. A transient read error must
-            # FAIL the batch instead: falling back to `merged = batch`
-            # would overwrite the rollup with only the buckets this
-            # batch touched, truncating all other history — and the
-            # state store would never re-emit the lost buckets.
+            # Missing path AFTER swap recovery = first batch. A
+            # transient read error must FAIL the batch instead: falling
+            # back to `merged = batch` would overwrite the rollup with
+            # only the buckets this batch touched, truncating all other
+            # history — and the state store would never re-emit the
+            # lost buckets.
             merged = batch
-        merged.cache().count()
-        merged.write.mode("overwrite").parquet(out_path)
-        merged.unpersist()
+        # stage-then-swap (r9 review): overwrite-in-place truncated the
+        # rollup BEFORE the write committed, so a crash mid-write lost
+        # every bucket outside this batch on replay
+        _swap_snapshot(merged, out_path)
         batch.unpersist()
 
     q = (

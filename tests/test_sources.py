@@ -558,6 +558,10 @@ def test_ingest_cli_rejects_impossible_flag_combos(tmp_path):
               "--partition-by", "partition", *base])
     with pytest.raises(SystemExit):
         main(["--kind", "rate", "--limit", "10", *base])
+    # --max-runtime-sec without --continuous would be silently ignored
+    # (the bounded drain never consults it) — reject like the others
+    with pytest.raises(SystemExit):
+        main(["--kind", "kafka_sim", "--max-runtime-sec", "5", *base])
 
 
 def test_ingest_cli_normalizes_partition_by(spark, tmp_path):

@@ -316,6 +316,62 @@ def test_foreach_batch_upsert_keeps_latest(spark, tmp_path):
     )
 
 
+def test_snapshot_swap_survives_every_crash_point(spark, tmp_path):
+    """The foreachBatch snapshot sinks must never lose accumulated state
+    to a crash mid-rewrite (r9 review: overwrite-in-place truncated the
+    only copy before the write committed, so a replayed batch read an
+    empty path and fell into its first-batch branch). Each simulated
+    crash state must recover the COMPLETE snapshot."""
+    import os as _os
+    import shutil
+
+    out = str(tmp_path / "snap")
+    old, staged = out + ".old", out + ".staging"
+
+    def write(path, vals):
+        spark.createDataFrame([(v,) for v in vals], "v long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+
+    def vals(df):
+        return sorted(r.v for r in df.collect())
+
+    # normal swap: replaces contents, cleans up siblings
+    write(out, [1, 2])
+    ops._swap_snapshot(spark.createDataFrame([(3,)], "v long"), out)
+    assert vals(ops._read_snapshot(spark, out)) == [3]
+    assert not _os.path.exists(old) and not _os.path.exists(staged)
+
+    # crash between the two renames: out missing, staged complete
+    # (_SUCCESS present), old holds the superseded snapshot -> the
+    # staged write committed, so it wins
+    write(old, [1, 2])
+    write(staged, [1, 2, 3])
+    assert _os.path.exists(_os.path.join(staged, "_SUCCESS"))
+    shutil.rmtree(out)
+    assert vals(ops._read_snapshot(spark, out)) == [1, 2, 3]
+
+    # crash mid-stage: staged incomplete (no _SUCCESS), old current
+    shutil.rmtree(out)
+    write(old, [1, 2])
+    write(staged, [9])
+    _os.remove(_os.path.join(staged, "_SUCCESS"))
+    assert vals(ops._read_snapshot(spark, out)) == [1, 2]
+    assert not _os.path.exists(staged)
+
+    # crash after swap, before old cleanup: out current, old leftover
+    write(old, [1, 2])
+    assert vals(ops._read_snapshot(spark, out)) == [1, 2]
+    assert not _os.path.exists(old)
+
+    # true first batch: everything missing -> AnalysisException
+    from pyspark.errors import AnalysisException
+
+    shutil.rmtree(out)
+    with pytest.raises(AnalysisException):
+        ops._read_snapshot(spark, out)
+
+
 def test_rate_source_smoke(spark):
     """The rate source (SourceSpec kind='rate') produces rows while running
     — the wall-clock synthetic-load source for soak tests."""
@@ -767,6 +823,39 @@ def test_decode_payload_quarantines_malformed_json(spark):
     # opt-out keeps the narrow schema
     cols = decode_payload(df, json_schema="k string", corrupt_col=None).columns
     assert cols == ["k"]
+
+
+def test_decode_payload_event_time_and_payload_ambiguity(spark):
+    """kafka_sim's ts_us epoch-micros must surface under the real Kafka
+    source's 'timestamp' name (the 'same envelope' stand-in contract —
+    r9 review: it was silently projected away), and a multi-column
+    non-envelope frame with json_schema must refuse to guess which
+    column holds the JSON."""
+    import pytest
+
+    from kafka_hadoop_consumer_spark.streaming.ingest import decode_payload
+
+    sim = spark.createDataFrame(
+        [("m-0-0", "t", 0, 0, "k0", 1700000000000000)],
+        "value string, topic string, partition int, offset long, "
+        "key string, ts_us long",
+    )
+    out = decode_payload(sim)
+    assert "timestamp" in out.columns
+    row = out.collect()[0]
+    assert row["payload"] == "m-0-0"
+    assert row["timestamp"].year == 2023  # 2023-11-14T22:13:20 UTC
+
+    multi = spark.createDataFrame(
+        [(1, '{"k": "a"}')], "id long, body string"
+    )
+    with pytest.raises(ValueError, match="payload"):
+        decode_payload(multi, json_schema="k string")
+    # a single non-envelope column is unambiguous: parse it
+    single = multi.select("body")
+    assert decode_payload(
+        single, json_schema="k string", corrupt_col=None
+    ).collect()[0]["k"] == "a"
 
 
 def test_kafka_sim_max_per_trigger_caps_batches(spark, tmp_path):
