@@ -113,11 +113,14 @@ def asof_join(
         order = [rt.asc()]
         if tie_break is not None:
             order.append(F.col(tie_break).asc())
-    else:  # nearest: tolerance is in SECONDS, distance on epoch seconds
+    else:  # nearest: tolerance is in SECONDS, distance in exact integer µs
+        # NOT epoch-seconds doubles: their ulp at 2024-era epochs is
+        # ~0.24 µs, enough to rank an exact-tie pair differently from an
+        # integer-µs oracle (r9 review) — tie outcomes are hash-checked
         dist = F.abs(
-            rt.cast("timestamp").cast("double") - lt.cast("timestamp").cast("double")
+            F.unix_micros(rt.cast("timestamp")) - F.unix_micros(lt.cast("timestamp"))
         )
-        cond = dist <= F.lit(float(tolerance))
+        cond = dist <= F.lit(int(round(tolerance * 1_000_000)))
         order = [dist.asc(), rt.asc()]
         if tie_break is not None:
             order.append(F.col(tie_break).asc())

@@ -212,11 +212,18 @@ def embedding_near_dup_pairs(
     with them candidate counts) stay bounded — the scaling bench in
     bench.py measures exactly that contract at 1× vs 10×."""
     edn = ed.withColumn("nrm", _norm(F.col("v")))
-    bucketed = edn.select(
-        "vec_id",
-        F.posexplode(F.array(*_table_buckets(F.col("v"), planes))).alias(
-            "l", "bucket"
-        ),
+    # persisted because it's SELF-joined below: without the pin the L·k
+    # hyperplane-dot HOF projection (the cascade's hot math) runs once
+    # per join side; the pinned frame is (vec_id, l, bucket) ints — tiny
+    # relative to the vectors, safe at any corpus scale (the lsh_topk
+    # precedent)
+    bucketed = persist_tracked(
+        edn.select(
+            "vec_id",
+            F.posexplode(F.array(*_table_buckets(F.col("v"), planes))).alias(
+                "l", "bucket"
+            ),
+        )
     )
     cand = (
         bucketed.alias("a")
@@ -342,29 +349,27 @@ def lsh_topk(ed: DataFrame, queries: DataFrame, top_k: int = TOP_K) -> DataFrame
         b = bits.reshape(len(V), H.shape[0], k) @ weights
         return pd.Series(list(b.astype(np.int32)))
 
-    # bucketed feeds both the corpus side and the probe side — persist
-    # so the UDF pass over the corpus runs once.
-    bucketed = persist_tracked(
-        ed.select(
-            "vec_id", F.posexplode(_buckets("v")).alias("l", "bucket")
-        )
+    bucketed = ed.select(
+        "vec_id", F.posexplode(_buckets("v")).alias("l", "bucket")
     )
-    q_ids = queries.select(F.col("q_id").alias("vec_id"))
-    probes = (
-        bucketed.join(F.broadcast(q_ids), "vec_id")
-        .select(
-            F.col("vec_id").alias("q_id"),
-            "l",
-            F.explode(
-                F.array(
-                    F.col("bucket"),
-                    *[
-                        F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("int")
-                        for j in range(k)
-                    ],
-                )
-            ).alias("bucket"),
-        )
+    # probe buckets hash qv through the SAME planes — NOT a join on
+    # vec_id membership in the corpus, which silently returned zero rows
+    # for any out-of-corpus query (r9 review); for in-corpus queries the
+    # buckets are identical, for new vectors they're now actually defined
+    probes = queries.select(
+        "q_id", F.posexplode(_buckets("qv")).alias("l", "bucket")
+    ).select(
+        "q_id",
+        "l",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("int")
+                    for j in range(k)
+                ],
+            )
+        ).alias("bucket"),
     )
     cand = (
         bucketed.join(F.broadcast(probes), ["l", "bucket"])
@@ -733,8 +738,12 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     ed = e.select("vec_id", _vec_double().alias("v"))
+    # _round_half_up, NOT Python round(): the oracle's c0/u{i} round with
+    # DuckDB's HALF_UP-on-shortest-repr; banker's rounding on the binary
+    # value forks the Lloyd trajectory at any mean whose shortest repr
+    # ends in 5 (the trap _round_half_up's own docstring forbids)
     cents = [
-        [round(float(x), 6) for x in row["v"]]
+        [_round_half_up(float(x), 6) for x in row["v"]]
         for row in ed.where(F.col("vec_id") < KMEANS_K)
         .orderBy("vec_id")
         .collect()
@@ -756,9 +765,9 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new = {}
         for row in upd:
-            new.setdefault(row["cluster"], [0.0] * len(cents[0]))[row["pos"]] = round(
-                row["c"], 6
-            )
+            new.setdefault(row["cluster"], [0.0] * len(cents[0]))[
+                row["pos"]
+            ] = _round_half_up(row["c"], 6)
         cents = [new.get(i, cents[i]) for i in range(KMEANS_K)]
     dists = F.array(*[_sq_dist(F.col("v"), c) for c in cents])
     return ed.select(
@@ -2226,15 +2235,21 @@ def q_sim_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap = atop.join(truth.select("q_id", "vec_id"), ["q_id", "vec_id"]).groupBy(
         "q_id"
     ).agg(F.count(F.lit(1)).alias("overlap_at_k"))
+    # overlap joins LEFT + coalesce(0), like mrr: a query whose truncated
+    # and full top-k share zero vectors has no overlap row, but the
+    # oracle's correlated count still emits it with overlap_at_k = 0 —
+    # an inner join would drop the query entirely (r9 review)
     return (
         dcg.join(idcg, "q_id")
         .join(mrr, "q_id", "left")
-        .join(overlap, "q_id")
+        .join(overlap, "q_id", "left")
         .select(
             "q_id",
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
             F.round(F.coalesce("rr", F.lit(0.0)), 6).alias("mrr_top1"),
-            "overlap_at_k",
+            F.coalesce("overlap_at_k", F.lit(0).cast("long")).alias(
+                "overlap_at_k"
+            ),
         )
     )
 

@@ -1080,12 +1080,16 @@ DAY_US = 86_400_000_000
              sum(delta) OVER (PARTITION BY ts_us // {DAY_US}
                               ORDER BY ts_us, delta DESC
                               ROWS UNBOUNDED PRECEDING) AS running
-      FROM edges)
-    SELECT r.day_id,
-           CAST(max(r.running) + coalesce(any_value(c.carry_in), 0) AS BIGINT)
-             AS max_concurrent
-    FROM run r LEFT JOIN carry c ON c.day_id = r.day_id
-    GROUP BY r.day_id
+      FROM edges),
+    -- peak = carry_in + greatest(0, max(running)): day-start (running=0,
+    -- concurrency=carry_in) is a candidate peak; FULL join keeps
+    -- carry-only days that lie entirely inside a session (no edges)
+    peaks AS (
+      SELECT day_id, max(running) AS peak FROM run GROUP BY day_id)
+    SELECT coalesce(p.day_id, c.day_id) AS day_id,
+           CAST(greatest(coalesce(p.peak, 0), 0)
+                + coalesce(c.carry_in, 0) AS BIGINT) AS max_concurrent
+    FROM peaks p FULL JOIN carry c ON c.day_id = p.day_id
     """,
 )
 def q_time_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,7 +1103,9 @@ def q_time_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     were already open at a day's start contribute a carry-in computed by
     EXPLODING each session into the days it spans past its first
     (sequence + explode + count — no join, no global order). Daily max =
-    within-day peak + carry-in. End edges are at e+1us (closed session
+    carry-in + max(0, within-day running peak) — the day-start instant
+    counts, and carry-only days (inside a long session, no edges) emit
+    their carry-in. End edges are at e+1us (closed session
     intervals); simultaneous starts/ends order starts-first (delta DESC)
     identically on both engines.
     """
@@ -1151,15 +1157,22 @@ def q_time_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = edges.withColumn("day_id", F.expr(f"ts_us DIV {DAY_US}")).withColumn(
         "running", F.sum("delta").over(wd)
     )
+    # peak = carry_in + greatest(0, max(running)): the day-start instant
+    # (running = 0, concurrency = carry_in) is a candidate peak too — on a
+    # day whose only edge is a carried-in session's -1, max(running) = -1
+    # and adding it would undercount the peak by 1 (r9 review). FULL join:
+    # a day lying entirely inside a long session has carry-in but no edges
+    # at all, so it must still emit a row (its peak IS the carry-in).
     return (
         run.groupBy("day_id")
         .agg(F.max("running").alias("peak"))
-        .join(carry, "day_id", "left")
+        .join(carry, "day_id", "full")
         .select(
             "day_id",
-            (F.col("peak") + F.coalesce(F.col("carry_in"), F.lit(0))).alias(
-                "max_concurrent"
-            ),
+            (
+                F.greatest(F.coalesce(F.col("peak"), F.lit(0)), F.lit(0))
+                + F.coalesce(F.col("carry_in"), F.lit(0))
+            ).alias("max_concurrent"),
         )
     )
 
@@ -2158,8 +2171,14 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return held.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum("held_us").alias("span_us"),
+        # try_divide: a user whose events all share one microsecond has
+        # sum(held_us) = 0 — ANSI '/' would abort the query; DuckDB's
+        # x/0 is NULL, so NULL-on-zero-span is the parity behavior
         F.round(
-            F.sum(F.col("value") * F.col("held_us")) / F.sum("held_us"), 6
+            F.try_divide(
+                F.sum(F.col("value") * F.col("held_us")), F.sum("held_us")
+            ),
+            6,
         ).alias("time_weighted_avg"),
         F.round(F.avg("value"), 6).alias("naive_avg"),
     )
@@ -2588,8 +2607,15 @@ def q_time_sla_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outages",
         "downtime_us",
         "longest_outage_us",
+        # try_divide: a single-event (or single-microsecond) series has
+        # span_us = 0 — ANSI '/' would abort the query; DuckDB's x/0 is
+        # NULL, so uptime over a zero span is NULL on both engines
         F.round(
-            F.lit(1.0) - F.col("downtime_us").cast("double") / F.col("span_us"), 6
+            F.lit(1.0)
+            - F.try_divide(
+                F.col("downtime_us").cast("double"), F.col("span_us")
+            ),
+            6,
         ).alias("uptime_pct"),
     )
 

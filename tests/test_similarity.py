@@ -138,10 +138,18 @@ def test_kmeans_matches_numpy_lloyds(spark):
 
     import pyarrow.parquet as pq
 
+    from kafka_hadoop_consumer_spark.queries.similarity import _round_half_up
+
+    def r6(arr):
+        # HALF_UP on the shortest decimal repr, like the engine and the
+        # DuckDB oracle — np.round is banker's and would fork the
+        # trajectory at any mean whose shortest repr ends in 5
+        return np.array([_round_half_up(float(x), 6) for x in arr])
+
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
     t = t.sort_values("vec_id").reset_index(drop=True)
     V = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
-    cents = np.round(V[:KMEANS_K].copy(), 6)
+    cents = np.stack([r6(row) for row in V[:KMEANS_K]])
     inertias = []
     for _ in range(KMEANS_ITERS):
         d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -149,7 +157,7 @@ def test_kmeans_matches_numpy_lloyds(spark):
         inertias.append(d2.min(axis=1).sum())
         for k in range(KMEANS_K):
             if (assign == k).any():
-                cents[k] = np.round(V[assign == k].mean(axis=0), 6)
+                cents[k] = r6(V[assign == k].mean(axis=0))
     d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     final = d2.argmin(axis=1)
     expected = {int(t["vec_id"][i]): int(final[i]) for i in range(len(t))}
@@ -330,3 +338,28 @@ def test_hybrid_search_core_parameterized(spark):
     # lexical stage must seed the fusion: every 'beta' doc is a %3==0 id
     beta_docs = [r.doc_id for r in by_q["qa"]]
     assert any(doc % 3 == 0 for doc in beta_docs)
+
+
+def test_lsh_topk_handles_out_of_corpus_queries(spark):
+    """lsh_topk must bucket the QUERY VECTOR itself, not look the q_id up
+    in the corpus: pre-fix an out-of-corpus query produced zero probe
+    buckets and silently returned no rows (r9 review). A query vector
+    EQUAL to a corpus vector lands in identical buckets in every table,
+    so its nearest neighbor (cos 1.0) is a guaranteed candidate."""
+    import numpy as np
+
+    from kafka_hadoop_consumer_spark.queries.similarity import lsh_topk
+
+    rng = np.random.RandomState(7)
+    V = rng.randn(100, 64)
+    ed = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(100)],
+        "vec_id long, v array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(9999, [float(x) for x in V[5]])], "q_id long, qv array<double>"
+    )
+    out = lsh_topk(ed, queries, top_k=3).collect()
+    assert out, "out-of-corpus query must still retrieve neighbors"
+    top = sorted(out, key=lambda r: -r["cos_sim"])[0]
+    assert top["vec_id"] == 5 and top["cos_sim"] == 1.0

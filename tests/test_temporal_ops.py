@@ -217,3 +217,147 @@ def test_changepoint_locates_planted_level_shift(spark, tmp_path):
     # mu = 3.0; cusum dips to -2*10 = -20 at the 10th day (last pre-shift)
     assert out[0]["cp_day"] == day0 + 9
     assert abs(out[0]["max_abs_cusum"] - 20.0) < 1e-9
+
+
+def test_asof_nearest_exact_tie_prefers_earlier_view(spark):
+    """direction='nearest' must measure distance in exact integer µs: at
+    T = 2024-06-01T12:00:00.000003 with candidates at T ± 1.234567 s the
+    epoch-seconds DOUBLE distances differ by one ulp (~0.24 µs) and rank
+    the LATER candidate strictly closer, silently breaking the pinned
+    earlier-wins tie (r9 review). Also pins boundary inclusion: a match
+    at exactly `tolerance` seconds is kept."""
+    from datetime import datetime, timedelta
+
+    T = datetime(2024, 6, 1, 12, 0, 0, 3)
+    D = timedelta(microseconds=1_234_567)
+    left = spark.createDataFrame(
+        [(1, "u", T), (2, "u", T + timedelta(hours=6))],
+        "p_id long, k string, p_ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u", T - D),                       # earlier, tied
+            (11, "u", T + D),                       # later, tied
+            (20, "u", T + timedelta(hours=6 - 2)),  # exactly tolerance away
+        ],
+        "v_id long, k string, v_ts timestamp_ntz",
+    )
+    out = asof_join(
+        left, right, by="k", left_ts="p_ts", right_ts="v_ts",
+        left_key="p_id", direction="nearest", tolerance=7200,
+        tie_break="v_id",
+    )
+    got = {r["p_id"]: r["v_id"] for r in out.collect()}
+    assert got == {1: 10, 2: 20}
+
+
+def test_concurrency_carry_in_peak_and_carry_only_days(spark, tmp_path):
+    """Days inside a multi-day session must report its carry-in even with
+    NO edges of their own (pre-fix: no row at all), and a day whose only
+    edge is a carried-in session's -1 must count the day-START instant
+    (pre-fix: carry_in + max(running) = 1 + (-1) = 0). Engine and oracle
+    share the formula, so also re-prove cross-engine parity on exactly
+    this shape (r9 review)."""
+    import duckdb
+    from datetime import datetime, timedelta
+
+    from kafka_hadoop_consumer_spark.queries import ORACLES, QUERIES
+
+    rows = []
+    # user 1: one 30-min-cadence session from Jan 1 12:00 to Jan 4 02:00
+    # (events every 20 min < the 30-min gap) -> days 2 and 3 are fully
+    # inside it (carry-only, no edges); day 4 sees only its -1 edge
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    end = datetime(2024, 1, 4, 2, 0, 0)
+    eid = 0
+    while t <= end:
+        eid += 1
+        rows.append((eid, 1, t))
+        t += timedelta(minutes=20)
+    # user 2: a lone event on Jan 4 at 01:00 -> its +1 must stack on top
+    # of user 1's carry-in for a day-4 peak of 2
+    rows.append((eid + 1, 2, datetime(2024, 1, 4, 1, 0, 0)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = {
+        r["day_id"]: r["max_concurrent"]
+        for r in QUERIES["q_time_concurrency"](spark, str(tmp_path)).collect()
+    }
+    day0 = datetime(2024, 1, 1).toordinal() - datetime(1970, 1, 1).toordinal()
+    assert out == {day0: 1, day0 + 1: 1, day0 + 2: 1, day0 + 3: 2}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute(ORACLES["q_time_concurrency"]).fetchall()
+    }
+    con.close()
+    assert oracle == out
+
+
+def test_zero_span_divisions_yield_null_on_both_engines(spark, tmp_path):
+    """q_time_weighted_avg with a user whose events share one microsecond
+    (sum(held_us) = 0) and q_time_sla_uptime with a single-event series
+    (span_us = 0) must emit NULL for the divided metric on BOTH engines —
+    pre-fix the ANSI '/' aborted the whole Spark query with
+    DIVIDE_BY_ZERO while DuckDB returned a row (r9 review)."""
+    import duckdb
+    from datetime import datetime, timedelta
+
+    from kafka_hadoop_consumer_spark.queries import ORACLES, QUERIES
+
+    t0 = datetime(2024, 2, 1, 8, 0, 0)
+    rows = [
+        # user 7 / series "dup": two events at the SAME microsecond
+        (1, 7, "dup", t0, 5.0),
+        (2, 7, "dup", t0, 7.0),
+        # user 8 / series "ok": a 10-second hold, then a 3-hour outage gap
+        (3, 8, "ok", t0, 1.0),
+        (4, 8, "ok", t0 + timedelta(seconds=10), 3.0),
+        (5, 8, "ok", t0 + timedelta(hours=3, seconds=10), 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp_ntz,"
+        " value double",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+
+    twa = {
+        r["user_id"]: r["time_weighted_avg"]
+        for r in QUERIES["q_time_weighted_avg"](spark, str(tmp_path)).collect()
+    }
+    assert twa[7] is None  # zero span -> NULL, not a crash
+    assert twa[8] is not None
+    otwa = {
+        r[0]: r[3]
+        for r in con.execute(ORACLES["q_time_weighted_avg"]).fetchall()
+    }
+    assert otwa == twa
+
+    up = {
+        r["event_type"]: r["uptime_pct"]
+        for r in QUERIES["q_time_sla_uptime"](spark, str(tmp_path)).collect()
+    }
+    assert up["dup"] is None  # zero span -> NULL
+    # span 3h10s = 10810s, downtime 3h -> 1 - 10800/10810, rounded 6dp
+    assert up["ok"] == 0.000925
+    oup = {
+        r[0]: r[5]
+        for r in con.execute(ORACLES["q_time_sla_uptime"]).fetchall()
+    }
+    con.close()
+    assert oup == up
