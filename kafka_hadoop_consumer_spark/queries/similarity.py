@@ -89,6 +89,44 @@ _ORACLE_E = """
 """
 
 
+def broadcast_cosine_topk(
+    ed: DataFrame,
+    k: int,
+    vcol: str = "v",
+    ncol: str = "nrm",
+    n_query: int = N_QUERY,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """THE brute-force exact-cosine ranking core: top-``k`` of every
+    query vector (vec_id < ``n_query``, drawn from ``ed`` itself)
+    against the rest of the corpus, ranked on the raw cosine of
+    ``vcol``/``ncol`` with vec_id tie-break. Single source for
+    q_sim_cosine_topk, q_e2e_semsearch, mmr_candidates,
+    q_embed_matryoshka, q_sim_rrf_fusion, and q_sim_eval_ndcg (r9
+    review: six hand-kept copies of this block could fork the tie-break
+    or rounding between keys) — callers project/round from the returned
+    (q_id, vec_id, cos_raw, *carry, rn) frame.
+
+    Scale shape: the query side broadcasts; the corpus streams through
+    executors once, never shuffling — the only wide op is the per-query
+    top-k window over |queries|·|corpus| scored rows, partitioned by
+    q_id. ``carry`` forwards extra post-join columns (e.g. the raw
+    vectors for MMR) through the ranking."""
+    q = ed.where(F.col("vec_id") < n_query).select(
+        F.col("vec_id").alias("q_id"),
+        F.col(vcol).alias("qv"),
+        F.col(ncol).alias("qnrm"),
+    )
+    cos = _dot(F.col("qv"), F.col(vcol)) / (F.col("qnrm") * F.col(ncol))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_raw"), *carry)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
 @query(
     "q_sim_cosine_topk",
     oracle=_ORACLE_E
@@ -119,19 +157,8 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = e.select(
         "vec_id", _vec_double().alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
-    q = ed.where(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-    return (
-        ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cos.alias("cos_raw"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
-        .select("q_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim"))
+    return broadcast_cosine_topk(ed, TOP_K).select(
+        "q_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim")
     )
 
 
@@ -888,17 +915,8 @@ def q_e2e_semsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = e.select("vec_id", _vec_double().alias("v")).withColumn(
         "nrm", _norm(F.col("v"))
     )
-    q = ed.where(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
-    raw_cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
-    w = Window.partitionBy("q_id").orderBy(F.col("raw").desc(), F.col("vec_id"))
-    hits = (
-        ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", raw_cos.alias("raw"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= SEM_TOP_K)
-        .select("q_id", "vec_id", F.round("raw", 4).alias("cos_sim"))
+    hits = broadcast_cosine_topk(ed, SEM_TOP_K).select(
+        "q_id", "vec_id", F.round("cos_raw", 4).alias("cos_sim")
     )
     d = load_table(spark, sf_dir, "documents")
     return F.broadcast(hits).join(
@@ -1031,19 +1049,8 @@ def mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = e.select("vec_id", _vec_double().alias("v")).withColumn(
         "nrm", _norm(F.col("v"))
     )
-    q = ed.where(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"),
-    )
-    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
-    return (
-        ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", "v", "qv", cos.alias("cos_raw"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= MMR_CAND_K)
-        .select("q_id", "vec_id", "v", "qv")
+    return broadcast_cosine_topk(ed, MMR_CAND_K, carry=("v", "qv")).select(
+        "q_id", "vec_id", "v", "qv"
     )
 
 
@@ -1677,21 +1684,8 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def topk(vcol: str, ncol: str) -> DataFrame:
-        q = ed.where(F.col("vec_id") < N_QUERY).select(
-            F.col("vec_id").alias("q_id"),
-            F.col(vcol).alias("qv"),
-            F.col(ncol).alias("qnrm"),
-        )
-        cos = _dot(F.col("qv"), F.col(vcol)) / (F.col("qnrm") * F.col(ncol))
-        w = Window.partitionBy("q_id").orderBy(
-            F.col("cos_raw").desc(), F.col("vec_id")
-        )
-        return (
-            ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-            .select("q_id", "vec_id", cos.alias("cos_raw"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= TOP_K)
-            .select("q_id", "vec_id")
+        return broadcast_cosine_topk(ed, TOP_K, vcol, ncol).select(
+            "q_id", "vec_id"
         )
 
     full = topk("v", "nrm")
@@ -1781,21 +1775,8 @@ def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ranked(vcol: str, ncol: str) -> DataFrame:
-        q = ed.where(F.col("vec_id") < N_QUERY).select(
-            F.col("vec_id").alias("q_id"),
-            F.col(vcol).alias("qv"),
-            F.col(ncol).alias("qnrm"),
-        )
-        cos = _dot(F.col("qv"), F.col(vcol)) / (F.col("qnrm") * F.col(ncol))
-        w = Window.partitionBy("q_id").orderBy(
-            F.col("cos_raw").desc(), F.col("vec_id")
-        )
-        return (
-            ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-            .select("q_id", "vec_id", cos.alias("cos_raw"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= RRF_POOL)
-            .select("q_id", "vec_id", "rn")
+        return broadcast_cosine_topk(ed, RRF_POOL, vcol, ncol).select(
+            "q_id", "vec_id", "rn"
         )
 
     full = ranked("v", "nrm")
@@ -2190,21 +2171,8 @@ def q_sim_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ranked(vcol: str, ncol: str) -> DataFrame:
-        q = ed.where(F.col("vec_id") < N_QUERY).select(
-            F.col("vec_id").alias("q_id"),
-            F.col(vcol).alias("qv"),
-            F.col(ncol).alias("qnrm"),
-        )
-        cos = _dot(F.col("qv"), F.col(vcol)) / (F.col("qnrm") * F.col(ncol))
-        w = Window.partitionBy("q_id").orderBy(
-            F.col("cos_raw").desc(), F.col("vec_id")
-        )
-        return (
-            ed.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-            .select("q_id", "vec_id", cos.alias("cos_raw"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= NDCG_K)
-            .select("q_id", "vec_id", "rn")
+        return broadcast_cosine_topk(ed, NDCG_K, vcol, ncol).select(
+            "q_id", "vec_id", "rn"
         )
 
     truth = persist_tracked(

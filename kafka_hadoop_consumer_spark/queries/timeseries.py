@@ -179,26 +179,53 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
 
-@query(
-    "q_win_sessionize",
-    oracle=f"""
-    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
-               FROM events),
+def sessionize(e: DataFrame) -> DataFrame:
+    """Annotate an events frame with a per-user ``session_id``: split each
+    user's stream at > {SESSION_GAP_US} µs inactivity — lag + cumulative
+    sum of new-session flags, ordered by (ts, event_id), the classic
+    composite. THE single source of the batch session model:
+    q_win_sessionize, q_join_interval, q_win_path, q_time_concurrency,
+    and q_time_session_stats all derive from this exact frame (r9
+    review: five hand-kept copies could silently fork the gap semantics
+    between keys), and ``_SESSION_CTES`` is its oracle-side twin. One
+    shuffle on user_id; downstream per-(user, session) aggregates reuse
+    the same partitioning. Gap comparison in integer microseconds —
+    exact on both engines (unix_micros requires TIMESTAMP, not NTZ; the
+    cast is value-preserving because the session timezone is pinned
+    UTC)."""
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = us(F.lag("ts").over(w))
+    is_new = F.when(
+        prev_us.isNull() | (us(F.col("ts")) - prev_us > SESSION_GAP_US), 1
+    ).otherwise(0)
+    return e.withColumn("session_id", F.sum(is_new).over(wrun))
+
+
+# Oracle-side twin of ``sessionize``: expects a CTE named ``e`` carrying
+# (user_id, ts, event_id, ...); yields ``sess`` = e + session_id. Spliced
+# into every session-model oracle so the SQL replay is single-sourced too.
+_SESSION_CTES = f"""
     lagd AS (
       SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      FROM e
-    ),
+      FROM e),
     flagged AS (
       SELECT *, CASE WHEN prev_ts IS NULL
                        OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
                      THEN 1 ELSE 0 END AS is_new
-      FROM lagd
-    ),
+      FROM lagd),
     sess AS (
       SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM flagged
-    )
+      FROM flagged)"""
+
+
+@query(
+    "q_win_sessionize",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events),{_SESSION_CTES}
     SELECT user_id,
            CAST(session_id AS BIGINT) AS session_id,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -223,14 +250,8 @@ def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_us = us(F.lag("ts").over(w))
-    is_new = F.when(
-        prev_us.isNull() | (us(F.col("ts")) - prev_us > SESSION_GAP_US), 1
-    ).otherwise(0)
     return (
-        e.withColumn("session_id", F.sum(is_new).over(wrun))
+        sessionize(e)
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -724,19 +745,7 @@ IVL_BUCKET_US = IVL_STEP_US  # time-bucket width for the equi-join prefilter
     "q_join_interval",
     oracle=f"""
     WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-               FROM events),
-    lagd AS (
-      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      FROM e),
-    flagged AS (
-      SELECT *, CASE WHEN prev_ts IS NULL
-                       OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
-                     THEN 1 ELSE 0 END AS is_new
-      FROM lagd),
-    sess AS (
-      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM flagged),
+               FROM events),{_SESSION_CTES},
     iv AS (
       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
              epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
@@ -770,14 +779,8 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_us = us(F.lag("ts").over(w))
-    is_new = F.when(
-        prev_us.isNull() | (us(F.col("ts")) - prev_us > SESSION_GAP_US), 1
-    ).otherwise(0)
     iv = (
-        e.withColumn("session_id", F.sum(is_new).over(wrun))
+        sessionize(e)
         .groupBy("user_id", "session_id")
         .agg(us(F.min("ts")).alias("s"), us(F.max("ts")).alias("e"))
     )
@@ -921,19 +924,7 @@ def q_time_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_path",
     oracle=f"""
     WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-               FROM events),
-    lagd AS (
-      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      FROM e),
-    flagged AS (
-      SELECT *, CASE WHEN prev_ts IS NULL
-                       OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
-                     THEN 1 ELSE 0 END AS is_new
-      FROM lagd),
-    sess AS (
-      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM flagged)
+               FROM events),{_SESSION_CTES}
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            CAST(count(*) AS BIGINT) AS n_steps,
            string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
@@ -958,13 +949,6 @@ def q_win_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     length (30-min gap cap), not corpus size.
     """
     e = load_table(spark, sf_dir, "events")
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_us = us(F.lag("ts").over(w))
-    is_new = F.when(
-        prev_us.isNull() | (us(F.col("ts")) - prev_us > SESSION_GAP_US), 1
-    ).otherwise(0)
     path = F.array_join(
         F.transform(
             F.array_sort(
@@ -975,7 +959,7 @@ def q_win_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         ">",
     )
     return (
-        e.withColumn("session_id", F.sum(is_new).over(wrun))
+        sessionize(e)
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_steps"),
@@ -1047,19 +1031,7 @@ DAY_US = 86_400_000_000
     "q_time_concurrency",
     oracle=f"""
     WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-               FROM events),
-    lagd AS (
-      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-      FROM e),
-    flagged AS (
-      SELECT *, CASE WHEN prev_ts IS NULL
-                       OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
-                     THEN 1 ELSE 0 END AS is_new
-      FROM lagd),
-    sess AS (
-      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM flagged),
+               FROM events),{_SESSION_CTES},
     iv AS (
       SELECT user_id, session_id, epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
       FROM sess GROUP BY 1, 2),
@@ -1111,14 +1083,8 @@ def q_time_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_us = us(F.lag("ts").over(w))
-    is_new = F.when(
-        prev_us.isNull() | (us(F.col("ts")) - prev_us > SESSION_GAP_US), 1
-    ).otherwise(0)
     iv = persist_tracked(
-        e.withColumn("session_id", F.sum(is_new).over(wrun))
+        sessionize(e)
         .groupBy("user_id", "session_id")
         .agg(us(F.min("ts")).alias("s"), us(F.max("ts")).alias("e"))
     )
@@ -1594,20 +1560,7 @@ def q_time_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_time_session_stats",
     oracle=f"""
     WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-               FROM events),
-    lagd AS (
-      SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                AS prev_ts
-      FROM e),
-    flagged AS (
-      SELECT *, CASE WHEN prev_ts IS NULL
-                       OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
-                     THEN 1 ELSE 0 END AS is_new
-      FROM lagd),
-    sess AS (
-      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM flagged),
+               FROM events),{_SESSION_CTES},
     sessions AS (
       SELECT user_id, session_id,
              epoch_us(min(ts)) // {DAY_US} AS start_day,
@@ -1638,14 +1591,8 @@ def q_time_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer microseconds throughout — no float drift anywhere."""
     e = load_table(spark, sf_dir, "events")
     us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_us = us(F.lag("ts").over(w))
-    is_new = F.when(
-        prev_us.isNull() | (us(F.col("ts")) - prev_us > SESSION_GAP_US), 1
-    ).otherwise(0)
     sessions = (
-        e.withColumn("session_id", F.sum(is_new).over(wrun))
+        sessionize(e)
         .groupBy("user_id", "session_id")
         .agg(
             F.expr(f"unix_micros(cast(min(ts) as timestamp)) DIV {DAY_US}").alias(

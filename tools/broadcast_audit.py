@@ -58,7 +58,6 @@ MULTI: dict[tuple[str, str, str], int] = {
     ("queries/e2e.py", "q_e2e_q7", "n"): 2,
     ("queries/e2e_tpch.py", "q_e2e_q8", "n"): 2,
     ("queries/quality.py", "q_ml_logreg", "beta"): 2,
-    ("queries/similarity.py", "ranked", "q"): 2,
 }
 
 
@@ -172,13 +171,17 @@ for f, a, c in [
     _add("queries/sampling.py", f, a, c)
 # --- similarity ----------------------------------------------------------
 for f, a in [
-    ("q_sim_cosine_topk", "q"), ("lsh_topk", "q_ids"), ("lsh_topk", "probes"),
+    # broadcast_cosine_topk subsumes the former q_sim_cosine_topk /
+    # q_e2e_semsearch / mmr_candidates / topk / ranked per-key "q"
+    # sites (r9 dedup); lsh_topk's q_ids join is gone (probes now hash
+    # qv directly)
+    ("broadcast_cosine_topk", "q"), ("lsh_topk", "probes"),
     ("lsh_topk", "qn"), ("_ivf_assign", "cent"), ("q_sim_ivf_topk", "cent"),
-    ("q_sim_ivf_topk", "probes"), ("q_e2e_semsearch", "q"),
+    ("q_sim_ivf_topk", "probes"),
     ("q_e2e_semsearch", "hits"), ("q_embed_outliers", "cent"),
-    ("mmr_candidates", "q"), ("q_sim_pq_topk", "qn"),
+    ("q_sim_pq_topk", "qn"),
     ("q_sample_negative", "q"), ("q_sample_negative", "q.select('q_id')"),
-    ("topk", "q"), ("ranked", "q"), ("q_sample_coreset", "sel"),
+    ("q_sample_coreset", "sel"),
     ("q_ml_knn", "q"), ("q_sim_range_search", "q"),
     ("hybrid_search", "cent"), ("hybrid_search", "hits"),
 ]:
