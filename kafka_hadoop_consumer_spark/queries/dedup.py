@@ -51,6 +51,52 @@ JACCARD_THRESHOLD = 0.6
 DF_CAP = 64
 
 
+def _shingle_ctes(src: str = "documents") -> str:
+    """Oracle-side single source of the shingle pipeline (r9 review: six
+    hand-kept copies meant a df-cap or window change had to be applied
+    to every oracle by hand — the DF_CAP retrofit already walked that
+    minefield once). Yields ``sh`` = distinct df-capped 4-shingles of
+    ``src`` (doc_id, text); the engine twin is ``shingles`` +
+    ``df_capped``."""
+    return f"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
+    sh_all AS (
+      SELECT DISTINCT doc_id, s
+      FROM tok,
+           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
+                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)
+    ),
+    sh AS (  -- hot-shingle df-cap, mirroring the engine exactly
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh_all)
+      WHERE df <= {DF_CAP}
+    )"""
+
+
+def _shingle_pair_ctes(src: str = "documents") -> str:
+    """``_shingle_ctes`` + per-doc shingle counts and per-pair posting
+    intersections — the shared front of every exact-Jaccard oracle."""
+    return (
+        _shingle_ctes(src)
+        + """,
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
+    )
+
+
+# ``_shingle_pair_ctes`` + the J > threshold pair filter — shared by the
+# cluster/pagerank oracles that consume the near-dup GRAPH, not the scores.
+_JACCARD_PAIRS_CTE = f""",
+    pairs AS (
+      SELECT doc1, doc2
+      FROM inter JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+      WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) > {JACCARD_THRESHOLD}
+    )"""
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct (id, shingle) pairs: 4-token shingles of the token stream.
 
@@ -127,24 +173,7 @@ def pair_overlap_counts(sh: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
 @query(
     "q_dedup_ngram_jaccard",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh_all AS (
-      SELECT DISTINCT doc_id, s
-      FROM tok,
-           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
-                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)
-    ),
-    sh AS (  -- hot-shingle df-cap, mirroring the engine exactly
-      SELECT doc_id, s FROM (
-        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh_all)
-      WHERE df <= {DF_CAP}
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+    WITH {_shingle_pair_ctes()}
     SELECT doc1, doc2,
            CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) AS jaccard
     FROM inter
@@ -171,18 +200,7 @@ CONTAM_MIN_SHARED = 3     # shared shingles to flag contamination
 @query(
     "q_dedup_contamination",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh_all AS (
-      SELECT DISTINCT doc_id, s
-      FROM tok,
-           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
-                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)
-    ),
-    sh AS (  -- hot shingles carry no contamination signal: df-cap them
-      SELECT doc_id, s FROM (
-        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh_all)
-      WHERE df <= {DF_CAP}
-    )
+    WITH {_shingle_ctes()}
     SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc,
            count(*) AS n_shared
     FROM sh a JOIN sh b ON a.s = b.s
@@ -560,29 +578,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle: transitive closure as a recursive CTE — min reachable id
     # per node == min-label-propagation fixpoint
     oracle=f"""
-    WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh_all AS (
-      SELECT DISTINCT doc_id, s
-      FROM tok,
-           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
-                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)
-    ),
-    sh AS (  -- hot-shingle df-cap, mirroring the engine exactly
-      SELECT doc_id, s FROM (
-        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh_all)
-      WHERE df <= {DF_CAP}
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT doc1, doc2
-      FROM inter JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
-      WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) > {JACCARD_THRESHOLD}
-    ),
+    WITH RECURSIVE {_shingle_pair_ctes()}{_JACCARD_PAIRS_CTE},
     edges AS (SELECT doc1, doc2 FROM pairs UNION ALL SELECT doc2, doc1 FROM pairs),
     walk(doc_id, label) AS (
       SELECT doc1, doc1 FROM edges
@@ -774,24 +770,7 @@ CONTAINMENT_THRESHOLD = 0.8
 @query(
     "q_dedup_containment",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh_all AS (
-      SELECT DISTINCT doc_id, s
-      FROM tok,
-           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
-                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)
-    ),
-    sh AS (
-      SELECT doc_id, s FROM (
-        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh_all)
-      WHERE df <= {DF_CAP}
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+    WITH {_shingle_pair_ctes()}
     SELECT doc1, doc2,
            CAST(n_inter AS DOUBLE) / least(s1.n_sh, s2.n_sh) AS containment
     FROM inter
@@ -1021,29 +1000,7 @@ PR_ITERS = 3
 @query(
     "q_graph_pagerank",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh_all AS (
-      SELECT DISTINCT doc_id, s
-      FROM tok,
-           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
-                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)
-    ),
-    sh AS (
-      SELECT doc_id, s FROM (
-        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh_all)
-      WHERE df <= {DF_CAP}
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT doc1, doc2
-      FROM inter JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
-      WHERE CAST(n_inter AS DOUBLE) / (s1.n_sh + s2.n_sh - n_inter) > {JACCARD_THRESHOLD}
-    ),
+    WITH {_shingle_pair_ctes()}{_JACCARD_PAIRS_CTE},
     edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
               UNION ALL SELECT doc2, doc1 FROM pairs),
     deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
@@ -1498,21 +1455,7 @@ CASCADE_SPAN_RATIO = 0.5  # drop docs with > this duplicated-chunk ratio
                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM documents)
       WHERE rn = 1),
-    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM s1),
-    sh_all AS (
-      SELECT DISTINCT doc_id, s
-      FROM tok,
-           UNNEST(list_transform(range(1, greatest(len(t) - {N_SHINGLE - 1}, 0) + 1),
-                                 i -> array_to_string(list_slice(t, i, i + {N_SHINGLE - 1}), ' '))) AS u(s)),
-    sh AS (
-      SELECT doc_id, s FROM (
-        SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh_all)
-      WHERE df <= {DF_CAP}),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
+    {_shingle_pair_ctes("s1")},
     drop2 AS (
       SELECT DISTINCT doc2 AS doc_id FROM inter
       JOIN sizes z1 ON z1.doc_id = inter.doc1

@@ -13,6 +13,28 @@ from kafka_hadoop_consumer_spark.catalog import load_table
 from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
 
 
+def hash_split_arm(id_col: str):
+    """Deterministic 50/50 arm assignment: 'a' iff the first hex digit of
+    md5(id) is < '8', else 'b' — the engine-portable split every
+    two-arm stats key uses (md5 and lowercase-hex substring compare
+    identically on Spark and DuckDB). Single source for q_stats_ks,
+    q_stats_ttest, q_stats_mannwhitney, q_quality_psi,
+    q_stats_delta_ratio, q_stats_did, and q_stats_cuped (r9 review:
+    seven hand-kept copies could silently fork one key's arms from the
+    rest of the suite); ``hash_split_sql`` is the oracle-side twin."""
+    return F.when(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1) < "8", "a"
+    ).otherwise("b")
+
+
+def hash_split_sql(id_col: str) -> str:
+    """DuckDB twin of ``hash_split_arm`` — splice into oracle SQL."""
+    return (
+        f"CASE WHEN substring(md5(CAST({id_col} AS VARCHAR)), 1, 1) < '8' "
+        "THEN 'a' ELSE 'b' END"
+    )
+
+
 @query(
     "q_quality_expectations",
     oracle="""
@@ -192,11 +214,10 @@ def q_fn_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stats_ks",
-    oracle="""
+    oracle=f"""
     WITH split AS (
       SELECT event_type, value,
-             CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
-                  THEN 'a' ELSE 'b' END AS grp
+             {hash_split_sql("event_id")} AS grp
       FROM events),
     binned AS (
       SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bin,
@@ -238,9 +259,7 @@ def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution).
     """
     e = load_table(spark, sf_dir, "events")
-    grp = F.when(
-        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8", "a"
-    ).otherwise("b")
+    grp = hash_split_arm("event_id")
     binned = (
         e.select(
             "event_type",
@@ -386,7 +405,7 @@ def _benford_oracle() -> str:
            round(CAST(n_obs AS DOUBLE) / n_total, 6) AS pct_obs,
            round(CASE digit {probs} END, 6) AS pct_benford,
            round(CAST(n_obs AS DOUBLE) / n_total
-                 - CASE digit {probs} END, 6) AS deviation
+                 - CASE digit {probs} END, 6) + 0.0 AS deviation
     FROM agg
     """
 
@@ -428,8 +447,15 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pct_obs"
             ),
             F.round(benford, 6).alias("pct_benford"),
-            F.round(
-                F.col("n_obs").cast("double") / F.col("n_total") - benford, 6
+            # + 0.0: -0.0 canonicalization on a rounded difference (the
+            # q_stats_cuped precedent — DuckDB round keeps the sign of a
+            # tiny-negative zero, Spark's BigDecimal round does not)
+            (
+                F.round(
+                    F.col("n_obs").cast("double") / F.col("n_total") - benford,
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("deviation"),
         )
     )
@@ -437,11 +463,10 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stats_ttest",
-    oracle="""
+    oracle=f"""
     WITH arms AS (
       SELECT event_type,
-             CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
-                  THEN 'a' ELSE 'b' END AS arm,
+             {hash_split_sql("event_id")} AS arm,
              value
       FROM events),
     s AS (
@@ -460,7 +485,7 @@ def q_quality_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.arm = 'a' AND b.arm = 'b')
     SELECT event_type, n_a, n_b,
            round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
-           round((mean_a - mean_b) / sqrt(va_n + vb_n), 4) AS t_stat,
+           round((mean_a - mean_b) / sqrt(va_n + vb_n), 4) + 0.0 AS t_stat,
            round((va_n + vb_n) * (va_n + vb_n)
                  / (va_n * va_n / (n_a - 1) + vb_n * vb_n / (n_b - 1)),
                  2) AS df_welch
@@ -482,9 +507,7 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ — q_agg_moments precedent), then rounded.
     """
     e = load_table(spark, sf_dir, "events")
-    arm = F.when(
-        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8", "a"
-    ).otherwise("b")
+    arm = hash_split_arm("event_id")
     s = (
         e.select("event_type", arm.alias("arm"), "value")
         .groupBy("event_type", "arm")
@@ -521,7 +544,11 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round("mean_a", 6).alias("mean_a"),
         F.round("mean_b", 6).alias("mean_b"),
-        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(pooled), 4).alias("t_stat"),
+        # + 0.0: -0.0 canonicalization (q_stats_cuped precedent)
+        (
+            F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(pooled), 4)
+            + F.lit(0.0)
+        ).alias("t_stat"),
         F.round(
             pooled * pooled
             / (
@@ -535,11 +562,10 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stats_mannwhitney",
-    oracle="""
+    oracle=f"""
     WITH arms AS (
       SELECT event_type, round(value, 2) AS v,
-             CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
-                  THEN 'a' ELSE 'b' END AS arm
+             {hash_split_sql("event_id")} AS arm
       FROM events),
     dv AS (  -- collapse to distinct values: exact ranks from counts
       SELECT event_type, v,
@@ -565,7 +591,7 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
                  / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
                         * ((n + 1) - tie_term / (CAST(n AS DOUBLE) * (n - 1)))),
-                 4) AS z_stat
+                 4) + 0.0 AS z_stat
     FROM agg
     """,
 )
@@ -587,9 +613,7 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines).
     """
     e = load_table(spark, sf_dir, "events")
-    arm = F.when(
-        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8", "a"
-    ).otherwise("b")
+    arm = hash_split_arm("event_id")
     dv = (
         e.select("event_type", F.round("value", 2).alias("v"), arm.alias("arm"))
         .groupBy("event_type", "v")
@@ -624,16 +648,21 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         F.round(u, 2).alias("u_stat"),
-        F.round(
-            (u - F.col("n_a") * F.col("n_b") / 2.0)
-            / F.sqrt(
-                F.col("n_a").cast("double") * F.col("n_b") / 12.0
-                * (
-                    (F.col("n") + 1)
-                    - F.col("tie_term") / (F.col("n").cast("double") * (F.col("n") - 1))
-                )
-            ),
-            4,
+        # + 0.0: -0.0 canonicalization (q_stats_cuped precedent)
+        (
+            F.round(
+                (u - F.col("n_a") * F.col("n_b") / 2.0)
+                / F.sqrt(
+                    F.col("n_a").cast("double") * F.col("n_b") / 12.0
+                    * (
+                        (F.col("n") + 1)
+                        - F.col("tie_term")
+                        / (F.col("n").cast("double") * (F.col("n") - 1))
+                    )
+                ),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("z_stat"),
     )
 
@@ -747,11 +776,10 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_quality_psi",
-    oracle="""
+    oracle=f"""
     WITH split AS (
       SELECT event_type, CAST(floor(value * 10) AS BIGINT) AS bin,
-             CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8'
-                  THEN 'a' ELSE 'b' END AS grp
+             {hash_split_sql("event_id")} AS grp
       FROM events),
     binned AS (
       SELECT event_type, bin,
@@ -790,9 +818,7 @@ def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     a same-distribution control split, so near-zero PSI is the expected
     answer on both engines (one rounding site after the sum)."""
     e = load_table(spark, sf_dir, "events")
-    grp = F.when(
-        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) < "8", "a"
-    ).otherwise("b")
+    grp = hash_split_arm("event_id")
     binned = (
         e.select(
             "event_type",
@@ -863,9 +889,9 @@ def q_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
              sx1y, sx2y
       FROM g)
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           round(det_a / det, 6) AS intercept,
-           round(det_b / det, 6) AS coef_hour,
-           round(det_c / det, 6) AS coef_dow,
+           round(det_a / det, 6) + 0.0 AS intercept,
+           round(det_b / det, 6) + 0.0 AS coef_hour,
+           round(det_c / det, 6) + 0.0 AS coef_dow,
            round(1 - (syy - (det_a / det) * sy - (det_b / det) * sx1y
                           - (det_c / det) * sx2y)
                      / (syy - sy * sy / n), 6) AS r2
@@ -941,9 +967,11 @@ def q_ml_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type",
         n.cast("long").alias("n"),
-        F.round(a, 6).alias("intercept"),
-        F.round(b, 6).alias("coef_hour"),
-        F.round(c, 6).alias("coef_dow"),
+        # + 0.0: -0.0 canonicalization on the near-zero regression
+        # coefficients (q_stats_cuped precedent)
+        (F.round(a, 6) + F.lit(0.0)).alias("intercept"),
+        (F.round(b, 6) + F.lit(0.0)).alias("coef_hour"),
+        (F.round(c, 6) + F.lit(0.0)).alias("coef_dow"),
         F.round(r2, 6).alias("r2"),
     )
 
@@ -1088,11 +1116,10 @@ def q_quality_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stats_delta_ratio",
-    oracle="""
+    oracle=f"""
     WITH per_user AS (
       SELECT user_id,
-             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
-                  THEN 'a' ELSE 'b' END AS arm,
+             {hash_split_sql("user_id")} AS arm,
              sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y,
              CAST(count(*) AS DOUBLE) AS m
       FROM events GROUP BY user_id),
@@ -1113,7 +1140,7 @@ def q_quality_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.n_users AS n_users_a, b.n_users AS n_users_b,
            round(a.r, 6) AS ratio_a, round(b.r, 6) AS ratio_b,
            round(sqrt(a.var_r), 6) AS se_a, round(sqrt(b.var_r), 6) AS se_b,
-           round((a.r - b.r) / sqrt(a.var_r + b.var_r), 4) AS z_stat
+           round((a.r - b.r) / sqrt(a.var_r + b.var_r), 4) + 0.0 AS z_stat
     FROM d a JOIN d b ON a.arm = 'a' AND b.arm = 'b'
     """,
 )
@@ -1134,9 +1161,7 @@ def q_stats_delta_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     form arithmetic on the 2-row arm table; identical expression tree
     both engines, rounded once per output."""
     e = load_table(spark, sf_dir, "events")
-    arm = F.when(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "a"
-    ).otherwise("b")
+    arm = hash_split_arm("user_id")
     per_user = e.groupBy("user_id").agg(
         F.sum(
             F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
@@ -1184,8 +1209,13 @@ def q_stats_delta_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rb", 6).alias("ratio_b"),
         F.round(F.sqrt("va"), 6).alias("se_a"),
         F.round(F.sqrt("vb"), 6).alias("se_b"),
-        F.round(
-            (F.col("ra") - F.col("rb")) / F.sqrt(F.col("va") + F.col("vb")), 4
+        # + 0.0: -0.0 canonicalization (q_stats_cuped precedent)
+        (
+            F.round(
+                (F.col("ra") - F.col("rb")) / F.sqrt(F.col("va") + F.col("vb")),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("z_stat"),
     )
 
@@ -1197,8 +1227,7 @@ DID_CUTOVER = "2024-01-15"  # pre-period before, post-period from this day
     "q_stats_did",
     oracle=f"""
     WITH daily AS (
-      SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
-                  THEN 'a' ELSE 'b' END AS grp,
+      SELECT {hash_split_sql("user_id")} AS grp,
              CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{DID_CUTOVER}'
                   THEN 'pre' ELSE 'post' END AS period,
              date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
@@ -1221,9 +1250,9 @@ DID_CUTOVER = "2024-01-15"  # pre-period before, post-period from this day
       FROM m)
     SELECT round(a_pre, 4) AS a_pre, round(a_post, 4) AS a_post,
            round(b_pre, 4) AS b_pre, round(b_post, 4) AS b_post,
-           round((a_post - a_pre) - (b_post - b_pre), 4) AS did_estimate,
+           round((a_post - a_pre) - (b_post - b_pre), 4) + 0.0 AS did_estimate,
            round(((a_post - a_pre) - (b_post - b_pre)) / sqrt(var_did), 4)
-               AS z_stat
+               + 0.0 AS z_stat
     FROM w
     """,
 )
@@ -1241,9 +1270,7 @@ def q_stats_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     2×2 pivot, the closed-form estimate — runs on ≤4·|days| then 4
     rows. One rounding site per output (q_agg_moments discipline)."""
     e = load_table(spark, sf_dir, "events")
-    grp = F.when(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "a"
-    ).otherwise("b")
+    grp = hash_split_arm("user_id")
     period = F.when(
         F.col("ts") < F.lit(DID_CUTOVER).cast("timestamp_ntz"), "pre"
     ).otherwise("post")
@@ -1289,8 +1316,12 @@ def q_stats_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("a_post", 4).alias("a_post"),
         F.round("b_pre", 4).alias("b_pre"),
         F.round("b_post", 4).alias("b_post"),
-        F.round(did, 4).alias("did_estimate"),
-        F.round(did / F.sqrt(F.col("var_did")), 4).alias("z_stat"),
+        # + 0.0: -0.0 canonicalization — this key's docstring calls ≈0 the
+        # EXPECTED estimate, so the sign-of-zero hazard is maximal here
+        (F.round(did, 4) + F.lit(0.0)).alias("did_estimate"),
+        (F.round(did / F.sqrt(F.col("var_did")), 4) + F.lit(0.0)).alias(
+            "z_stat"
+        ),
     )
 
 
@@ -1302,8 +1333,7 @@ CUPED_CUTOFF = "2024-01-16"  # pre-period < cutoff <= experiment period
     oracle=f"""
     WITH per_user AS (
       SELECT user_id,
-             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
-                  THEN 'a' ELSE 'b' END AS arm,
+             {hash_split_sql("user_id")} AS arm,
              coalesce(sum(CASE WHEN ts < TIMESTAMP '{CUPED_CUTOFF}'
                                THEN value END), 0) AS x,
              coalesce(sum(CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOFF}'
@@ -1353,9 +1383,7 @@ def q_stats_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream of the first agg exceeds |users| rows."""
     e = load_table(spark, sf_dir, "events")
     cutoff = F.lit(CUPED_CUTOFF).cast("timestamp")
-    arm = F.when(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "a"
-    ).otherwise("b")
+    arm = hash_split_arm("user_id")
     per_user = e.groupBy("user_id").agg(
         F.coalesce(F.sum(F.when(F.col("ts") < cutoff, F.col("value"))), F.lit(0.0)).alias("x"),
         F.coalesce(F.sum(F.when(F.col("ts") >= cutoff, F.col("value"))), F.lit(0.0)).alias("y"),
@@ -1869,9 +1897,11 @@ BOT_MAX_NORM_ENTROPY = 0.6  # flag heavy users below this diversity
              -- normalize by the OBSERVED type cardinality, not a literal:
              -- a fixture domain change shifts the normalization (and the
              -- BOT_MAX_NORM_ENTROPY meaning) identically on both engines
+             -- + 0.0: a single-type user has entropy -sum(0.0) = -0.0
+             -- here but +0.0 in Spark's sum aggregate — canonicalize
              round(-sum(p * ln(p))
                    / ln((SELECT count(DISTINCT event_type) FROM events)), 6)
-                 AS norm_entropy
+                 + 0.0 AS norm_entropy
       FROM sh GROUP BY user_id)
     SELECT user_id, n_events, n_types, norm_entropy,
            (n_events >= {BOT_MIN_EVENTS}
@@ -1917,7 +1947,10 @@ def q_quality_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_events",
             "n_types",
-            F.round(F.col("ent_sum") / F.col("ln_k"), 6).alias("norm_entropy"),
+            # + 0.0: -0.0 canonicalization (single-type users; see oracle)
+            (
+                F.round(F.col("ent_sum") / F.col("ln_k"), 6) + F.lit(0.0)
+            ).alias("norm_entropy"),
         )
     )
     return u.select(
@@ -2336,7 +2369,7 @@ CAL_SHIFT, CAL_SPAN, CAL_STEP = 60, 120, 12
            round(sum_cs / ({CAL_SPAN}.0 * n), 6) AS mean_pred,
            round(pos / CAST(n AS DOUBLE), 6) AS pos_rate,
            round(pos / CAST(n AS DOUBLE)
-                 - sum_cs / ({CAL_SPAN}.0 * n), 6) AS gap
+                 - sum_cs / ({CAL_SPAN}.0 * n), 6) + 0.0 AS gap
     FROM b
     """,
 )
@@ -2380,7 +2413,8 @@ def q_ml_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.round(mean_pred, 6).alias("mean_pred"),
         F.round(pos_rate, 6).alias("pos_rate"),
-        F.round(pos_rate - mean_pred, 6).alias("gap"),
+        # + 0.0: -0.0 canonicalization (q_stats_cuped precedent)
+        (F.round(pos_rate - mean_pred, 6) + F.lit(0.0)).alias("gap"),
     )
 
 
