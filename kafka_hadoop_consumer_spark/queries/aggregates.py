@@ -281,7 +281,6 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_group.agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
             F.lit("ALL").alias("o_orderstatus"),
-            F.sum(F.lit(0)).alias("pad"),
         ).select(
             "o_orderstatus",
             F.col("est").cast("long").alias("estimated_nd"),
@@ -757,8 +756,11 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(mu, 6).alias("mean"),
         F.round(F.sqrt(m2), 6).alias("stddev_p"),
-        F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
-        F.round(m4 / F.pow(m2, 2) - 3, 4).alias("kurtosis"),
+        # try_divide: a single-row or constant-valued series has m2 = 0
+        # exactly — ANSI '/' would abort the query; DuckDB's x/0 is
+        # NULL, so NULL moments on zero variance is the parity behavior
+        F.round(F.try_divide(m3, F.pow(m2, 1.5)), 4).alias("skewness"),
+        F.round(F.try_divide(m4, F.pow(m2, 2)) - 3, 4).alias("kurtosis"),
     )
 
 
@@ -861,8 +863,10 @@ def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ranked AS (
       SELECT p_partkey, p_retailprice, p_size,
+             -- p_size DESC tie order: an equal-price LARGER part must
+             -- precede (and thereby dominate) its smaller twins
              max(p_size) OVER (
-               ORDER BY p_retailprice ASC, p_partkey
+               ORDER BY p_retailprice ASC, p_size DESC, p_partkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_size
       FROM part)
     SELECT p_partkey, p_retailprice, p_size
@@ -877,10 +881,12 @@ def q_agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "best tradeoff" product/supplier selection, and a classic
     OLAP-research operator with no SQL keyword. The 2-D case collapses
     to ONE ordered window: sweep by ascending price and keep a point iff
-    its size beats the running max of everything cheaper (ties on price
-    resolved by the p_partkey sweep order: an equal-price-equal-size
-    twin later in the order is dominated — pinned identically in both
-    engines).
+    its size beats the running max of everything at-or-below its price.
+    Price ties sweep LARGER sizes first (r9 review: with pk-only tie
+    order an equal-price larger part never preceded its smaller twin,
+    so the dominated twin survived), and an equal-price-equal-size twin
+    later in pk order is dominated — pinned identically in both
+    engines.
 
     Scale shape: the single-dimension ordered sweep runs as the
     distributed_prefix two-pass (range-partition by price with the
@@ -893,7 +899,7 @@ def q_agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     swept = distributed_prefix(
         p,
-        (F.col("p_retailprice").asc(), F.col("p_partkey")),
+        (F.col("p_retailprice").asc(), F.col("p_size").desc(), F.col("p_partkey")),
         "p_size",
         op="max",
         out_col="best_size",
@@ -909,14 +915,34 @@ def q_agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMV_K = 256  # k-minimum-values sketch size (rel. error ~ 1/sqrt(k) ≈ 6%)
 
 
+def _kmv_hash(col: str):
+    """Engine-neutral multiplicative hash to [0, 1): Knuth's 2654435761
+    multiplier mod 2^32, exact in int64 for the fixture id ranges. The
+    constant-sensitive expression that makes the KMV sketches
+    cross-engine-deterministic — single source for q_agg_kmv_distinct
+    and q_agg_kmv_setops (r9 review: four hand-kept copies; the
+    bm25_scores/bm25_oracle_ctes precedent); ``_kmv_hash_sql`` is the
+    oracle twin."""
+    return (
+        ((F.col(col) * 2654435761) % 4294967296).cast("double") / 4294967296
+    )
+
+
+def _kmv_hash_sql(col: str) -> str:
+    """DuckDB twin of ``_kmv_hash`` — splice into oracle SQL."""
+    return (
+        f"CAST(({col} * 2654435761) % 4294967296 AS DOUBLE)\n"
+        "             / 4294967296"
+    )
+
+
 @query(
     "q_agg_kmv_distinct",
     oracle=f"""
     WITH vals AS (
       SELECT DISTINCT l_partkey AS v FROM lineitem),
     hashed AS (
-      SELECT v, CAST((v * 2654435761) % 4294967296 AS DOUBLE)
-                / 4294967296 AS h
+      SELECT v, {_kmv_hash_sql("v")} AS h
       FROM vals),
     kmin AS (
       SELECT h, row_number() OVER (ORDER BY h, 1) AS rn
@@ -952,10 +978,7 @@ def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     vals = persist_tracked(li.select("l_partkey").distinct())
     hashed = vals.select(
-        (
-            ((F.col("l_partkey") * 2654435761) % 4294967296).cast("double")
-            / 4294967296
-        ).alias("h")
+        _kmv_hash("l_partkey").alias("h")
     )
     kmin = hashed.orderBy("h").limit(KMV_K)
     est = kmin.agg(
@@ -1041,28 +1064,33 @@ def q_agg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = swept.crossJoin(F.broadcast(tot_1row)).select(
         "l_partkey", "rev_cents", "cum_cents", "tot_cents"
     )
+    # tot_cents is carried through to the final rev_share so the total
+    # aggregates ONCE (r9 review: a second rev.agg() pass computed the
+    # same sum again just to cast it double)
     classed = ranked.select(
         "rev_cents",
+        "tot_cents",
         F.when(F.col("cum_cents") <= F.col("tot_cents") * 0.8, "A")
         .when(F.col("cum_cents") <= F.col("tot_cents") * 0.95, "B")
         .otherwise("C")
         .alias("abc_class"),
     )
-    tot = rev.agg(F.sum("rev_cents").cast("double").alias("t"))
     return (
         classed.groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
             F.sum("rev_cents").alias("class_rev_cents"),
+            F.max("tot_cents").alias("tot_cents"),
         )
-        .crossJoin(F.broadcast(tot))
         .select(
             "abc_class",
             "n_parts",
             "class_rev_cents",
-            F.round(F.col("class_rev_cents").cast("double") / F.col("t"), 6).alias(
-                "rev_share"
-            ),
+            F.round(
+                F.col("class_rev_cents").cast("double")
+                / F.col("tot_cents").cast("double"),
+                6,
+            ).alias("rev_share"),
         )
     )
 
@@ -1078,8 +1106,7 @@ def q_agg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id),
     hashed AS (
       SELECT user_id, in_a, in_b,
-             CAST((user_id * 2654435761) % 4294967296 AS DOUBLE)
-             / 4294967296 AS h
+             {_kmv_hash_sql("user_id")} AS h
       FROM m),
     unionk AS (
       SELECT in_a, in_b, h FROM hashed ORDER BY h, user_id LIMIT {KMV_K}),
@@ -1134,10 +1161,7 @@ def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "in_a",
         "in_b",
-        (
-            ((F.col("user_id") * 2654435761) % 4294967296).cast("double")
-            / 4294967296
-        ).alias("h"),
+        _kmv_hash("user_id").alias("h"),
     )
     unionk = hashed.orderBy("h", "user_id").limit(KMV_K)
     s = unionk.agg(
@@ -1160,9 +1184,13 @@ def q_agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(union_est, 2).alias("union_est"),
         F.round(j_est, 4).alias("jaccard_est"),
         F.round(j_est * union_est, 2).alias("inter_est"),
+        # try_divide: disjoint view/purchase user sets give
+        # exact_inter = 0 — ANSI '/' would abort; DuckDB's x/0 is NULL
         F.round(
-            F.abs(j_est * union_est - F.col("exact_inter"))
-            / F.col("exact_inter"),
+            F.try_divide(
+                F.abs(j_est * union_est - F.col("exact_inter")),
+                F.col("exact_inter"),
+            ),
             4,
         ).alias("inter_rel_error"),
     )

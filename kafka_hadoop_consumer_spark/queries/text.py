@@ -147,7 +147,11 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     nospace = F.regexp_replace("text", " ", "")
     vowels = F.length(F.regexp_replace(nospace, "[^aeiou]", ""))
     chars = F.length(nospace)
-    vowel_ratio = vowels.cast("double") / chars
+    # try_divide: an empty/whitespace-only doc has chars = 0 — ANSI '/'
+    # would abort the whole query; DuckDB's x/0 is NULL, and a NULL
+    # ratio falls through the CASE to 'default' identically on both
+    # engines (r9 review)
+    vowel_ratio = F.try_divide(vowels.cast("double"), chars)
     awl = chars.cast("double") / F.size(_tokens())
     return d.select(
         "doc_id",
@@ -840,8 +844,10 @@ def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each iteration is one map-side-combinable pair-count agg over the
     vocab table plus a 1-ROW driver collect (the argmax — the k-means
     centroid-collect precedent), and the merge rewrite is a codegen'd
-    higher-order fold, zero shuffle. Iteration state is re-persisted and
-    the previous step released, so plan depth stays O(1) per step."""
+    higher-order fold, zero shuffle. Iteration state is re-persisted,
+    materialized, and the previous step unpersisted IN the loop, so the
+    cache footprint stays one symbol table regardless of merge count
+    (plan depth grows linearly but BPE_MERGES is a small constant)."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -868,9 +874,18 @@ def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         a, b, cnt = best[0]["p"]["a"], best[0]["p"]["b"], int(best[0]["cnt"])
         merges.append((rank, a, b, a + b, cnt))
+        prev = syms
         syms = persist_tracked(
             syms.select("freq", F.expr(_bpe_apply_merge("syms", a, b)).alias("syms"))
         )
+        # materialize the new symbol table from the still-pinned prev,
+        # then release prev NOW (r9 review: without this every
+        # iteration's frame stayed pinned until the next query —
+        # BPE_MERGES+1 cached copies, not the docstring's O(1)).
+        # unpersist is idempotent, so the registry's end-of-query
+        # release_tracked sweep stays safe.
+        syms.count()
+        prev.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank INT, pair_a STRING, pair_b STRING, "
                 "merged STRING, pair_count LONG"
