@@ -633,11 +633,13 @@ def q_stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_event_id").alias("click_id"),
         F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
         F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
-        (
-            (
-                F.unix_micros("p_ts") - F.unix_micros("c_ts")
-            ) / F.lit(60_000_000)
-        ).cast("long").alias("mins_before"),
+        # integer DIV, not float '/'+cast: the oracle floor-divides in
+        # exact integer µs, and double rounding could cross an integer
+        # boundary on wider ranges (r9 review; the q_win_attribution
+        # idiom)
+        F.expr(
+            "(unix_micros(p_ts) - unix_micros(c_ts)) DIV 60000000"
+        ).alias("mins_before"),
     )
 
 

@@ -220,8 +220,14 @@ def q_embed_normquant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             (F.col("pos") + 1).cast("int").alias("dim"),
-            F.round(F.col("x") / F.col("nrm"), 6).alias("nx"),
-            F.floor(F.col("x") / F.col("nrm") * 127 + 0.5).cast("int").alias("q_int8"),
+            # try_divide: an all-zero vector has nrm = 0 — ANSI '/'
+            # would abort the whole query; DuckDB's x/0 is NULL, so
+            # NULL components for a zero-norm vector is the parity
+            # behavior (r9 review, the q_text_langid class)
+            F.round(F.try_divide(F.col("x"), F.col("nrm")), 6).alias("nx"),
+            F.floor(F.try_divide(F.col("x"), F.col("nrm")) * 127 + 0.5)
+            .cast("int")
+            .alias("q_int8"),
         )
     )
 

@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
+from kafka_hadoop_consumer_spark.queries.registry import (
+    distributed_prefix,
+    persist_tracked,
+    query,
+)
 
 
 @query(
@@ -177,12 +181,6 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_win_ntile_scalable(spark, sf_dir)
 
 
-# Range-partition fan-out for the scalable global rank. On a real cluster
-# set this to ~2x total cores; rank arithmetic is boundary-agnostic (see
-# q_win_ntile_scalable) so the value affects only parallelism, not results.
-NTILE_RANGE_PARTS = 32
-
-
 @query(
     "q_win_ntile_scalable",
     oracle="""
@@ -200,11 +198,11 @@ def q_win_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window is the thing this replaces at scale):
 
     1. ``repartitionByRange`` on the full ordering key → non-overlapping
-       sorted ranges across NTILE_RANGE_PARTS tasks (sampled boundaries;
+       sorted ranges across PREFIX_RANGE_PARTS tasks (sampled boundaries;
        rank arithmetic never depends on where the boundaries land because
        the key, with its unique tie-break, is a total order).
     2. Per-partition row counts → cumulative offsets. The collect is a
-       bounded scalar fetch (≤ NTILE_RANGE_PARTS longs — the same
+       bounded scalar fetch (≤ PREFIX_RANGE_PARTS longs — the same
        legitimacy class as the k-means centroid collect), broadcast back
        as a literal map.
     3. Local row_number within each range partition + the partition's
@@ -217,28 +215,20 @@ def q_win_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py.
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    ranged = persist_tracked(
-        o.repartitionByRange(
-            NTILE_RANGE_PARTS, F.col("o_totalprice").desc(), F.col("o_orderkey")
-        ).withColumn("pid", F.spark_partition_id())
+    # global rank = inclusive running count of ones through the SHARED
+    # two-pass recipe (r9 review: this body hand-rolled the identical
+    # ~25 lines registry.distributed_prefix implements and
+    # property-tests — hardening applied to the helper, e.g. the
+    # all-NULL-partition fix, silently missed this copy). total is a
+    # parquet metadata count, no extra scan.
+    ranked = distributed_prefix(
+        o.withColumn("one", F.lit(1)),
+        (F.col("o_totalprice").desc(), F.col("o_orderkey")),
+        "one",
+        op="sum",
+        out_col="rn",
     )
-    counts = sorted(
-        (r["pid"], r["n"])
-        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    )
-    total = sum(n for _, n in counts)
-    offsets, acc = {}, 0
-    for pid, n in counts:
-        offsets[pid] = acc
-        acc += n
-    off_expr = F.element_at(
-        F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
-        F.col("pid"),
-    )
-    w = Window.partitionBy("pid").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    ranked = ranged.withColumn("rn", off_expr + F.row_number().over(w))
+    total = o.count()
     # ntile(4): first (total mod 4) tiles get one extra row; integer-exact
     # ceil-division so both branches stay in long arithmetic.
     q, rem = divmod(total, 4)
