@@ -54,7 +54,21 @@ def salted_join(
         # pmod(x, 0) is NULL (non-ANSI), which never equi-joins — a typo
         # would silently drop the entire join output
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
-    salt_src = F.xxhash64(*[F.col(c) for c in (salt_cols or large.columns)])
+    if "_salt" in large.columns or "_salt" in small.columns:
+        # withColumn would silently REPLACE a business column named
+        # _salt with the synthetic salt and drop() would then delete it
+        raise ValueError(
+            "salted_join reserves the column name '_salt'; rename it on "
+            "the input before joining"
+        )
+    if salt_cols is None:
+        # hash expressions reject MapType (SPARK-27619): deriving the
+        # default whole-row salt must skip map columns or a large side
+        # with an irrelevant map column fails at plan time
+        salt_cols = [
+            c for c, t in large.dtypes if not t.startswith("map<")
+        ] or [on]
+    salt_src = F.xxhash64(*[F.col(c) for c in salt_cols])
     salted_large = large.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)).cast("int"))
     replicated_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -68,6 +68,14 @@ def _on_query_start(name: str) -> None:
     if _TRACKED_OWNER != name:
         release_tracked()
         _TRACKED_OWNER = name
+    else:
+        # Same-key warm rerun (bench medians): the rerun re-persists the
+        # SAME plans (registered builds are deterministic — Date/random
+        # are banned), so drop the previous run's list entries WITHOUT
+        # unpersisting. The cache stays warm, and the pin list stays
+        # O(pins per single run) instead of growing by k every rerun
+        # (r9 review: N×k dead entries until a different query ran).
+        _TRACKED.clear()
 
 
 # Range-partition fan-out for distributed global prefix computations.

@@ -66,6 +66,19 @@ def message(topic: str, p: int, o: int, payload: str = "text") -> tuple:
     return (topic, p, o, f"k{o % 10}", value, TS_BASE_US + o * 1_000_000 + p)
 
 
+def _sim_options(options: dict) -> tuple[str, int, int, str]:
+    """Shared (topic, n_partitions, n_messages, payload) parsing for the
+    three reader views of ONE simulated topic (r9 review: the defaults
+    were hand-copied per class, so a change applied to one copy would
+    silently diverge the batch and stream views of the same broker)."""
+    return (
+        options.get("topic", "sim"),
+        int(options.get("n_partitions", 4)),
+        int(options.get("n_messages", 250)),
+        options.get("payload", "text"),
+    )
+
+
 @dataclass(frozen=True)
 class TopicPartitionRange(InputPartition):
     topic: str
@@ -76,10 +89,8 @@ class TopicPartitionRange(InputPartition):
 
 class KafkaSimReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
-        self.topic = options.get("topic", "sim")
-        self.n_partitions = int(options.get("n_partitions", 4))
-        self.n_messages = int(options.get("n_messages", 250))
-        self.payload = options.get("payload", "text")
+        (self.topic, self.n_partitions, self.n_messages,
+         self.payload) = _sim_options(options)
         # offset-range state, tightened by pushFilters
         self.lo = int(options.get("starting_offset", 0))
         self.hi = self.n_messages
@@ -146,10 +157,8 @@ class KafkaSimStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, options: dict) -> None:
-        self.topic = options.get("topic", "sim")
-        self.n_partitions = int(options.get("n_partitions", 4))
-        self.n_messages = int(options.get("n_messages", 250))
-        self.payload = options.get("payload", "text")
+        (self.topic, self.n_partitions, self.n_messages,
+         self.payload) = _sim_options(options)
 
     def initialOffset(self) -> dict:
         return {str(p): 0 for p in range(self.n_partitions)}
@@ -158,6 +167,16 @@ class KafkaSimStreamReader(DataSourceStreamReader):
         return {str(p): self.n_messages for p in range(self.n_partitions)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        missing = set(start) - set(end)
+        if missing:
+            # n_partitions lowered between runs on one checkpoint: the
+            # committed partitions would silently vanish from every
+            # later batch (and their unread data with them) — raise,
+            # mirroring the real source's deleted-partition error
+            raise ValueError(
+                "checkpoint has partitions absent from the topic "
+                f"(n_partitions lowered?): {sorted(missing)}"
+            )
         return [
             TopicPartitionRange(self.topic, int(p), start.get(p, 0), end[p])
             for p in end
@@ -185,11 +204,16 @@ class KafkaSimSimpleStreamReader(SimpleDataSourceStreamReader):
     uncapped distributed path stays on KafkaSimStreamReader."""
 
     def __init__(self, options: dict) -> None:
-        self.topic = options.get("topic", "sim")
-        self.n_partitions = int(options.get("n_partitions", 4))
-        self.n_messages = int(options.get("n_messages", 250))
-        self.payload = options.get("payload", "text")
+        (self.topic, self.n_partitions, self.n_messages,
+         self.payload) = _sim_options(options)
         self.cap = int(options["max_per_trigger"])
+        if self.cap < 1:
+            # a zero cap stalls the stream forever; a NEGATIVE cap is
+            # worse — read(start) would commit end < start and walk the
+            # checkpoint BACKWARD, violating the no-regression contract
+            raise ValueError(
+                f"max_per_trigger must be >= 1, got {self.cap}"
+            )
 
     def initialOffset(self) -> dict:
         return {str(p): 0 for p in range(self.n_partitions)}
@@ -199,6 +223,14 @@ class KafkaSimSimpleStreamReader(SimpleDataSourceStreamReader):
             p: min(self.n_messages, start.get(p, 0) + self.cap)
             for p in (str(i) for i in range(self.n_partitions))
         }
+        missing = set(start) - set(end)
+        if missing:
+            # see KafkaSimStreamReader.partitions: a lowered
+            # n_partitions must fail loudly, not drop committed offsets
+            raise ValueError(
+                "checkpoint has partitions absent from the topic "
+                f"(n_partitions lowered?): {sorted(missing)}"
+            )
         # materialized, not a generator: the runner pickles the prefetch
         # cache entry, and the batch is cap-bounded anyway
         return iter(self.readBetweenOffsets(start, end)), end

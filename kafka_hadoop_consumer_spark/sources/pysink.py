@@ -200,7 +200,11 @@ def _reap_staging_dir(staging: str) -> None:
     writing to the orphaned inode without resurrecting the directory."""
     import time
 
-    for attempt in range(10):
+    # 5 s ceiling: under a contended 32-thread session a cancelled
+    # pandas-UDF worker can take >2 s to stop staging (r9 flake); the
+    # loop exits on the first clean check, so the normal cost is one
+    # rmtree + one exists()
+    for attempt in range(25):
         shutil.rmtree(staging, ignore_errors=True)
         if not os.path.exists(staging):
             break

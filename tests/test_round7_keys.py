@@ -78,8 +78,16 @@ def test_delegating_query_keeps_cache_owner(spark):
         first_pin = R._TRACKED[0]
         R.QUERIES["q_test_outer__tmp"](spark, "").count()
         assert R._TRACKED_OWNER == "q_test_outer__tmp"
-        assert R._TRACKED and R._TRACKED[0] is first_pin, (
-            "warm rerun released the delegating query's pins"
+        # the cache must stay WARM (no unpersist — the plan is the same,
+        # so the rerun's pin hits the same CacheManager entry)...
+        assert first_pin.storageLevel.useMemory, (
+            "warm rerun UNPERSISTED the delegating query's pins"
+        )
+        # ...but the pin list must not grow by k entries per rerun
+        # (r9 review: N reruns accumulated N×k dead entries until a
+        # DIFFERENT query finally released them)
+        assert len(R._TRACKED) == 1, (
+            f"warm rerun accumulated pins: {len(R._TRACKED)}"
         )
     finally:
         for k in ("q_test_inner__tmp", "q_test_outer__tmp"):

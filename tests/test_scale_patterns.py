@@ -279,3 +279,30 @@ def test_max_partition_bytes_controls_scan_splits(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
         spark.conf.set("spark.sql.files.openCostInBytes", old_open)
     assert fine > coarse and fine >= 8, (coarse, fine)
+
+
+def test_salted_join_reserved_column_and_map_columns(spark):
+    """_salt is a reserved name (silently clobbering-then-dropping a
+    business column of that name loses caller data), and the default
+    whole-row salt must skip MapType columns — hash expressions reject
+    maps (SPARK-27619), so a large side with an irrelevant map column
+    crashed at plan time before the r9 fix."""
+    import pytest
+
+    fact = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], "k long, v string"
+    )
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(fact.withColumnRenamed("v", "_salt"), dim, "k")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(fact, dim.withColumnRenamed("name", "_salt"), "k")
+
+    mfact = fact.withColumn(
+        "attrs", F.create_map(F.lit("a"), F.col("v"))
+    )
+    out = salted_join(mfact, dim, "k", n_salts=4)
+    assert sorted((r["k"], r["name"]) for r in out.collect()) == [
+        (1, "one"), (1, "one"), (2, "two")
+    ]

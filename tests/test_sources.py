@@ -339,10 +339,32 @@ def test_arrow_sink_batch_abort_keeps_committed_data(spark, tmp_path):
     with pytest.raises(Exception, match="chaos|Job aborted"):
         bad.write.format("arrow_sink").mode("append").option("path", path).save()
 
-    # prior committed state untouched, nothing published, nothing staged
-    assert sorted(os.listdir(path)) == committed
+    # prior committed state untouched, nothing published
+    assert sorted(f for f in os.listdir(path) if f != "_staging") == committed
     assert json.load(open(os.path.join(path, "_SUCCESS"))) == manifest
     assert spark.read.parquet(path).count() == rows
+
+    # Staging: usually gone already (abort's retried sweep), but a
+    # cancelled straggler task can resurrect _staging BETWEEN the
+    # driver-side abort sweep and its own teardown — the same reality
+    # as FileOutputCommitter's leftover _temporary dirs, and exactly
+    # what the crashed-run stale-sibling reclamation exists for. Poll
+    # briefly for natural quiescence, then force the age gate to zero
+    # and assert the reclamation leaves the sink byte-identical.
+    import time as _time
+
+    staging_parent = os.path.join(path, "_staging")
+    for _ in range(25):
+        if not os.path.exists(staging_parent):
+            break
+        _time.sleep(0.2)
+    if os.path.exists(staging_parent):
+        pysink._reap_stale_siblings(staging_parent, own="", max_age=0.0)
+        try:
+            os.rmdir(staging_parent)
+        except OSError:
+            pass
+    assert sorted(os.listdir(path)) == committed
 
     # a task that dies mid-stage returns no commit message: abort must
     # still reap its partial staging file via the job-scoped staging dir
@@ -589,3 +611,36 @@ def test_events_ts_floor_division_is_sign_correct(spark):
         F.expr("(ts - pmod(ts, 1000)) div 1000").alias("us")
     ).collect()
     assert [r.us for r in out] == [-2, 1, -2]
+
+
+def test_kafka_sim_rejects_bad_cap_and_lowered_partitions(spark):
+    """A zero/negative max_per_trigger must fail loudly (a negative cap
+    would commit end < start and walk the checkpoint BACKWARD), and a
+    checkpoint carrying partitions absent from the current topic
+    (n_partitions lowered between runs) must raise instead of silently
+    dropping the committed partitions and their unread data."""
+    import pytest
+
+    from kafka_hadoop_consumer_spark.sources.kafka_sim import (
+        KafkaSimSimpleStreamReader,
+        KafkaSimStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="max_per_trigger"):
+        KafkaSimSimpleStreamReader({"max_per_trigger": "0"})
+    with pytest.raises(ValueError, match="max_per_trigger"):
+        KafkaSimSimpleStreamReader({"max_per_trigger": "-5"})
+
+    r = KafkaSimStreamReader({"n_partitions": "2", "n_messages": "10"})
+    with pytest.raises(ValueError, match="lowered"):
+        r.partitions({"0": 3, "1": 3, "2": 3, "3": 3},
+                     {"0": 10, "1": 10})
+
+    simple = KafkaSimSimpleStreamReader(
+        {"n_partitions": "2", "n_messages": "10", "max_per_trigger": "4"}
+    )
+    with pytest.raises(ValueError, match="lowered"):
+        simple.read({"0": 3, "1": 3, "2": 3})
+    # same-shape checkpoint still reads fine and caps per partition
+    it, end = simple.read({"0": 3, "1": 3})
+    assert end == {"0": 7, "1": 7} and len(list(it)) == 8
