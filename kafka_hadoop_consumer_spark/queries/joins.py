@@ -279,10 +279,18 @@ SPATIAL_GRID = 100003   # prime modulus for synthetic planar coords
     "q_join_spatial",
     oracle=f"""
     WITH pts AS (
+      -- u is reduced mod the grid prime BEFORE squaring: u*u overflows
+      -- BIGINT at u ~ 1.33e8 (reached near SF 900, well inside the
+      -- documented scale shape); the reduced mix is congruent, so the
+      -- planted coordinates are bit-identical for every fixture id
       SELECT DISTINCT user_id,
-             CAST((user_id * user_id * 377 + user_id * 48271)
+             CAST((((user_id % {SPATIAL_GRID}) * (user_id % {SPATIAL_GRID})
+                    % {SPATIAL_GRID}) * 377
+                   + (user_id % {SPATIAL_GRID}) * 48271)
                   % {SPATIAL_GRID} AS DOUBLE) / 100 AS x,
-             CAST((user_id * user_id * 521 + user_id * 69621 + 12345)
+             CAST((((user_id % {SPATIAL_GRID}) * (user_id % {SPATIAL_GRID})
+                    % {SPATIAL_GRID}) * 521
+                   + (user_id % {SPATIAL_GRID}) * 69621 + 12345)
                   % {SPATIAL_GRID} AS DOUBLE) / 100 AS y
       FROM events),
     cells AS (
@@ -327,15 +335,19 @@ def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot cells compose the q_join_skewed salting recipe on the cell
     key)."""
     e = load_table(spark, sf_dir, "events")
+    # user_id reduced mod the grid prime BEFORE squaring (see oracle):
+    # u*u overflows BIGINT (ANSI abort) at u ~ 1.33e8; the reduced mix
+    # is congruent, so planted coordinates are unchanged for every id
+    um = F.col("user_id") % SPATIAL_GRID
     pts = (
         e.select("user_id").distinct()
         .select(
             "user_id",
-            (((F.col("user_id") * F.col("user_id") * 377
-               + F.col("user_id") * 48271) % SPATIAL_GRID).cast("double") / 100)
+            ((((um * um % SPATIAL_GRID) * 377
+               + um * 48271) % SPATIAL_GRID).cast("double") / 100)
             .alias("x"),
-            (((F.col("user_id") * F.col("user_id") * 521
-               + F.col("user_id") * 69621 + 12345) % SPATIAL_GRID)
+            ((((um * um % SPATIAL_GRID) * 521
+               + um * 69621 + 12345) % SPATIAL_GRID)
              .cast("double") / 100)
             .alias("y"),
         )
@@ -426,8 +438,14 @@ BLOOM_P = 1000003  # prime modulus before folding into [0, BLOOM_M)
 
 def _bloom_pos_sql(key: str, a: int, b: int) -> str:
     """Bit position of hash (a, b) for integer column ``key`` — identical
-    text is valid Spark SQL and DuckDB SQL (% on BIGINT, same precedence)."""
-    return f"((({key} * {a} + {b}) % {BLOOM_P}) % {BLOOM_M})"
+    text is valid Spark SQL and DuckDB SQL (% on BIGINT, same precedence).
+    ``key`` is reduced mod BLOOM_P BEFORE the multiply: key * a overflows
+    BIGINT (ANSI abort) at key ~ 2.8e9, i.e. customer counts near SF
+    ~19k — far below the documented operating regime; the reduced form
+    is congruent, so every position is unchanged."""
+    return (
+        f"(((({key} % {BLOOM_P}) * {a} + {b}) % {BLOOM_P}) % {BLOOM_M})"
+    )
 
 
 @query(

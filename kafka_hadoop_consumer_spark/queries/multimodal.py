@@ -78,6 +78,10 @@ def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
+        # metadata rides THROUGH the decode as a pass-through column
+        # (r9 review: dropping it forced a per-row shuffle join back to
+        # documents, contradicting the no-shuffle-until-aggregate shape)
+        T.StructField("source", T.StringType()),
         T.StructField("byte_len", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
@@ -103,6 +107,7 @@ def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
                 "byte_len": lens,
                 "width": (lens % 640 + 1).astype("int32"),
                 "height": (lens % 480 + 1).astype("int32"),
@@ -153,11 +158,11 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
         "source",
     )
-    decoded = payloads.select("doc_id", "payload").mapInPandas(
-        _fake_decode, schema=_DECODE_SCHEMA
-    )
+    # source rides through the decode UDF — joining it back afterwards
+    # shuffled every decoded row and re-scanned documents (r9 review)
+    decoded = payloads.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)
     return (
-        decoded.join(d.select("doc_id", "source"), "doc_id")
+        decoded
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

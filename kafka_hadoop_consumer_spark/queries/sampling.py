@@ -109,12 +109,18 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+    # counts coalesce to 0: Spark's pivot fills a structurally empty
+    # (returnflag, linestatus) cell with NULL even for count, while the
+    # oracle's count(CASE ...) is 0 — on genuine TPC-H data the (A,O)
+    # and (R,O) cells ARE empty (r9 review; the fixture happens to
+    # populate all six). Sums stay NULL on both engines (sum of an
+    # empty set is NULL in SQL too).
     return wide.select(
         "l_returnflag",
         F.col("F_qty").alias("qty_F"),
         F.col("O_qty").alias("qty_O"),
-        F.col("F_n").alias("n_F"),
-        F.col("O_n").alias("n_O"),
+        F.coalesce(F.col("F_n"), F.lit(0).cast("long")).alias("n_F"),
+        F.coalesce(F.col("O_n"), F.lit(0).cast("long")).alias("n_O"),
     )
 
 
@@ -245,7 +251,9 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("double") / F.lit(4294967296.0)
-    a_key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9)
+    # try_divide: an empty doc (n_chars = 0) would abort under ANSI;
+    # DuckDB's 1.0/0 is NULL -> NULL a_key, sorted last on both engines
+    a_key = F.round(F.pow(u, F.try_divide(F.lit(1.0), F.col("n_chars"))), 9)
     return (
         d.select("doc_id", "n_chars", a_key.alias("a_key"))
         .orderBy(F.col("a_key").desc(), F.col("doc_id"))

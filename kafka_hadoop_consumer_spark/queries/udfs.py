@@ -29,8 +29,13 @@ from kafka_hadoop_consumer_spark.queries.registry import query
 
 @F.pandas_udf(T.StringType())
 def _normalize_text(s: pd.Series) -> pd.Series:
-    """Vectorized text normalizer: lowercase, trim, collapse whitespace."""
-    return s.str.lower().str.strip().str.replace(r" +", " ", regex=True)
+    """Vectorized text normalizer: lowercase, trim, collapse whitespace.
+
+    strip(" ") — SPACES only, matching the oracle's SQL trim(): bare
+    .str.strip() removes every Unicode whitespace (tabs, newlines), so
+    any edge tab would silently fork norm_text between the engines
+    (r9 review; the fixture's space-only text masked it)."""
+    return s.str.lower().str.strip(" ").str.replace(r" +", " ", regex=True)
 
 
 @query(
