@@ -235,7 +235,11 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json("props", "map<string,int>")
     return e.select(
         "event_id",
-        F.element_at(m, "k").alias("k_val"),
+        # try_element_at: ANSI element_at ABORTS on a missing map key,
+        # but the oracle's json_extract pins NULL — and nothing
+        # guarantees every props row carries 'k' beyond this fixture
+        # (r9 review; the q_fn_try line-403 precedent)
+        F.try_element_at(m, F.lit("k")).alias("k_val"),
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
         F.size(F.map_keys(m)).cast("int").alias("n_keys"),
     )
@@ -248,7 +252,11 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract(props, '$.k') AS INT) AS k_int,
            CAST(json_extract(props, '$.k') IS NOT NULL AS VARCHAR) AS has_k,
-           concat('{"k2":', CAST(CAST(json_extract(props, '$.k') AS INT) * 2 AS VARCHAR), '}') AS rebuilt
+           CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                THEN concat('{"k2":',
+                            CAST(CAST(json_extract(props, '$.k') AS INT) * 2
+                                 AS VARCHAR), '}')
+           END AS rebuilt
     FROM events
     """,
 )
@@ -265,7 +273,13 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         k_int.alias("k_int"),
         F.get_json_object("props", "$.k").isNotNull().cast("string").alias("has_k"),
-        F.to_json(F.struct((k_int * 2).alias("k2"))).alias("rebuilt"),
+        # NULL when k is absent, pinned on BOTH sides: Spark's to_json
+        # would emit '{}' (ignoreNullFields) while DuckDB's concat
+        # skips NULL args and emits '{"k2":}' — two different strings
+        # for the same missing key (r9 review)
+        F.when(
+            k_int.isNotNull(), F.to_json(F.struct((k_int * 2).alias("k2")))
+        ).alias("rebuilt"),
     )
 
 
@@ -333,7 +347,10 @@ ZBITS = 10  # bits per dimension in the Z-order key
     WITH d AS (
       SELECT o_orderkey,
              CAST(o_custkey % {1 << ZBITS} AS BIGINT) AS xa,
-             CAST(epoch(o_orderdate) / 86400 AS BIGINT) % {1 << ZBITS} AS ya
+             -- floor, not bare CAST: double->int casts TRUNCATE in
+             -- Spark but ROUND in DuckDB (this module's header rule) —
+             -- latent only while the fixture dates are all-midnight
+             CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) % {1 << ZBITS} AS ya
       FROM orders)
     SELECT o_orderkey, xa, ya,
            CAST(list_sum(list_transform(range(0, {ZBITS}),
@@ -399,7 +416,9 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("user_id").cast("string"), F.lit("x")),
             F.lit("999999"),
         ).cast("int").alias("bad_int"),
-        F.col("user_id").cast("string").cast("int").alias("good_int"),
+        # try_cast like the oracle's TRY_CAST: a plain ANSI cast in the
+        # error-safe family would itself abort on an out-of-int user_id
+        F.col("user_id").cast("string").try_cast("int").alias("good_int"),
         F.try_element_at(F.split("event_type", ""), F.lit(10)).alias("oob_char"),
     )
 

@@ -23,8 +23,14 @@ def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], text: str) -
 _SCALAR = """
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+    WHERE o_totalprice > (SELECT round(avg(o_totalprice) * 1.5, 4)
+                          FROM orders)
 """
+# round(threshold, 4): the repo-wide determinism discipline — comparing
+# raw doubles against an UNROUNDED double aggregate lets a last-ulp
+# accumulation-order difference between the engines flip membership of
+# a value lying on the threshold (r9 review; the e2e_tpch header rule).
+# Both engines run the same SQL text, so one edit pins both.
 
 
 @query("q_subq_scalar", oracle=_SCALAR)
@@ -51,7 +57,7 @@ _CORR = """
     SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
     FROM orders o
     WHERE o.o_totalprice >
-      (SELECT avg(o2.o_totalprice) * 2.0 FROM orders o2
+      (SELECT round(avg(o2.o_totalprice) * 2.0, 4) FROM orders o2
        WHERE o2.o_custkey = o.o_custkey)
 """
 

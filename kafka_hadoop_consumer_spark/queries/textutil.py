@@ -13,7 +13,18 @@ from __future__ import annotations
 
 def ngram_expr(toks_col: str, n: int, sep: str = " ") -> str:
     """SQL expression: array of ``n``-token grams of array column
-    ``toks_col``; empty array when the doc has fewer than ``n`` tokens."""
+    ``toks_col``; empty array when the doc has fewer than ``n`` tokens.
+
+    Inputs are spliced into SQL text, so reject anything that isn't a
+    plain identifier / quote-free separator — the zorder_key precedent
+    (r9 review): a ``sep`` containing a quote would otherwise produce
+    malformed SQL or a silently wrong separator."""
+    if not toks_col.replace("_", "").isalnum():
+        raise ValueError(f"toks_col must be a plain identifier, got {toks_col!r}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if "'" in sep or "\\" in sep:
+        raise ValueError(f"sep must not contain quotes/backslashes, got {sep!r}")
     return (
         f"if(size({toks_col}) >= {n}, "
         f"transform(sequence(1, size({toks_col}) - {n - 1}), "
