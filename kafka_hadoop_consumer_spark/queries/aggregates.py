@@ -281,7 +281,6 @@ def q_agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_group.agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
             F.lit("ALL").alias("o_orderstatus"),
-            F.sum(F.lit(0)).alias("pad"),
         ).select(
             "o_orderstatus",
             F.col("est").cast("long").alias("estimated_nd"),
@@ -1065,28 +1064,33 @@ def q_agg_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = swept.crossJoin(F.broadcast(tot_1row)).select(
         "l_partkey", "rev_cents", "cum_cents", "tot_cents"
     )
+    # tot_cents is carried through to the final rev_share so the total
+    # aggregates ONCE (r9 review: a second rev.agg() pass computed the
+    # same sum again just to cast it double)
     classed = ranked.select(
         "rev_cents",
+        "tot_cents",
         F.when(F.col("cum_cents") <= F.col("tot_cents") * 0.8, "A")
         .when(F.col("cum_cents") <= F.col("tot_cents") * 0.95, "B")
         .otherwise("C")
         .alias("abc_class"),
     )
-    tot = rev.agg(F.sum("rev_cents").cast("double").alias("t"))
     return (
         classed.groupBy("abc_class")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
             F.sum("rev_cents").alias("class_rev_cents"),
+            F.max("tot_cents").alias("tot_cents"),
         )
-        .crossJoin(F.broadcast(tot))
         .select(
             "abc_class",
             "n_parts",
             "class_rev_cents",
-            F.round(F.col("class_rev_cents").cast("double") / F.col("t"), 6).alias(
-                "rev_share"
-            ),
+            F.round(
+                F.col("class_rev_cents").cast("double")
+                / F.col("tot_cents").cast("double"),
+                6,
+            ).alias("rev_share"),
         )
     )
 

@@ -212,7 +212,7 @@ def q_fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.md5("text").alias("h_md5"),
-        F.lower(F.sha2(F.col("text").cast("binary"), 256)).alias("h_sha256"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("h_sha256"),
         F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("b64"),
         F.hex(F.col("doc_id")).alias("key_hex"),
         F.length("text").cast("long").alias("n"),

@@ -73,7 +73,7 @@ for f, a, c in [
     ("q_agg_mad", "med", "enum-keyed"),
     ("q_agg_gini", "c", "dim"), ("q_agg_gini", "n", "dim"),
     ("q_agg_kmv_distinct", "est", "one-row"),
-    ("q_agg_abc", "tot_1row", "one-row"), ("q_agg_abc", "tot", "one-row"),
+    ("q_agg_abc", "tot_1row", "one-row"),
     ("q_agg_kmv_setops", "s", "one-row"),
     ("q_agg_assoc_rules", "p", "dim"),
     ("q_agg_assoc_rules",
