@@ -187,6 +187,84 @@ def test_corrupt_round_file_warns_not_crashes(tmp_path, monkeypatch, capsys):
     assert "CORRECTNESS_r1.json" in err and "CORRECTNESS_r2.json" in err
 
 
+def _write_pkg(tmp_path, helper_body, other_body="    return 1"):
+    """A throwaway package shaped like the real registry: a query fn in
+    one module calling a helper chain in another."""
+    import sys
+    import textwrap
+
+    pkg = tmp_path / "kafka_hadoop_consumer_spark_fake"
+    pkg.mkdir(exist_ok=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "helpers.py").write_text(textwrap.dedent(f"""\
+        SHINGLE_N = 3
+
+        def inner(x):
+        {helper_body}
+
+        def helper(x):
+            return inner(x) + SHINGLE_N
+
+        def unrelated(x):
+        {other_body}
+        """))
+    (pkg / "q.py").write_text(textwrap.dedent("""\
+        from kafka_hadoop_consumer_spark_fake.helpers import helper
+
+        def q_fake(spark, sf_dir):
+            return helper(1)
+        """))
+    sys.path.insert(0, str(tmp_path))
+    import importlib
+    import linecache
+
+    linecache.clearcache()
+    for name in list(sys.modules):
+        if name.startswith("kafka_hadoop_consumer_spark_fake"):
+            del sys.modules[name]
+    mod = importlib.import_module("kafka_hadoop_consumer_spark_fake.q")
+    sys.path.remove(str(tmp_path))
+    return mod.q_fake
+
+
+def test_helper_edit_flips_caller_stale(tmp_path):
+    # VERDICT r9 item 4: an edit to a SHARED helper must change its
+    # callers' def_hash (so the ledger marks them STALE), even though
+    # the callers' own source is untouched. Transitive: q_fake ->
+    # helper -> inner; the edit is two hops down.
+    q1 = _write_pkg(tmp_path, "    return x + 1")
+    h1 = ledger.def_hash(
+        "q_fake", {"q_fake": q1}, {}
+    )
+    closure = ledger.helper_closure(q1, pkg="kafka_hadoop_consumer_spark_fake")
+    assert any(q.endswith("helper") for q in closure), closure
+    assert any(q.endswith("inner") for q in closure), "closure not transitive"
+    assert closure.get("const:SHINGLE_N") == "3"
+    q2 = _write_pkg(tmp_path, "    return x + 2")
+    h2 = ledger.def_hash("q_fake", {"q_fake": q2}, {})
+    assert h1 != h2, "two-hop helper edit must flip the def_hash"
+
+
+def test_unrelated_helper_edit_does_not_flip(tmp_path):
+    # Targeted, not a module hash: editing a helper the query never
+    # references must NOT flip the key (mass-STALE would burn the whole
+    # driver window on every module touch).
+    q1 = _write_pkg(tmp_path, "    return x + 1", other_body="    return 1")
+    h1 = ledger.def_hash("q_fake", {"q_fake": q1}, {})
+    q2 = _write_pkg(tmp_path, "    return x + 1", other_body="    return 99")
+    h2 = ledger.def_hash("q_fake", {"q_fake": q2}, {})
+    assert h1 == h2, "edit outside the reference closure must not flip"
+
+
+def test_real_registry_closure_sees_shared_helpers():
+    # The r9 incident concretely: ngram_expr is in the closure of the
+    # text/dedup keys that call it, so its next edit marks them STALE.
+    from kafka_hadoop_consumer_spark.queries import QUERIES
+
+    closure = ledger.helper_closure(QUERIES["q_text_ngram"])
+    assert any(q.endswith("ngram_expr") for q in closure), closure
+
+
 def test_def_hash_fallback_is_process_stable(monkeypatch):
     # When inspect.getsource fails, the fallback must not embed a memory
     # address (repr(fn) would flap every key STALE on each regen).

@@ -1,0 +1,79 @@
+"""round_check --boot: absorbs the driver's post-commit artifacts
+(regen ledger, commit) but refuses to touch real uncommitted work."""
+
+import importlib.util
+import os
+import subprocess
+
+spec = importlib.util.spec_from_file_location(
+    "round_check",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "round_check.py"),
+)
+rc = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(rc)
+
+
+def test_boot_ok_set_is_exactly_the_driver_artifacts():
+    ok = ["BENCH_r10.json", "CORRECTNESS_r10.json", "bench_detail.json",
+          "bench_100x.json", "VERDICT.md", "ADVICE.md", "COVERAGE.md",
+          "COVERAGE_DEFS.json", "PROGRESS.jsonl"]
+    for p in ok:
+        assert rc.BOOT_OK.match(p), p
+    bad = ["bench.py", "__spark_entry__.py", "SURVEY.md",
+           "kafka_hadoop_consumer_spark/queries/text.py",
+           "tools/round_check.py", "BENCH_r10.json.bak",
+           "xCORRECTNESS_r10.json"]
+    for p in bad:
+        assert not rc.BOOT_OK.match(p), p
+
+
+def _scratch_repo(tmp_path, dirty):
+    subprocess.run(["git", "init", "-q", str(tmp_path)], check=True)
+    for cfg in ("user.email=t@t", "user.name=t"):
+        k, v = cfg.split("=")
+        subprocess.run(["git", "-C", str(tmp_path), "config", k, v],
+                       check=True)
+    (tmp_path / "seed").write_text("")
+    subprocess.run(["git", "-C", str(tmp_path), "add", "-A"], check=True)
+    subprocess.run(["git", "-C", str(tmp_path), "commit", "-q", "-m", "seed"],
+                   check=True)
+    for name, content in dirty.items():
+        (tmp_path / name).write_text(content)
+
+
+def test_boot_refuses_real_work(tmp_path, monkeypatch):
+    _scratch_repo(tmp_path, {"CORRECTNESS_r10.json": "{}",
+                             "real_module.py": "x = 1"})
+    monkeypatch.setattr(rc, "REPO", str(tmp_path))
+    assert rc.boot() == 1
+    # nothing committed: the artifact file must still be untracked
+    out = subprocess.run(["git", "-C", str(tmp_path), "status",
+                          "--porcelain"], capture_output=True, text=True)
+    assert "CORRECTNESS_r10.json" in out.stdout
+
+
+def test_boot_absorbs_driver_artifacts(tmp_path, monkeypatch):
+    _scratch_repo(tmp_path, {"CORRECTNESS_r10.json": "{}",
+                             "BENCH_r10.json": "{}",
+                             "bench_detail.json": "{}"})
+    tools = tmp_path / "tools"
+    tools.mkdir()
+    # ledger stub: regen writes the two ledger files like the real one
+    (tools / "coverage_ledger.py").write_text(
+        "import sys, os\n"
+        "repo = os.path.join(os.path.dirname(__file__), '..')\n"
+        "open(os.path.join(repo, 'COVERAGE.md'), 'w').write('regen')\n"
+        "open(os.path.join(repo, 'COVERAGE_DEFS.json'), 'w').write('{}')\n"
+    )
+    subprocess.run(["git", "-C", str(tmp_path), "add", "tools"], check=True)
+    subprocess.run(["git", "-C", str(tmp_path), "commit", "-q", "-m", "t"],
+                   check=True)
+    monkeypatch.setattr(rc, "REPO", str(tmp_path))
+    monkeypatch.setattr(rc, "main", lambda: 0)  # gate itself not under test
+    assert rc.boot() == 0
+    out = subprocess.run(["git", "-C", str(tmp_path), "status",
+                          "--porcelain"], capture_output=True, text=True)
+    assert out.stdout.strip() == "", f"tree not clean: {out.stdout}"
+    log = subprocess.run(["git", "-C", str(tmp_path), "log", "-1",
+                          "--format=%s"], capture_output=True, text=True)
+    assert "round-10 driver artifacts" in log.stdout

@@ -86,25 +86,123 @@ def collect_rows(repo: str | None = None) -> dict[str, tuple[int, object]]:
     return latest
 
 
+_PKG = "kafka_hadoop_consumer_spark"
+
+
+def _fn_source(fn) -> str:
+    import inspect
+
+    try:
+        return inspect.getsource(fn)
+    except (OSError, TypeError):
+        # stable fallback — repr(fn) embeds the per-process memory
+        # address, which would flap every key STALE on each regen
+        return f"<no-source:{fn.__module__}.{fn.__qualname__}>"
+
+
+def helper_closure(fn, pkg: str = _PKG) -> dict[str, str]:
+    """{qualname: source/repr} of package-local helpers `fn` references,
+    transitively.
+
+    An edit to a SHARED module-level helper (e.g. r9's `ngram_expr`
+    input guard) changes caller behavior without touching the caller's
+    own source, so a source-only def_hash left the caller certified on
+    pre-edit evidence (VERDICT r9 item 4). Names loaded in the function
+    body are resolved against its globals; package-defined functions and
+    classes contribute their source (and recurse), simple module-level
+    constants contribute their repr. Imported modules (F, etc.) and
+    foreign-package objects are skipped — so the hash is targeted: an
+    edit to an UNRELATED helper in the same module does not flip a key,
+    only edits inside its actual reference closure do."""
+    import ast
+    import inspect
+    import textwrap
+    import types
+
+    out: dict[str, str] = {}
+    seen: set[str] = set()
+    const_t = (int, float, complex, bool, str, bytes, tuple, frozenset)
+
+    def visit(obj, qual: str) -> None:
+        if qual in seen:
+            return
+        seen.add(qual)
+        try:
+            src = inspect.getsource(obj)
+            tree = ast.parse(textwrap.dedent(src))
+        except (OSError, TypeError, SyntaxError):
+            return
+        if qual != "<root>":
+            out[qual] = src
+        if inspect.isfunction(obj):
+            space = obj.__globals__
+        else:
+            space = vars(sys.modules.get(obj.__module__, types.SimpleNamespace()))
+        names = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name) and isinstance(node.ctx, ast.Load):
+                names.add(node.id)
+            elif isinstance(node, ast.Attribute) and isinstance(
+                node.value, ast.Name
+            ):
+                # module.helper access: resolve one attribute hop when the
+                # base name is a package-local module
+                base = space.get(node.value.id)
+                if (
+                    isinstance(base, types.ModuleType)
+                    and base.__name__.startswith(pkg)
+                    and hasattr(base, node.attr)
+                ):
+                    resolve(getattr(base, node.attr), node.attr)
+        # sorted: set iteration order varies across processes (string
+        # hash randomization), and visit order decides const-name
+        # collisions — unsorted would flap hashes between regens
+        for name in sorted(names):
+            if name in space:
+                resolve(space[name], name)
+
+    def resolve(val, name: str) -> None:
+        import functools
+
+        val = inspect.unwrap(val) if callable(val) else val
+        if inspect.isfunction(val) or inspect.isclass(val):
+            mod = getattr(val, "__module__", "") or ""
+            if mod.startswith(pkg):
+                visit(val, f"{mod}.{val.__qualname__}")
+        elif isinstance(val, functools.partial):
+            resolve(val.func, name)
+        elif isinstance(val, const_t):
+            # reprs of these builtin immutables are process-stable;
+            # anything fancier (dict, ndarray, session objects) is
+            # skipped rather than risk an address-bearing repr
+            out.setdefault(f"const:{name}", repr(val))
+
+    visit(inspect.unwrap(fn) if callable(fn) else fn, "<root>")
+    return out
+
+
 def def_hash(key: str, queries: dict, oracles: dict) -> str:
-    """Hash of the key's CURRENT definition: query source + oracle SQL.
+    """Hash of the key's CURRENT definition: query source + the sources
+    of every package-local helper in its transitive reference closure +
+    oracle SQL.
 
     Snapshotted into COVERAGE_DEFS.json at the key's evidencing round so
     later ledger runs can downgrade rows whose definition changed after
     the driver last checked them (evidence for an old definition must
-    not be presented as current)."""
+    not be presented as current). Helper sources are folded in so a
+    shared-helper edit marks every caller STALE (VERDICT r9 item 4); a
+    key whose closure is empty hashes exactly as the pre-r10 format, so
+    the format change itself does not flap helper-free keys."""
     import hashlib
-    import inspect
 
     fn = queries[key]
-    try:
-        src = inspect.getsource(fn)
-    except (OSError, TypeError):
-        # stable fallback — repr(fn) embeds the per-process memory
-        # address, which would flap every key STALE on each regen
-        src = f"<no-source:{fn.__module__}.{fn.__qualname__}>"
-    blob = src + "\n---oracle---\n" + oracles.get(key, "")
-    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+    src = _fn_source(fn)
+    helpers = helper_closure(fn)
+    parts = [src]
+    for qual in sorted(helpers):
+        parts.append(f"\n---helper:{qual}---\n{helpers[qual]}")
+    parts.append("\n---oracle---\n" + oracles.get(key, ""))
+    return hashlib.sha256("".join(parts).encode()).hexdigest()[:16]
 
 
 def load_defs() -> dict:
