@@ -81,7 +81,14 @@ def time_ingest(spark, sf_dir: str) -> tuple[float, int]:
             os.path.join(stage, "events.parquet"),
         )
         spec = SourceSpec(kind="file", format="parquet", path=stage, schema=_EVENTS_DDL)
-        for _ in range(N_RUNS):
+        # Warm-up run, SAME protocol as time_query (r10 profile): the
+        # process's first streaming query pays ~2.5-3 s of streaming-
+        # engine JIT (progress API durationMs: addBatch 3.0 s/0.4 s and
+        # queryPlanning 576/26 ms cold vs warm on identical input), so
+        # without this the median-of-3 straddles warm-up state, not
+        # ingest cost. WAL/commit fsync is NOT the variance source
+        # (walCommit+commitOffsets ≈ 100 ms of a 650 ms warmed trigger).
+        for _ in range(N_RUNS + 1):
             work = tempfile.mkdtemp(prefix="bench_ingest_")
             try:
                 out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
@@ -93,7 +100,9 @@ def time_ingest(spark, sf_dir: str) -> tuple[float, int]:
                 shutil.rmtree(work, ignore_errors=True)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
-    return statistics.median(runs), n_rows
+    # runs[0] is the warm-up sample — timed for the log but excluded
+    # from the median, exactly like time_query's warm-up execution
+    return statistics.median(runs[1:]), n_rows
 
 
 # ---------------------------------------------------------------------------
@@ -136,6 +145,97 @@ def scale_load_embeddings(spark, d: str):
     return spark.read.parquet(os.path.join(d, "embeddings.parquet")).select(
         "vec_id", _vec_double().alias("v")
     )
+
+
+def scale_lsh_candidate_pairs(ed, q) -> int:
+    """DISTINCT (q_id, vec_id) candidate pairs the ANN cosine-verifies —
+    mirrors lsh_topk's candidate stage (similarity.py lsh_topk: corpus
+    bucketed per table, each query probes its bucket + the k Hamming-1
+    neighbors) through the operator's OWN _sim_lsh_bits/_sim_planes/
+    _table_buckets helpers, so the count measures the same LSH family
+    the timed runs use. Noise-free (no wall-clock), so the scaling wall
+    for lsh_topk has an invariant that distinguishes a real candidate
+    blow-up from a cold-cache artifact (r9 ADVICE: the wall ratio alone
+    read as a regression on a cold box)."""
+    from pyspark.sql import functions as F
+
+    from kafka_hadoop_consumer_spark.queries.similarity import (
+        _sim_lsh_bits,
+        _sim_planes,
+        _table_buckets,
+    )
+
+    k = _sim_lsh_bits(ed.count())
+    planes = _sim_planes(k)
+
+    def buckets(df, idc, vc):
+        return df.select(
+            idc,
+            F.posexplode(
+                F.array(*_table_buckets(F.col(vc), planes))
+            ).alias("l", "bucket"),
+        )
+
+    probes = buckets(q, "q_id", "qv").select(
+        "q_id",
+        "l",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("int")
+                    for j in range(k)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    return (
+        buckets(ed, "vec_id", "v")
+        .join(F.broadcast(probes), ["l", "bucket"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+        .count()
+    )
+
+
+def scale_minhash_candidate_pairs(docs) -> int:
+    """DISTINCT candidate pairs the MinHash cascade exact-Jaccard-verifies
+    (band self-join + distinct, exactly what the operator does). A pair
+    colliding in several bands counts once — per-band Σ C(bucket,2)
+    would overcount it once per band. Shared by the 1x/10x per-round
+    probe AND tools/scale100_probe.py --minhash so the three-point
+    candidate series measures ONE definition (same policy as
+    scale_candidate_pairs for the embedding cascade)."""
+    from pyspark.sql import functions as F
+
+    from kafka_hadoop_consumer_spark.queries.dedup import (
+        minhash_banded,
+        minhash_signatures,
+        shingles,
+    )
+
+    # persist: the self-join would otherwise run shingling + signatures
+    # + banding once per side
+    banded = minhash_banded(minhash_signatures(shingles(docs))).persist()
+    try:
+        return (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"),
+            )
+            .distinct()
+            .count()
+        )
+    finally:
+        banded.unpersist()
 
 
 def scale_candidate_pairs(ed, bits: int) -> int:
@@ -228,10 +328,7 @@ def _time_scaling(spark) -> dict:
     from kafka_hadoop_consumer_spark.queries.dedup import (
         OCC_CAP,
         kept_positions,
-        minhash_banded,
         minhash_near_dup_pairs,
-        minhash_signatures,
-        shingles,
         verbatim_runs,
     )
     from kafka_hadoop_consumer_spark.queries.similarity import (
@@ -272,12 +369,15 @@ def _time_scaling(spark) -> dict:
                 spark.read.parquet(os.path.join(d, "documents.parquet"))
             )
 
-        def lsh(d):
+        def lsh_sides(d):
             ed = load_ed(d)
             q = ed.where(F.col("vec_id") < 5).select(
                 F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
             )
-            return lsh_topk(ed, q)
+            return ed, q
+
+        def lsh(d):
+            return lsh_topk(*lsh_sides(d))
 
         def dedup(d, bits):
             return embedding_near_dup_pairs(load_ed(d), scale_planes_for(bits))
@@ -297,6 +397,16 @@ def _time_scaling(spark) -> dict:
                 "sec_10x": t10,
                 "ratio": round(t10 / t1, 2) if t1 else None,
             }
+        # wall-clock-free invariant for the ANN wall (r9 ADVICE): the
+        # verified candidate set must grow sublinearly (bits ~log2(n)
+        # re-tuning bounds bucket size), whatever the box's cache state
+        lp1 = scale_lsh_candidate_pairs(*lsh_sides(d1))
+        lp10 = scale_lsh_candidate_pairs(*lsh_sides(d10))
+        out["q_sim_lsh_topk"].update(
+            candidate_pairs_1x=lp1,
+            candidate_pairs_10x=lp10,
+            ratio_pairs=round(lp10 / lp1, 2) if lp1 else None,
+        )
 
         # Flagship near-dedup scaling: the full MinHash+LSH+verify cascade
         # on the same 1x/10x corpora, plus the candidate-pair count
@@ -309,37 +419,9 @@ def _time_scaling(spark) -> dict:
             )
 
         def mh_candidates(d):
-            """DISTINCT candidate pairs the cascade exact-Jaccard-verifies
-            (band self-join + distinct, exactly what the operator does).
-            A pair colliding in several bands counts once — per-band
-            Σ C(bucket,2) would overcount it once per band."""
-            # persist: the self-join would otherwise run shingling +
-            # signatures + banding once per side
-            banded = minhash_banded(
-                minhash_signatures(
-                    shingles(
-                        spark.read.parquet(os.path.join(d, "documents.parquet"))
-                    )
-                )
-            ).persist()
-            try:
-                return (
-                    banded.alias("a")
-                    .join(
-                        banded.alias("b"),
-                        (F.col("a.band_idx") == F.col("b.band_idx"))
-                        & (F.col("a.band_hash") == F.col("b.band_hash"))
-                        & (F.col("a.doc_id") < F.col("b.doc_id")),
-                    )
-                    .select(
-                        F.col("a.doc_id").alias("d1"),
-                        F.col("b.doc_id").alias("d2"),
-                    )
-                    .distinct()
-                    .count()
-                )
-            finally:
-                banded.unpersist()
+            return scale_minhash_candidate_pairs(
+                spark.read.parquet(os.path.join(d, "documents.parquet"))
+            )
 
         t1, t10 = timed(lambda: mh(d1)), timed(lambda: mh(d10))
         mh_p1, mh_p10 = mh_candidates(d1), mh_candidates(d10)

@@ -34,6 +34,9 @@ def _full_detail() -> dict:
             "q_sim_lsh_topk": {
                 "n_1x": 2000, "n_10x": 20000,
                 "sec_1x": 1.234, "sec_10x": 12.345, "ratio": 10.01,
+                "candidate_pairs_1x": 123456,
+                "candidate_pairs_10x": 12345678,
+                "ratio_pairs": 10.03,
             },
             "q_dedup_minhash": {
                 "n_1x": 2000, "n_10x": 20000,
@@ -96,6 +99,8 @@ def test_final_line_carries_judge_evidence():
     assert emb["pairs_retuned"] == 100.01
     assert emb["wall_same_config"] == 10.01
     assert parsed["scaling_10x_ratios"]["q_dedup_minhash"]["pairs"] == 10.02
+    # r10: the ANN wall gained its own candidate invariant (r9 ADVICE)
+    assert parsed["scaling_10x_ratios"]["q_sim_lsh_topk"]["pairs"] == 10.03
     assert parsed["scaling_10x_ratios"]["q_dedup_substring"]["wall"] == 10.01
     # skew straggler evidence incl. the tuned-AQE point (r4 verdict item 6)
     assert parsed["skew_join"]["salted_max_task_ms"] == 717.0

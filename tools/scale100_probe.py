@@ -17,7 +17,21 @@ Writes bench_100x.json (committed); bench.py embeds it verbatim under
 "scaling_100x_recorded" in bench_detail.json so the receipt rides every
 round's artifact without re-paying the ~2-4 min probe per round.
 
-Run: python tools/scale100_probe.py  [--n1 2000]
+Run: python tools/scale100_probe.py  [--n1 2000]       # ANN/embedding
+     python tools/scale100_probe.py --minhash [--n1 2000]   # text twin
+
+--minhash records the text-side twin (VERDICT r9 item 7): the MinHash
+cascade on a 100× synthetic document corpus (200k docs, same generator
+as bench's 1x/10x probe, planted near-dup per 10 docs). Unlike the
+embedding cascade there is no bits knob to re-tune: band buckets key on
+the concatenated minhash signature itself, so bucket membership is
+content-driven and the config is n-independent by design. The receipt
+therefore measures what re-tuning would otherwise have to fix — the
+band-bucket ΣC(bucket,2) bound, the max bucket size, and the DISTINCT
+verified candidate count (expected ~linear in n: candidates track the
+planted near-dup density, not n²) — plus one actually-ran cascade wall.
+Results merge into bench_100x.json under "minhash_100x" without
+touching the recorded ANN fields.
 """
 from __future__ import annotations
 
@@ -58,6 +72,101 @@ def sigma_pairs(ed, bits, planes_for):
     return int(row["s"] or 0)
 
 
+def _merge_into_sidecar(update: dict) -> str:
+    """Merge keys into bench_100x.json, preserving whatever else is
+    recorded (the ANN and minhash probes run on different days and must
+    not clobber each other's receipts)."""
+    path = os.path.join(REPO, "bench_100x.json")
+    try:
+        with open(path) as f:
+            out = json.load(f)
+    except (OSError, ValueError):
+        out = {}
+    out.update(update)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    return path
+
+
+def probe_minhash(n1: int) -> int:
+    """100× MinHash-cascade receipt → bench_100x.json["minhash_100x"]."""
+    from pyspark.sql import functions as F
+
+    import bench
+    from kafka_hadoop_consumer_spark.queries.dedup import (
+        N_BANDS,
+        N_MINHASH,
+        ROWS_PER_BAND,
+        minhash_banded,
+        minhash_near_dup_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from kafka_hadoop_consumer_spark.queries.registry import release_tracked
+
+    n100 = n1 * 100
+    spark = bench.get_spark(app_name="scale100_minhash")
+    d100 = tempfile.mkdtemp(prefix="bench_scale_100x_mh_")
+    try:
+        bench._synth_documents(spark, n100, d100)
+
+        def docs():
+            return spark.read.parquet(
+                os.path.join(d100, "documents.parquet")
+            )
+
+        # band-bucket histogram: ΣC(bucket,2) upper bound + max bucket —
+        # the quantities a bits-style re-tune would control if buckets
+        # were positional rather than content-keyed
+        hist = (
+            minhash_banded(minhash_signatures(shingles(docs())))
+            .groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.expr("c * (c - 1) / 2")).cast("long").alias("s"),
+                F.max("c").alias("mx"),
+            )
+            .first()
+        )
+        release_tracked()
+
+        # the SAME distinct-candidate definition as bench's 1x/10x points
+        cand = bench.scale_minhash_candidate_pairs(docs())
+        release_tracked()
+
+        # the cascade, actually run: wall + emitted near-dup pair count
+        t0 = time.perf_counter()
+        pairs_out = minhash_near_dup_pairs(docs()).count()
+        wall = round(time.perf_counter() - t0, 3)
+        release_tracked()
+
+        out = {
+            "recorded": datetime.date.today().isoformat(),
+            "command": "python tools/scale100_probe.py --minhash",
+            "n_1x": n1,
+            "n_100x": n100,
+            "band_config": {
+                "n_minhash": N_MINHASH,
+                "bands": N_BANDS,
+                "rows_per_band": ROWS_PER_BAND,
+                "note": "content-keyed band buckets; config is "
+                        "n-independent (no bits re-tune exists or is "
+                        "needed)",
+            },
+            "sigma_band_pair_bound_100x": int(hist["s"] or 0),
+            "max_band_bucket_100x": int(hist["mx"] or 0),
+            "candidate_pairs_100x": cand,
+            "near_dup_pairs_out_100x": pairs_out,
+            "cascade_wall_sec_100x_single_run": wall,
+        }
+        path = _merge_into_sidecar({"minhash_100x": out})
+        print(json.dumps(out, indent=2))
+        print(f"merged into {path}", file=sys.stderr)
+        return 0
+    finally:
+        shutil.rmtree(d100, ignore_errors=True)
+
+
 def main() -> int:
     import argparse
 
@@ -73,7 +182,12 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--n1", type=int, default=bench.SCALE_N1,
                     help="1x corpus size (probe runs at 100x this)")
-    n1 = ap.parse_args().n1
+    ap.add_argument("--minhash", action="store_true",
+                    help="run the MinHash-cascade twin instead of ANN")
+    args = ap.parse_args()
+    n1 = args.n1
+    if args.minhash:
+        return probe_minhash(n1)
     n100 = n1 * 100
     BITS_1X = bench.SCALE_DEDUP_BITS_1X          # 5
     BITS_10X = bench.SCALE_DEDUP_BITS_10X        # 8
@@ -140,11 +254,9 @@ def main() -> int:
             "lsh_topk_wall_sec_100x_single_run": lsh_wall,
             "lsh_topk_rows": lsh_rows,
         }
-        path = os.path.join(REPO, "bench_100x.json")
-        with open(path, "w") as f:
-            json.dump(out, f, indent=2)
+        path = _merge_into_sidecar(out)
         print(json.dumps(out, indent=2))
-        print(f"wrote {path}", file=sys.stderr)
+        print(f"merged into {path}", file=sys.stderr)
         return 0
     finally:
         shutil.rmtree(d100, ignore_errors=True)
