@@ -256,6 +256,48 @@ def test_unrelated_helper_edit_does_not_flip(tmp_path):
     assert h1 == h2, "edit outside the reference closure must not flip"
 
 
+def test_mutable_global_excluded_from_closure(tmp_path):
+    # A module-level name some closure function declares `global` is
+    # runtime-mutated state (registry._ACTIVE_DEPTH's depth counter):
+    # its repr depends on when the hash is computed, so it must NOT be
+    # captured as a const — while untouched constants still are.
+    import sys
+    import textwrap
+
+    pkg = tmp_path / "kafka_hadoop_consumer_spark_fake2"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "m.py").write_text(textwrap.dedent("""\
+        COUNTER = 0
+        LIMIT = 9
+
+        def bump(x):
+            global COUNTER
+            COUNTER += 1
+            return x + LIMIT
+
+        def q_fake(spark, sf_dir):
+            return bump(1)
+        """))
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import importlib
+
+        mod = importlib.import_module("kafka_hadoop_consumer_spark_fake2.m")
+    finally:
+        sys.path.remove(str(tmp_path))
+    closure = ledger.helper_closure(
+        mod.q_fake, pkg="kafka_hadoop_consumer_spark_fake2"
+    )
+    assert "const:COUNTER" not in closure, closure
+    assert closure.get("const:LIMIT") == "9"
+    # and the live registry: the depth counter never enters any hash
+    from kafka_hadoop_consumer_spark.queries import QUERIES
+
+    c = ledger.helper_closure(QUERIES["q_agg_groupby"])
+    assert "const:_ACTIVE_DEPTH" not in c, c
+
+
 def test_real_registry_closure_sees_shared_helpers():
     # The r9 incident concretely: ngram_expr is in the closure of the
     # text/dedup keys that call it, so its next edit marks them STALE.

@@ -121,6 +121,7 @@ def helper_closure(fn, pkg: str = _PKG) -> dict[str, str]:
 
     out: dict[str, str] = {}
     seen: set[str] = set()
+    mutable: set[str] = set()
     const_t = (int, float, complex, bool, str, bytes, tuple, frozenset)
 
     def visit(obj, qual: str) -> None:
@@ -142,6 +143,12 @@ def helper_closure(fn, pkg: str = _PKG) -> dict[str, str]:
         for node in ast.walk(tree):
             if isinstance(node, ast.Name) and isinstance(node.ctx, ast.Load):
                 names.add(node.id)
+            elif isinstance(node, ast.Global):
+                # a `global X` in the closure means X is runtime-mutated
+                # state (e.g. registry._ACTIVE_DEPTH's depth counter) —
+                # its repr is execution-dependent, so capturing it would
+                # flap hashes; dropped after the walk completes
+                mutable.update(node.names)
             elif isinstance(node, ast.Attribute) and isinstance(
                 node.value, ast.Name
             ):
@@ -178,6 +185,8 @@ def helper_closure(fn, pkg: str = _PKG) -> dict[str, str]:
             out.setdefault(f"const:{name}", repr(val))
 
     visit(inspect.unwrap(fn) if callable(fn) else fn, "<root>")
+    for name in mutable:
+        out.pop(f"const:{name}", None)
     return out
 
 
@@ -192,7 +201,15 @@ def def_hash(key: str, queries: dict, oracles: dict) -> str:
     not be presented as current). Helper sources are folded in so a
     shared-helper edit marks every caller STALE (VERDICT r9 item 4); a
     key whose closure is empty hashes exactly as the pre-r10 format, so
-    the format change itself does not flap helper-free keys."""
+    the format change itself does not flap helper-free keys.
+
+    Note the @query decorator (and whatever registry machinery it
+    references) is in EVERY key's closure — the decorator line is part
+    of the registered source, so editing it flips the whole registry
+    STALE. That is the honest semantics (registry changes affect every
+    key's runtime) and round_check's 50-slot window gate will fail
+    loudly, forcing the edit to be a conscious, re-baselined decision
+    rather than a silent one."""
     import hashlib
 
     fn = queries[key]
