@@ -19,6 +19,7 @@ round's artifact without re-paying the ~2-4 min probe per round.
 
 Run: python tools/scale100_probe.py  [--n1 2000]       # ANN/embedding
      python tools/scale100_probe.py --minhash [--n1 2000]   # text twin
+     python tools/scale100_probe.py --substring [--n1 2000] # verbatim runs
 
 --minhash records the text-side twin (VERDICT r9 item 7): the MinHash
 cascade on a 100× synthetic document corpus (200k docs, same generator
@@ -167,6 +168,68 @@ def probe_minhash(n1: int) -> int:
         shutil.rmtree(d100, ignore_errors=True)
 
 
+def probe_substring(n1: int) -> int:
+    """100× verbatim-run receipt → bench_100x.json["substring_100x"].
+
+    The substring miner's wall ratio is the most cache-sensitive number
+    in scaling_10x (1.27–2.33 across same-code snapshots — the r9
+    ADVICE false-regression), so its 100× point is recorded the same
+    way as the cascades': the noise-free invariants (joinable
+    positions after the OCC_CAP df-cap, positions the cap dropped)
+    plus one actually-ran wall. Linear joinable positions at 100× rows
+    with zero drops shows the positional-shingle index does not
+    saturate; a nonzero drop count is the cap doing its job, priced."""
+    from pyspark.sql import functions as F
+
+    import bench
+    from kafka_hadoop_consumer_spark.queries.dedup import (
+        OCC_CAP,
+        kept_positions,
+        verbatim_runs,
+    )
+    from kafka_hadoop_consumer_spark.queries.registry import release_tracked
+
+    n100 = n1 * 100
+    spark = bench.get_spark(app_name="scale100_substring")
+    d100 = tempfile.mkdtemp(prefix="bench_scale_100x_sub_")
+    try:
+        bench._synth_documents(spark, n100, d100)
+
+        def docs():
+            return spark.read.parquet(
+                os.path.join(d100, "documents.parquet")
+            )
+
+        row = kept_positions(docs()).select(
+            F.sum((F.col("occ") > OCC_CAP).cast("long")).alias("dropped"),
+            F.sum((F.col("occ") <= OCC_CAP).cast("long")).alias("kept"),
+        ).first()
+        release_tracked()
+
+        t0 = time.perf_counter()
+        runs_out = verbatim_runs(docs()).count()
+        wall = round(time.perf_counter() - t0, 3)
+        release_tracked()
+
+        out = {
+            "recorded": datetime.date.today().isoformat(),
+            "command": "python tools/scale100_probe.py --substring",
+            "n_1x": n1,
+            "n_100x": n100,
+            "occ_cap": OCC_CAP,
+            "occ_cap_dropped_100x": int(row["dropped"] or 0),
+            "joinable_positions_100x": int(row["kept"] or 0),
+            "verbatim_runs_out_100x": runs_out,
+            "wall_sec_100x_single_run": wall,
+        }
+        path = _merge_into_sidecar({"substring_100x": out})
+        print(json.dumps(out, indent=2))
+        print(f"merged into {path}", file=sys.stderr)
+        return 0
+    finally:
+        shutil.rmtree(d100, ignore_errors=True)
+
+
 def main() -> int:
     import argparse
 
@@ -184,10 +247,14 @@ def main() -> int:
                     help="1x corpus size (probe runs at 100x this)")
     ap.add_argument("--minhash", action="store_true",
                     help="run the MinHash-cascade twin instead of ANN")
+    ap.add_argument("--substring", action="store_true",
+                    help="run the verbatim-run/substring twin instead")
     args = ap.parse_args()
     n1 = args.n1
     if args.minhash:
         return probe_minhash(n1)
+    if args.substring:
+        return probe_substring(n1)
     n100 = n1 * 100
     BITS_1X = bench.SCALE_DEDUP_BITS_1X          # 5
     BITS_10X = bench.SCALE_DEDUP_BITS_10X        # 8
