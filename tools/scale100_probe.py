@@ -230,6 +230,52 @@ def probe_substring(n1: int) -> int:
         shutil.rmtree(d100, ignore_errors=True)
 
 
+def probe_cc(n1: int) -> int:
+    """100× connected-components receipt → bench_100x.json["cc_100x"].
+
+    PATH graph (diameter = n−1), the adversarial case for label
+    propagation: large-star/small-star must converge in O(log d)
+    rounds, and the per-round bench probe measured 12 rounds at 2k
+    nodes → 16 at 20k. This records the third decade (200k nodes) so
+    the log-round claim has three measured points like the dedup/ANN
+    candidate series — a linear-round algorithm would need ~200k
+    rounds here; the observed count stays ~log2(n)."""
+    from pyspark.sql import functions as F
+
+    import bench
+    from kafka_hadoop_consumer_spark.queries.graph import (
+        CC_LAST_ROUNDS,
+        cc_from_edges,
+    )
+    from kafka_hadoop_consumer_spark.queries.registry import release_tracked
+
+    n100 = n1 * 100
+    spark = bench.get_spark(app_name="scale100_cc")
+    edges = spark.range(1, n100).select(
+        (F.col("id") - 1).alias("u"), F.col("id").alias("v")
+    )
+    t0 = time.perf_counter()
+    out_df = cc_from_edges(edges, key="probe_cc_100x", max_rounds=40)
+    n_components = out_df.select("component_id").distinct().count()
+    wall = round(time.perf_counter() - t0, 3)
+    release_tracked()
+
+    out = {
+        "recorded": datetime.date.today().isoformat(),
+        "command": "python tools/scale100_probe.py --cc",
+        "graph": "path (diameter = n-1)",
+        "n_1x": n1,
+        "n_100x": n100,
+        "rounds_100x": CC_LAST_ROUNDS.get("probe_cc_100x"),
+        "n_components_100x": n_components,
+        "wall_sec_100x_single_run": wall,
+    }
+    path = _merge_into_sidecar({"cc_100x": out})
+    print(json.dumps(out, indent=2))
+    print(f"merged into {path}", file=sys.stderr)
+    return 0
+
+
 def main() -> int:
     import argparse
 
@@ -249,12 +295,16 @@ def main() -> int:
                     help="run the MinHash-cascade twin instead of ANN")
     ap.add_argument("--substring", action="store_true",
                     help="run the verbatim-run/substring twin instead")
+    ap.add_argument("--cc", action="store_true",
+                    help="run the connected-components PATH-graph probe")
     args = ap.parse_args()
     n1 = args.n1
     if args.minhash:
         return probe_minhash(n1)
     if args.substring:
         return probe_substring(n1)
+    if args.cc:
+        return probe_cc(n1)
     n100 = n1 * 100
     BITS_1X = bench.SCALE_DEDUP_BITS_1X          # 5
     BITS_10X = bench.SCALE_DEDUP_BITS_10X        # 8
