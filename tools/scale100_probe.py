@@ -230,6 +230,85 @@ def probe_substring(n1: int) -> int:
         shutil.rmtree(d100, ignore_errors=True)
 
 
+def probe_hybrid(n1: int) -> int:
+    """100× hybrid-search receipt → bench_100x.json["hybrid_100x"].
+
+    Same hybrid_search core as q_e2e_hybrid_search over a 200k-doc +
+    200k-vector synthetic corpus (bench's generators). The invariant is
+    the PRUNED token stream — rows that actually reach the BM25
+    explode-output shuffle after the term IN-filter — which must stay
+    the query-term fraction of the corpus (6 of 40 vocab words) at
+    every scale: the filter prunes BEFORE the shuffle, evidenced with
+    row counts at a third decade, plus one actually-ran wall."""
+    from pyspark.sql import functions as F
+
+    import bench
+    from kafka_hadoop_consumer_spark.queries.registry import release_tracked
+    from kafka_hadoop_consumer_spark.queries.similarity import hybrid_search
+
+    n100 = n1 * 100
+    spark = bench.get_spark(app_name="scale100_hybrid")
+    d100 = tempfile.mkdtemp(prefix="bench_scale_100x_hyb_")
+    try:
+        bench._synth_documents(spark, n100, d100)
+        bench._synth_embeddings(spark, n100, d100)
+        hyb_queries = {
+            "hq1": ("w1", "w2"),
+            "hq2": ("w3", "w4"),
+            "hq3": ("w5", "w6"),
+        }
+        hyb_terms = [t for ts in hyb_queries.values() for t in ts]
+
+        def docs():
+            return (
+                spark.read.parquet(os.path.join(d100, "documents.parquet"))
+                .withColumn("lang", F.lit("en"))
+                .withColumn("source", F.lit("synth"))
+            )
+
+        row = (
+            docs()
+            .select(F.explode(F.split("text", " ")).alias("term"))
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.count(
+                    F.when(F.col("term").isin(*hyb_terms), 1)
+                ).alias("pruned"),
+            )
+            .first()
+        )
+        release_tracked()
+
+        t0 = time.perf_counter()
+        rows_out = hybrid_search(
+            spark,
+            docs(),
+            spark.read.parquet(os.path.join(d100, "embeddings.parquet")),
+            hyb_queries,
+        ).count()
+        wall = round(time.perf_counter() - t0, 3)
+        release_tracked()
+
+        tot, pr = int(row["total"]), int(row["pruned"])
+        out = {
+            "recorded": datetime.date.today().isoformat(),
+            "command": "python tools/scale100_probe.py --hybrid",
+            "n_1x": n1,
+            "n_100x": n100,
+            "tokens_total_100x": tot,
+            "tokens_after_in_filter_100x": pr,
+            "prune_fraction_100x": round(pr / tot, 3) if tot else None,
+            "result_rows_100x": rows_out,
+            "wall_sec_100x_single_run": wall,
+        }
+        path = _merge_into_sidecar({"hybrid_100x": out})
+        print(json.dumps(out, indent=2))
+        print(f"merged into {path}", file=sys.stderr)
+        return 0
+    finally:
+        shutil.rmtree(d100, ignore_errors=True)
+
+
 def probe_cc(n1: int) -> int:
     """100× connected-components receipt → bench_100x.json["cc_100x"].
 
@@ -297,6 +376,8 @@ def main() -> int:
                     help="run the verbatim-run/substring twin instead")
     ap.add_argument("--cc", action="store_true",
                     help="run the connected-components PATH-graph probe")
+    ap.add_argument("--hybrid", action="store_true",
+                    help="run the hybrid-search (BM25+dense) probe")
     args = ap.parse_args()
     n1 = args.n1
     if args.minhash:
@@ -305,6 +386,8 @@ def main() -> int:
         return probe_substring(n1)
     if args.cc:
         return probe_cc(n1)
+    if args.hybrid:
+        return probe_hybrid(n1)
     n100 = n1 * 100
     BITS_1X = bench.SCALE_DEDUP_BITS_1X          # 5
     BITS_10X = bench.SCALE_DEDUP_BITS_10X        # 8
