@@ -307,6 +307,40 @@ def test_real_registry_closure_sees_shared_helpers():
     assert any(q.endswith("ngram_expr") for q in closure), closure
 
 
+def test_def_hash_stable_across_interpreters():
+    # The closure walk iterates AST-collected name SETS; without
+    # sorted() the visit order — and thus which const wins a name
+    # collision — follows string-hash order, which differs per process
+    # under hash randomization. Two fresh interpreters (distinct
+    # PYTHONHASHSEED) must produce identical hashes for a sample of
+    # keys whose closures carry many names.
+    import subprocess
+    import sys
+
+    prog = (
+        "import importlib.util\n"
+        "spec = importlib.util.spec_from_file_location("
+        "'cl', 'tools/coverage_ledger.py')\n"
+        "led = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(led)\n"
+        "from kafka_hadoop_consumer_spark.queries import QUERIES, ORACLES\n"
+        "keys = ['q_agg_groupby', 'q_text_ngram', 'q_dedup_minhash',"
+        " 'q_e2e_hybrid_search', 'q_agg_hll_manual']\n"
+        "print(';'.join(led.def_hash(k, QUERIES, ORACLES) for k in keys))\n"
+    )
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    outs = []
+    for seed in ("1", "2"):
+        r = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True, text=True, cwd=repo,
+            env={**os.environ, "PYTHONHASHSEED": seed},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(r.stdout.strip().splitlines()[-1])
+    assert outs[0] == outs[1], f"hash differs across interpreters: {outs}"
+
+
 def test_def_hash_fallback_is_process_stable(monkeypatch):
     # When inspect.getsource fails, the fallback must not embed a memory
     # address (repr(fn) would flap every key STALE on each regen).
