@@ -108,6 +108,26 @@ def test_final_line_carries_judge_evidence():
     assert parsed["extras"]["q_graph_triangles"] == 12.345
 
 
+def test_committed_real_payload_fits_budget():
+    # The synthetic payload above tracks the INTENDED shape; the
+    # committed bench_detail.json is the real one and gains fields as
+    # probes are added (r10: lsh candidate ratios left 59 chars of
+    # margin). If the real payload ever overflows, the driver records
+    # the minimal fallback and silently loses the control/scaling/skew
+    # evidence — fail here first.
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_detail.json")
+    with open(path) as f:
+        detail = json.load(f)
+    line = bench.format_final_line(detail)
+    parsed = json.loads(line)
+    assert "scaling_10x_ratios" in parsed, (
+        "real payload fell back to the minimal line — evidence dropped"
+    )
+    assert len(line) <= bench.FINAL_LINE_BUDGET
+
+
 def test_overflow_falls_back_to_minimal_line():
     detail = _full_detail()
     detail["metric"] = "x" * 2000  # pathological: force the fallback
