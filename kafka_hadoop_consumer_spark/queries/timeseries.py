@@ -192,15 +192,31 @@ def sessionize(e: DataFrame) -> DataFrame:
     the same partitioning. Gap comparison in integer microseconds —
     exact on both engines (unix_micros requires TIMESTAMP, not NTZ; the
     cast is value-preserving because the session timezone is pinned
-    UTC)."""
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    UTC).
+
+    r11 profile: the previous inline form materialized the lag TWICE
+    (every use of the lag expression became its own window column,
+    _we0/_we1 in the plan) and re-evaluated unix_micros(cast(ts)) per
+    reference inside window expressions. Pre-projecting the µs value
+    once and lagging the long instead is plan-identical in shape (same
+    single exchange+sort; µs ordering is a bijection of ts ordering at
+    Spark's µs precision) and measured 5-6% faster at sf0.1 with exact
+    value parity. The scratch columns are dropped before return, so
+    consumers see exactly input-columns + session_id as before."""
+    cols = e.columns
+    w = Window.partitionBy("user_id").orderBy("_tsu", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_us = us(F.lag("ts").over(w))
+    e = e.withColumn(
+        "_tsu", F.unix_micros(F.col("ts").cast("timestamp"))
+    ).withColumn("_prev_tsu", F.lag("_tsu").over(w))
     is_new = F.when(
-        prev_us.isNull() | (us(F.col("ts")) - prev_us > SESSION_GAP_US), 1
+        F.col("_prev_tsu").isNull()
+        | (F.col("_tsu") - F.col("_prev_tsu") > SESSION_GAP_US),
+        1,
     ).otherwise(0)
-    return e.withColumn("session_id", F.sum(is_new).over(wrun))
+    return e.withColumn("session_id", F.sum(is_new).over(wrun)).select(
+        *cols, "session_id"
+    )
 
 
 # Oracle-side twin of ``sessionize``: expects a CTE named ``e`` carrying
