@@ -125,7 +125,37 @@ def test_committed_real_payload_fits_budget():
     assert "scaling_10x_ratios" in parsed, (
         "real payload fell back to the minimal line — evidence dropped"
     )
-    assert len(line) <= bench.FINAL_LINE_BUDGET
+    # Margin tripwire (r10 ADVICE): fail while there is still headroom,
+    # not at the hard fallback. Numeric widths wobble a few chars per
+    # round; a new probe field costs tens. If this fires, trim the
+    # compact line BEFORE the driver silently drops evidence.
+    headroom = bench.FINAL_LINE_BUDGET - len(line)
+    assert headroom >= 40, (
+        f"only {headroom} chars of final-line headroom left "
+        f"({len(line)}/{bench.FINAL_LINE_BUDGET}) — trim "
+        "format_final_line before the minimal-line fallback bites"
+    )
+
+
+def test_warmed_advisory_reads_warmed_anchors():
+    # r10 verdict item 3: the 1.3x advisory must read the isolated
+    # WARMED anchors (not the fast-boot r01 in-bench numbers) and the
+    # payload must record which anchor set was used.
+    best = {
+        "q_udf_scalar": bench.WARMED_ANCHORS["q_udf_scalar"] * 1.29,
+        "q_text_ngram": bench.WARMED_ANCHORS["q_text_ngram"] * 1.31,
+        "q_agg_groupby": 99.9,  # not a warmed-anchored key: ignored
+    }
+    gate = bench.warmed_advisory(best)
+    assert gate["ratios"]["q_udf_scalar"] == 1.29  # inside, no flag
+    assert gate["ratios"]["q_text_ngram"] == 1.31
+    assert "q_agg_groupby" not in gate["ratios"]
+    assert gate["ratio_limit"] == bench.WARMED_RATIO == 1.3
+    assert "isolated-warmed" in gate["anchor_set"]
+    # every warmed-anchored key is a headline/ingest entry the bench
+    # actually times — a typo'd key would silently never be checked
+    timed = set(bench.HEADLINE) | {"s_ingest_e2e"}
+    assert set(bench.WARMED_ANCHORS) <= timed
 
 
 def test_overflow_falls_back_to_minimal_line():
