@@ -298,6 +298,77 @@ def test_mutable_global_excluded_from_closure(tmp_path):
     assert "const:_ACTIVE_DEPTH" not in c, c
 
 
+def test_shadowing_local_excluded_from_closure(tmp_path):
+    # r10 ADVICE: a function-local that shadows a same-named module
+    # constant must NOT pull that unrelated constant into the hash —
+    # editing the constant would spuriously flip the caller STALE and
+    # burn a driver-window slot. Params, assignments, loop and
+    # comprehension targets all bind.
+    import importlib
+    import sys
+    import textwrap
+
+    pkg = tmp_path / "kafka_hadoop_consumer_spark_fake3"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "m.py").write_text(textwrap.dedent("""\
+        BANDS = 16
+        ROWS = 4
+        SEED = 7
+        KEPT = 3
+
+        def q_fake(spark, BANDS):
+            ROWS = 2
+            for SEED in range(ROWS):
+                pass
+            xs = [x for x in range(3)]
+            return BANDS + ROWS + SEED + KEPT + sum(xs)
+        """))
+    sys.path.insert(0, str(tmp_path))
+    try:
+        mod = importlib.import_module("kafka_hadoop_consumer_spark_fake3.m")
+    finally:
+        sys.path.remove(str(tmp_path))
+    closure = ledger.helper_closure(
+        mod.q_fake, pkg="kafka_hadoop_consumer_spark_fake3"
+    )
+    assert "const:BANDS" not in closure, closure  # param shadows
+    assert "const:ROWS" not in closure, closure   # assignment shadows
+    assert "const:SEED" not in closure, closure   # loop target shadows
+    assert closure.get("const:KEPT") == "3"       # genuine global kept
+
+
+def test_deep_attribute_chain_resolved(tmp_path):
+    # r10 ADVICE: pkg.mod.helper (two module hops) must enter the
+    # closure, not be silently absent — an edit to that helper should
+    # flip the caller's def_hash.
+    import importlib
+    import sys
+    import textwrap
+
+    root = tmp_path / "kafka_hadoop_consumer_spark_fake4"
+    sub = root / "sub"
+    sub.mkdir(parents=True)
+    (root / "__init__.py").write_text("from . import sub")
+    (sub / "__init__.py").write_text("from . import deep")
+    (sub / "deep.py").write_text("def helper(x):\n    return x * 2\n")
+    (root / "q.py").write_text(textwrap.dedent("""\
+        import kafka_hadoop_consumer_spark_fake4 as pkg4
+
+        def q_fake(spark, sf_dir):
+            return pkg4.sub.deep.helper(1)
+        """))
+    sys.path.insert(0, str(tmp_path))
+    try:
+        mod = importlib.import_module("kafka_hadoop_consumer_spark_fake4.q")
+    finally:
+        sys.path.remove(str(tmp_path))
+    closure = ledger.helper_closure(
+        mod.q_fake, pkg="kafka_hadoop_consumer_spark_fake4"
+    )
+    assert any(q.endswith("helper") for q in closure), closure
+
+
 def test_real_registry_closure_sees_shared_helpers():
     # The r9 incident concretely: ngram_expr is in the closure of the
     # text/dedup keys that call it, so its next edit marks them STALE.

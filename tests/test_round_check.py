@@ -52,6 +52,74 @@ def test_boot_refuses_real_work(tmp_path, monkeypatch):
     assert "CORRECTNESS_r10.json" in out.stdout
 
 
+def test_stale_100x_receipt_warns(tmp_path, monkeypatch):
+    # r10 verdict item 6: a receipt whose stamped def-hash no longer
+    # matches the operator's current hash must surface a warning naming
+    # the probe command; fresh receipts and absent sidecars stay silent.
+    import json
+
+    tools = tmp_path / "tools"
+    tools.mkdir()
+    (tools / "coverage_ledger.py").write_text(
+        "def def_hash(k, q, o):\n    return 'cur'\n"
+    )
+    monkeypatch.setattr(rc, "REPO", str(tmp_path))
+    assert rc.stale_100x_receipts() == []  # no sidecar: silent
+    (tmp_path / "bench_100x.json").write_text(json.dumps({
+        "recorded": "2026-08-15",
+        "command": "python tools/scale100_probe.py",
+        "def_hashes": {"q_agg_groupby": "cur"},
+        "minhash_100x": {
+            "recorded": "2026-08-16",
+            "command": "python tools/scale100_probe.py --minhash",
+            "def_hashes": {"q_agg_groupby": "old"},
+        },
+        "cc_100x": {
+            "recorded": "2026-08-16",
+            "def_hashes": {"q_not_registered": "cur"},
+        },
+    }))
+    warns = rc.stale_100x_receipts()
+    assert len(warns) == 2, warns
+    assert any("minhash_100x" in w and "--minhash" in w for w in warns)
+    assert any("unregistered" in w and "cc_100x" in w for w in warns)
+
+
+def test_committed_100x_receipts_are_fresh():
+    # The real sidecar's stamped hashes must match the live registry —
+    # this is the per-round freshness gate running against the repo.
+    assert rc.stale_100x_receipts() == []
+
+
+def test_boot_parses_quoted_and_renamed_paths(tmp_path, monkeypatch):
+    # r10 ADVICE: textual --porcelain mangled quote-wrapped paths
+    # ("with space.py" reported as '"with space.py"') and rename
+    # entries ("R  old -> new"). With -z parsing the refusal message
+    # must carry the real paths, and a rename must surface BOTH sides.
+    _scratch_repo(tmp_path, {"with space.py": "x = 1"})
+    (tmp_path / "naïve.py").write_text("y = 2")
+    subprocess.run(["git", "-C", str(tmp_path), "mv", "seed", "seed2"],
+                   check=True)
+    monkeypatch.setattr(rc, "REPO", str(tmp_path))
+    assert rc.boot() == 1, "non-artifact dirt must refuse"
+    out = subprocess.run(
+        ["git", "-C", str(tmp_path), "status", "--porcelain", "-z"],
+        capture_output=True, text=True).stdout
+    fields = [f for f in out.split("\0") if f]
+    # reproduce boot's parse directly and check no quotes/arrows leak
+    paths, i = [], 0
+    while i < len(fields):
+        paths.append(fields[i][3:])
+        if fields[i][:2][0] in "RC":
+            i += 1
+            paths.append(fields[i])
+        i += 1
+    assert "with space.py" in paths, paths
+    assert "naïve.py" in paths, paths
+    assert {"seed", "seed2"} <= set(paths), paths
+    assert not any('"' in p or " -> " in p for p in paths), paths
+
+
 def test_boot_absorbs_driver_artifacts(tmp_path, monkeypatch):
     _scratch_repo(tmp_path, {"CORRECTNESS_r10.json": "{}",
                              "BENCH_r10.json": "{}",

@@ -108,12 +108,16 @@ def helper_closure(fn, pkg: str = _PKG) -> dict[str, str]:
     input guard) changes caller behavior without touching the caller's
     own source, so a source-only def_hash left the caller certified on
     pre-edit evidence (VERDICT r9 item 4). Names loaded in the function
-    body are resolved against its globals; package-defined functions and
-    classes contribute their source (and recurse), simple module-level
-    constants contribute their repr. Imported modules (F, etc.) and
-    foreign-package objects are skipped — so the hash is targeted: an
-    edit to an UNRELATED helper in the same module does not flip a key,
-    only edits inside its actual reference closure do."""
+    body are resolved against its globals UNLESS the name is bound
+    anywhere inside the function (param/assignment/etc. — a local
+    shadowing a module constant must not pull that unrelated constant
+    into the hash; r10 ADVICE); package-defined functions and classes
+    contribute their source (and recurse), simple module-level constants
+    contribute their repr. Dotted module chains (mod.helper,
+    pkg.mod.helper) resolve through module hops. Imported modules (F,
+    etc.) and foreign-package objects are skipped — so the hash is
+    targeted: an edit to an UNRELATED helper in the same module does not
+    flip a key, only edits inside its actual reference closure do."""
     import ast
     import inspect
     import textwrap
@@ -139,28 +143,76 @@ def helper_closure(fn, pkg: str = _PKG) -> dict[str, str]:
             space = obj.__globals__
         else:
             space = vars(sys.modules.get(obj.__module__, types.SimpleNamespace()))
+        # Pass 1 — names BOUND inside the object (params, assignments,
+        # comprehension/loop targets, with/except aliases, nested defs,
+        # imports). A local that shadows a same-named module-level
+        # constant must NOT pull that unrelated constant into the hash:
+        # editing it would spuriously flip this key STALE and burn a
+        # driver-window slot (r10 ADVICE). Collected conservatively over
+        # the whole subtree (a name bound in any nested scope is excluded
+        # everywhere) — under-capture of an exotic mixed-scope load is
+        # preferable to over-capture flapping hashes.
+        bound: set[str] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Name) and isinstance(
+                node.ctx, (ast.Store, ast.Del)
+            ):
+                bound.add(node.id)
+            elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                bound.add(node.name)
+                a = node.args
+                for arg in (
+                    *a.posonlyargs, *a.args, *a.kwonlyargs,
+                    *([a.vararg] if a.vararg else []),
+                    *([a.kwarg] if a.kwarg else []),
+                ):
+                    bound.add(arg.arg)
+            elif isinstance(node, ast.ClassDef):
+                bound.add(node.name)
+            elif isinstance(node, (ast.Import, ast.ImportFrom)):
+                for alias in node.names:
+                    bound.add(alias.asname or alias.name.split(".")[0])
+            elif isinstance(node, ast.ExceptHandler) and node.name:
+                bound.add(node.name)
+        # the object's own bindings are in scope for its signature/body,
+        # but the top-level def's NAME itself is not a shadow of anything
+        # (qual tracking already dedups self-recursion via `seen`)
         names = set()
         for node in ast.walk(tree):
             if isinstance(node, ast.Name) and isinstance(node.ctx, ast.Load):
-                names.add(node.id)
+                if node.id not in bound:
+                    names.add(node.id)
             elif isinstance(node, ast.Global):
                 # a `global X` in the closure means X is runtime-mutated
                 # state (e.g. registry._ACTIVE_DEPTH's depth counter) —
                 # its repr is execution-dependent, so capturing it would
                 # flap hashes; dropped after the walk completes
                 mutable.update(node.names)
-            elif isinstance(node, ast.Attribute) and isinstance(
-                node.value, ast.Name
-            ):
-                # module.helper access: resolve one attribute hop when the
-                # base name is a package-local module
-                base = space.get(node.value.id)
-                if (
-                    isinstance(base, types.ModuleType)
-                    and base.__name__.startswith(pkg)
-                    and hasattr(base, node.attr)
-                ):
-                    resolve(getattr(base, node.attr), node.attr)
+            elif isinstance(node, ast.Attribute):
+                # dotted module access: resolve `mod.helper` and deeper
+                # chains (`pkg.mod.helper`) when every hop up to the last
+                # is a module and the final object is package-local
+                chain = [node.attr]
+                cur = node.value
+                while isinstance(cur, ast.Attribute):
+                    chain.append(cur.attr)
+                    cur = cur.value
+                if isinstance(cur, ast.Name) and cur.id not in bound:
+                    base = space.get(cur.id)
+                    for attr in chain[:0:-1]:  # intermediate hops
+                        if isinstance(base, types.ModuleType) and hasattr(
+                            base, attr
+                        ):
+                            base = getattr(base, attr)
+                        else:
+                            base = None
+                            break
+                    if (
+                        isinstance(base, types.ModuleType)
+                        and base.__name__.startswith(pkg)
+                        and hasattr(base, chain[0])
+                    ):
+                        resolve(getattr(base, chain[0]), chain[0])
         # sorted: set iteration order varies across processes (string
         # hash randomization), and visit order decides const-name
         # collisions — unsorted would flap hashes between regens

@@ -56,9 +56,23 @@ def boot() -> int:
     in one command: regen the ledger, commit artifacts+ledger, then run
     the normal gate. Refuses (no commit) if anything OUTSIDE the known
     driver-artifact set is dirty — that's real uncommitted work."""
-    r = subprocess.run(["git", "-C", REPO, "status", "--porcelain"],
+    # -z: NUL-separated, unquoted paths — the `ln[3:]` textual parse
+    # mangled rename entries ("R  old -> new") and quote-wrapped paths
+    # (spaces/non-ASCII), blocking boot with a confusing message
+    # (r10 ADVICE). Entry layout: "XY <path>" [NUL <origpath> for R/C].
+    r = subprocess.run(["git", "-C", REPO, "status", "--porcelain", "-z"],
                        capture_output=True, text=True)
-    dirty = [ln[3:].strip() for ln in r.stdout.splitlines() if ln.strip()]
+    fields = [f for f in r.stdout.split("\0") if f]
+    dirty = []
+    i = 0
+    while i < len(fields):
+        status, path = fields[i][:2], fields[i][3:]
+        dirty.append(path)
+        if status[0] in "RC":  # rename/copy: next field is the source path
+            i += 1
+            if i < len(fields):
+                dirty.append(fields[i])
+        i += 1
     unexpected = [p for p in dirty if not BOOT_OK.match(p)]
     if unexpected:
         print("BOOT FAIL: dirty paths beyond the driver-artifact set "
@@ -97,6 +111,52 @@ def boot() -> int:
     else:
         print("boot: nothing to absorb")
     return main()
+
+
+def stale_100x_receipts() -> list[str]:
+    """Freshness check for the single-run 100x receipts (r10 verdict
+    item 6): each bench_100x.json section snapshots the measured
+    operators' def-hashes at record time (tools/scale100_probe.py);
+    a mismatch with the CURRENT def-hash means the operator changed
+    after its receipt and the receipt should be re-run. Returns warning
+    strings; never fails the gate (receipts cost ~300 s each)."""
+    import json
+
+    import importlib.util
+
+    path = os.path.join(REPO, "bench_100x.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return []
+    spec = importlib.util.spec_from_file_location(
+        "_cov_ledger", os.path.join(REPO, "tools", "coverage_ledger.py")
+    )
+    led = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(led)
+    from kafka_hadoop_consumer_spark.queries import ORACLES, QUERIES
+
+    out = []
+    sections = [("<top-level ANN/embedding>", doc)] + [
+        (name, sec) for name, sec in doc.items() if isinstance(sec, dict)
+    ]
+    for name, sec in sections:
+        hashes = sec.get("def_hashes")
+        if not isinstance(hashes, dict):
+            continue
+        for key, snap in hashes.items():
+            if key not in QUERIES:
+                out.append(
+                    f"100x receipt {name} measures unregistered key {key}"
+                )
+            elif led.def_hash(key, QUERIES, ORACLES) != snap:
+                out.append(
+                    f"100x receipt {name} (recorded "
+                    f"{sec.get('recorded', '?')}) predates a change to "
+                    f"{key} — re-run `{sec.get('command', 'the probe')}`"
+                )
+    return out
 
 
 def main() -> int:
@@ -158,6 +218,13 @@ def main() -> int:
     if dirty:
         failures.append(f"work tree not clean ({len(dirty)} paths): "
                         + ", ".join(ln.split()[-1] for ln in dirty[:5]))
+
+    for w in stale_100x_receipts():
+        # freshness WARNING only (r10 verdict item 6): the receipts are
+        # single-run ~300 s probes; a def-hash drift means the receipt
+        # predates a change to the operator it measures — re-run the
+        # named probe when convenient, but don't fail the round on it
+        print(f"warning: {w}")
 
     print(f"fresh-window load: {fresh}/{WINDOW}; registry {len(QUERIES)} keys")
     if failures:

@@ -73,6 +73,23 @@ def sigma_pairs(ed, bits, planes_for):
     return int(row["s"] or 0)
 
 
+def _def_hashes(keys: tuple) -> dict:
+    """Snapshot the measured operators' CURRENT def-hashes into the
+    receipt (r10 verdict item 6): a receipt is a single-run artifact, so
+    round_check can warn when an operator's definition changed AFTER its
+    receipt was recorded — without re-paying the 300-second probe."""
+    import importlib.util
+
+    from kafka_hadoop_consumer_spark.queries import ORACLES, QUERIES
+
+    spec = importlib.util.spec_from_file_location(
+        "_cov_ledger", os.path.join(REPO, "tools", "coverage_ledger.py")
+    )
+    led = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(led)
+    return {k: led.def_hash(k, QUERIES, ORACLES) for k in keys}
+
+
 def _merge_into_sidecar(update: dict) -> str:
     """Merge keys into bench_100x.json, preserving whatever else is
     recorded (the ANN and minhash probes run on different days and must
@@ -144,6 +161,7 @@ def probe_minhash(n1: int) -> int:
         out = {
             "recorded": datetime.date.today().isoformat(),
             "command": "python tools/scale100_probe.py --minhash",
+            "def_hashes": _def_hashes(("q_dedup_minhash",)),
             "n_1x": n1,
             "n_100x": n100,
             "band_config": {
@@ -214,6 +232,7 @@ def probe_substring(n1: int) -> int:
         out = {
             "recorded": datetime.date.today().isoformat(),
             "command": "python tools/scale100_probe.py --substring",
+            "def_hashes": _def_hashes(("q_dedup_substring",)),
             "n_1x": n1,
             "n_100x": n100,
             "occ_cap": OCC_CAP,
@@ -293,6 +312,7 @@ def probe_hybrid(n1: int) -> int:
         out = {
             "recorded": datetime.date.today().isoformat(),
             "command": "python tools/scale100_probe.py --hybrid",
+            "def_hashes": _def_hashes(("q_e2e_hybrid_search",)),
             "n_1x": n1,
             "n_100x": n100,
             "tokens_total_100x": tot,
@@ -342,6 +362,7 @@ def probe_cc(n1: int) -> int:
     out = {
         "recorded": datetime.date.today().isoformat(),
         "command": "python tools/scale100_probe.py --cc",
+            "def_hashes": _def_hashes(("q_graph_cc",)),
         "graph": "path (diameter = n-1)",
         "n_1x": n1,
         "n_100x": n100,
@@ -438,6 +459,7 @@ def main() -> int:
         out = {
             "recorded": datetime.date.today().isoformat(),
             "command": "python tools/scale100_probe.py",
+            "def_hashes": _def_hashes(("q_dedup_embedding", "q_sim_lsh_topk")),
             "n_1x": n1,
             "n_100x": n100,
             "tables": bench.SCALE_DEDUP_TABLES,
