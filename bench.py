@@ -1014,7 +1014,7 @@ def main() -> None:
         "r3_ops": extras,
         "scaling_10x": scaling,
         "skew_join": skew,
-        "advisory_gate": warmed_advisory(best),
+        "advisory_gate": warmed_advisory(best, box=session_box_factor(best, sf)),
         "sf": float(sf),
     }
     # One-time 100x ANN stress receipt (r8 verdict item 8): recorded by
@@ -1135,24 +1135,58 @@ WARMED_ANCHORS = {
     "s_ingest_e2e": 0.83,
 }
 WARMED_RATIO = 1.3
+# A key only flags when its warmed ratio ALSO exceeds the session's
+# overall slowdown by this much. Host-level contention (invisible to
+# guest loadavg) moves EVERY key 1.5-1.8x on a bad day (measured
+# 2026-08-16: session median vs-r01 1.79x with isolated idle-box
+# re-times still 1.5-1.7x) — per-key thresholds alone can't separate
+# "slow box" from "slow code"; ratio-relative-to-the-pack can.
+EXCESS_RATIO = 1.15
 
 
-def warmed_advisory(best: dict[str, float]) -> dict:
+def session_box_factor(best: dict[str, float], sf: str):
+    """Median min-of-passes/r01-anchor ratio across every timed key the
+    anchor file knows — an estimate of how much slower THIS session's
+    box is than the r01 session, independent of any single key. None
+    when the anchor file is absent or recorded at a different SF."""
+    if not os.path.exists(ANCHOR):
+        return None
+    with open(ANCHOR) as f:
+        anchor = json.load(f)
+    anchor = anchor.get("parsed", anchor)
+    if float(sf) != float(anchor.get("sf", -1)):
+        return None
+    ratios = [
+        sec / base
+        for name, sec in best.items()
+        if (base := anchor.get("queries", {}).get(name))
+    ]
+    return round(statistics.median(ratios), 2) if ratios else None
+
+
+def warmed_advisory(best: dict[str, float], box=None) -> dict:
     """Advisory (never exits): per-key min-of-passes vs the isolated
-    warmed anchors above at the 1.3x convention. Returned for embedding
-    into bench_detail.json so each round records WHICH anchor set the
-    advisory used (r10 verdict item 3)."""
-    ratios = {}
+    warmed anchors above at the 1.3x convention, normalized by the
+    session box factor — a key flags only when it is slow IN EXCESS of
+    the whole session's slowdown. Returned for embedding into
+    bench_detail.json so each round records WHICH anchor set and box
+    factor the advisory used (r10 verdict item 3)."""
+    ratios, excess = {}, {}
     for name, base in WARMED_ANCHORS.items():
         sec = best.get(name)
         if sec is None:
             continue
         ratio = round(sec / base, 2)
         ratios[name] = ratio
-        flag = " ADVISORY-EXCEEDED" if ratio > WARMED_RATIO else ""
+        rel = round(ratio / box, 2) if box else None
+        if rel is not None:
+            excess[name] = rel
+        flagged = ratio > WARMED_RATIO and (rel is None or rel > EXCESS_RATIO)
+        flag = " ADVISORY-EXCEEDED" if flagged else ""
+        rel_txt = f", {rel:.2f}x vs session box factor" if rel else ""
         print(
             f"# vs warmed anchor: {name} {sec:.3f}s / {base:.3f}s "
-            f"= {ratio:.2f}x (limit {WARMED_RATIO}x){flag}",
+            f"= {ratio:.2f}x (limit {WARMED_RATIO}x{rel_txt}){flag}",
             file=sys.stderr,
         )
     return {
@@ -1161,6 +1195,9 @@ def warmed_advisory(best: dict[str, float]) -> dict:
         "anchors": dict(WARMED_ANCHORS),
         "ratio_limit": WARMED_RATIO,
         "ratios": ratios,
+        "session_box_factor_vs_r01": box,
+        "excess_vs_box": excess,
+        "excess_limit": EXCESS_RATIO,
     }
 
 
@@ -1187,9 +1224,17 @@ def check_regressions(timings: dict[str, float], sf: str) -> None:
                 regressions.append((name, round(ratio, 2)))
     if tot_base and tot_now / tot_base > TOTAL_RATIO:
         regressions.append(("TOTAL", round(tot_now / tot_base, 2)))
+    box = session_box_factor(timings, sf)
+    if box is not None:
+        # context for any flag below: when the MEDIAN itself is high,
+        # the whole box is slow (host contention moves every key
+        # together) — read per-key flags against it, not in isolation
+        print(f"# vs r01: session median ratio {box:.2f}x (box factor)",
+              file=sys.stderr)
     if regressions:
         print(f"BENCH REGRESSION (> {QUERY_RATIO}x/query or {TOTAL_RATIO}x total) "
-              f"vs {ANCHOR}: {regressions}", file=sys.stderr)
+              f"vs {ANCHOR} (session box factor {box}): {regressions}",
+              file=sys.stderr)
         # Exit non-zero only in opt-in strict mode (local refactor loop).
         # The default stays rc=0: boot-to-boot VM variance alone moves the
         # total ~1.5x (measured 2026-08-13, same code both sides), and the
