@@ -192,6 +192,98 @@ def test_session_box_factor_is_median_vs_r01(tmp_path, monkeypatch):
     assert set(bench.WARMED_ANCHORS) <= timed
 
 
+def _anchor_file(tmp_path, monkeypatch, queries: dict) -> None:
+    import json as _json
+
+    p = tmp_path / "r01.json"
+    p.write_text(_json.dumps({"sf": 0.1, "queries": queries}))
+    monkeypatch.setattr(bench, "ANCHOR", str(p))
+
+
+def test_hard_gate_convention_box_normalized(tmp_path, monkeypatch, capsys):
+    # r11 verdict item 4 — the PINNED convention: the hard gate flags on
+    # the box-NORMALIZED ratio (raw ratio / session box factor), the
+    # same normalization the 1.3x advisory applies, so one run cannot
+    # carry two contradictory regression verdicts. Keys here are not
+    # warmed-anchored, isolating the normalization itself.
+    anchors = {f"k{i}": 1.0 for i in range(9)}
+    _anchor_file(tmp_path, monkeypatch, anchors)
+    # contended box: most keys ~1.6x, one at 2.5x raw -> 1.56x normalized
+    timings = {f"k{i}": 1.6 for i in range(8)}
+    timings["k8"] = 2.5
+    flagged = bench.check_regressions(timings, "0.1")
+    err = capsys.readouterr().err
+    assert flagged == [], flagged
+    assert "box-normalized" in err
+    # same 2.5x raw reading on an idle box IS the code -> flags at 2.5x
+    timings = {f"k{i}": 1.0 for i in range(8)}
+    timings["k8"] = 2.5
+    flagged = bench.check_regressions(timings, "0.1")
+    assert ("k8", 2.5) in flagged
+
+
+def test_hard_gate_total_is_box_normalized(tmp_path, monkeypatch):
+    # a uniformly 1.6x session (pure contention) must not flag TOTAL:
+    # raw total ratio 1.6 > 1.4, but normalized 1.6/1.6 = 1.0
+    anchors = {f"k{i}": 1.0 for i in range(9)}
+    _anchor_file(tmp_path, monkeypatch, anchors)
+    assert bench.check_regressions(dict.fromkeys(anchors, 1.6), "0.1") == []
+    # a uniformly 1.5x-normalized-excess session does flag TOTAL: every
+    # key 1.5x on a box whose median is... itself 1.5 -> normalized 1.0.
+    # TOTAL only fires when the total outruns the median (skewed mass):
+    timings = dict.fromkeys(anchors, 1.0)
+    timings["k0"] = timings["k1"] = timings["k2"] = timings["k3"] = 8.0
+    flagged = bench.check_regressions(timings, "0.1")
+    assert flagged and flagged[-1][0] == "TOTAL"
+
+
+def test_hard_gate_reads_warmed_anchors_replaying_r11(tmp_path, monkeypatch, capsys):
+    # The r11 false alarm, replayed: q_dedup_minhash min-of-passes
+    # 1.634 s was exactly 2.00x its fast-boot r01 in-bench 0.816 s on a
+    # 1.59x box and the old gate flagged it while the advisory stayed
+    # quiet. Against its documented warmed anchor (1.27 s, BASELINE.md
+    # r5/r12) and the box factor, the same reading must stay clean.
+    anchors = {f"k{i}": 1.0 for i in range(8)}
+    anchors["q_dedup_minhash"] = 0.816
+    _anchor_file(tmp_path, monkeypatch, anchors)
+    timings = {f"k{i}": 1.59 for i in range(8)}
+    timings["q_dedup_minhash"] = 1.634
+    flagged = bench.check_regressions(timings, "0.1")
+    err = capsys.readouterr().err
+    assert flagged == [], flagged
+    assert "REGRESSION" not in err
+    assert "q_dedup_minhash 1.634s / 1.270s" in err  # warmed base used
+
+
+def test_hard_flag_implies_advisory_flag(tmp_path, monkeypatch, capsys):
+    # Monotone severity: whenever the hard gate flags a warmed-anchored
+    # key, the advisory must flag it too (QUERY_RATIO > WARMED_RATIO and
+    # both divide by the same box factor over the same anchor).
+    anchors = {f"k{i}": 1.0 for i in range(8)}
+    anchors["q_udf_scalar"] = bench.WARMED_ANCHORS["q_udf_scalar"]
+    _anchor_file(tmp_path, monkeypatch, anchors)
+    timings = {f"k{i}": 1.0 for i in range(8)}
+    timings["q_udf_scalar"] = bench.WARMED_ANCHORS["q_udf_scalar"] * 2.6
+    flagged = bench.check_regressions(timings, "0.1")
+    assert ("q_udf_scalar", 2.6) in flagged
+    box = bench.session_box_factor(timings, "0.1")
+    bench.warmed_advisory(timings, box=box)
+    assert "ADVISORY-EXCEEDED" in capsys.readouterr().err
+
+
+def test_box_factor_advisory_records_blind_spot(capsys):
+    # r11 ADVICE: a uniform code slowdown inflates the box median itself
+    # and every per-key excess reads ~1.0x — the gate must say so loudly
+    # instead of auto-classifying the session as host contention.
+    best = {"q_udf_scalar": bench.WARMED_ANCHORS["q_udf_scalar"] * 1.6}
+    gate = bench.warmed_advisory(best, box=1.62)
+    assert gate["box_factor_advisory"]["exceeded"] is True
+    assert "BOX-FACTOR ADVISORY" in capsys.readouterr().err
+    gate = bench.warmed_advisory(best, box=1.2)
+    assert gate["box_factor_advisory"]["exceeded"] is False
+    assert "BOX-FACTOR ADVISORY" not in capsys.readouterr().err
+
+
 def test_overflow_falls_back_to_minimal_line():
     detail = _full_detail()
     detail["metric"] = "x" * 2000  # pathological: force the fallback
