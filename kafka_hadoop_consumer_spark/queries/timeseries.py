@@ -202,7 +202,19 @@ def sessionize(e: DataFrame) -> DataFrame:
     single exchange+sort; µs ordering is a bijection of ts ordering at
     Spark's µs precision) and measured 5-6% faster at sf0.1 with exact
     value parity. The scratch columns are dropped before return, so
-    consumers see exactly input-columns + session_id as before."""
+    consumers see exactly input-columns + session_id as before.
+
+    Refuses input already carrying the scratch names or session_id
+    (r11 ADVICE): withColumn would silently overwrite a caller column
+    and the closing select would emit the scratch value — for the
+    single source of the session model, loud beats wrong."""
+    clash = {"_tsu", "_prev_tsu", "session_id"}.intersection(e.columns)
+    if clash:
+        raise ValueError(
+            f"sessionize: input already has column(s) {sorted(clash)} — "
+            "rename them first; _tsu/_prev_tsu are scratch and "
+            "session_id is the appended output"
+        )
     cols = e.columns
     w = Window.partitionBy("user_id").orderBy("_tsu", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -338,6 +338,74 @@ def test_shadowing_local_excluded_from_closure(tmp_path):
     assert closure.get("const:KEPT") == "3"       # genuine global kept
 
 
+def test_nested_scope_binding_does_not_mask_outer_load(tmp_path):
+    # r11 ADVICE: the bound-name pass must be PER SCOPE. A name bound
+    # only inside a nested def/lambda/comprehension must not exclude
+    # the outer function's genuine module-global load of that name
+    # (that under-capture silently weakened the staleness gate); the
+    # inner shadow itself must still be excluded (r10 semantics).
+    import importlib
+    import sys
+    import textwrap
+
+    pkg = tmp_path / "kafka_hadoop_consumer_spark_fake6"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "m.py").write_text(textwrap.dedent("""\
+        WIDTH = 5
+        DEPTH = 8
+        GAIN = 2
+
+        def q_fake(spark, sf_dir):
+            def inner(WIDTH):
+                return WIDTH + 1          # param shadow: inner only
+            f = lambda DEPTH: DEPTH * 2   # lambda shadow: lambda only
+            ys = [GAIN for GAIN in range(2)]  # comp shadow: comp only
+            return inner(WIDTH) + f(DEPTH) + GAIN + sum(ys)
+        """))
+    sys.path.insert(0, str(tmp_path))
+    try:
+        mod = importlib.import_module("kafka_hadoop_consumer_spark_fake6.m")
+    finally:
+        sys.path.remove(str(tmp_path))
+    closure = ledger.helper_closure(
+        mod.q_fake, pkg="kafka_hadoop_consumer_spark_fake6"
+    )
+    # the OUTER loads of all three names are genuine global references
+    assert closure.get("const:WIDTH") == "5", closure
+    assert closure.get("const:DEPTH") == "8", closure
+    assert closure.get("const:GAIN") == "2", closure
+
+
+def test_inner_only_shadow_still_excluded(tmp_path):
+    # the converse guard: a module constant referenced ONLY by a nested
+    # scope's shadowed name (never as a real load) stays out of the hash
+    import importlib
+    import sys
+    import textwrap
+
+    pkg = tmp_path / "kafka_hadoop_consumer_spark_fake7"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "m.py").write_text(textwrap.dedent("""\
+        SALT = 13
+
+        def q_fake(spark, sf_dir):
+            def inner(SALT):
+                return SALT + 1
+            return inner(2)
+        """))
+    sys.path.insert(0, str(tmp_path))
+    try:
+        mod = importlib.import_module("kafka_hadoop_consumer_spark_fake7.m")
+    finally:
+        sys.path.remove(str(tmp_path))
+    closure = ledger.helper_closure(
+        mod.q_fake, pkg="kafka_hadoop_consumer_spark_fake7"
+    )
+    assert "const:SALT" not in closure, closure
+
+
 def test_deep_attribute_chain_resolved(tmp_path):
     # r10 ADVICE: pkg.mod.helper (two module hops) must enter the
     # closure, not be silently absent — an edit to that helper should

@@ -361,3 +361,21 @@ def test_zero_span_divisions_yield_null_on_both_engines(spark, tmp_path):
     }
     con.close()
     assert oup == up
+
+
+def test_sessionize_refuses_colliding_columns(spark):
+    # r11 ADVICE: the shared session-model helper must refuse input that
+    # already carries its scratch names or the appended session_id —
+    # withColumn would silently overwrite caller data otherwise.
+    from kafka_hadoop_consumer_spark.queries.timeseries import sessionize
+
+    base = spark.createDataFrame(
+        [(1, 10, 100.0)], "event_id long, user_id long, value double"
+    ).select("*", F.timestamp_seconds(F.lit(1)).alias("ts"))
+    for bad in ("_tsu", "_prev_tsu", "session_id"):
+        with pytest.raises(ValueError, match=bad):
+            sessionize(base.withColumn(bad, F.lit(0)))
+    # clean input still sessionizes (guard has no false positive)
+    out = sessionize(base)
+    assert out.columns == [*base.columns, "session_id"]
+    assert out.select("session_id").first()[0] == 1

@@ -143,76 +143,111 @@ def helper_closure(fn, pkg: str = _PKG) -> dict[str, str]:
             space = obj.__globals__
         else:
             space = vars(sys.modules.get(obj.__module__, types.SimpleNamespace()))
-        # Pass 1 — names BOUND inside the object (params, assignments,
+        # Names BOUND per ENCLOSING SCOPE (params, assignments,
         # comprehension/loop targets, with/except aliases, nested defs,
         # imports). A local that shadows a same-named module-level
         # constant must NOT pull that unrelated constant into the hash:
         # editing it would spuriously flip this key STALE and burn a
-        # driver-window slot (r10 ADVICE). Collected conservatively over
-        # the whole subtree (a name bound in any nested scope is excluded
-        # everywhere) — under-capture of an exotic mixed-scope load is
-        # preferable to over-capture flapping hashes.
-        bound: set[str] = set()
-        for node in ast.walk(tree):
-            if isinstance(node, ast.Name) and isinstance(
-                node.ctx, (ast.Store, ast.Del)
+        # driver-window slot (r10 ADVICE). Collection is per scope
+        # (r11 ADVICE — the old subtree-wide pass let a name bound only
+        # inside a nested def/lambda/comprehension mask the OUTER
+        # scope's genuine module-global loads of that name, silently
+        # weakening the staleness gate): nested scopes inherit the
+        # enclosing bindings (closure semantics), so an inner shadow
+        # still never over-captures, while an inner-only binding no
+        # longer leaks outward.
+        scope_t = (
+            ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda,
+            ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp,
+            ast.ClassDef,
+        )
+
+        def iter_scope(root):
+            """Nodes of root's immediate scope — stops AT nested scope
+            nodes (their children belong to the nested scope's pass)."""
+            stack = list(ast.iter_child_nodes(root))
+            while stack:
+                node = stack.pop()
+                yield node
+                if not isinstance(node, scope_t):
+                    stack.extend(ast.iter_child_nodes(node))
+
+        def own_params(root) -> set:
+            if not isinstance(
+                root, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)
             ):
-                bound.add(node.id)
-            elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                bound.add(node.name)
-                a = node.args
+                return set()
+            a = root.args
+            return {
+                arg.arg
                 for arg in (
                     *a.posonlyargs, *a.args, *a.kwonlyargs,
                     *([a.vararg] if a.vararg else []),
                     *([a.kwarg] if a.kwarg else []),
-                ):
-                    bound.add(arg.arg)
-            elif isinstance(node, ast.ClassDef):
-                bound.add(node.name)
-            elif isinstance(node, (ast.Import, ast.ImportFrom)):
-                for alias in node.names:
-                    bound.add(alias.asname or alias.name.split(".")[0])
-            elif isinstance(node, ast.ExceptHandler) and node.name:
-                bound.add(node.name)
-        # the object's own bindings are in scope for its signature/body,
-        # but the top-level def's NAME itself is not a shadow of anything
-        # (qual tracking already dedups self-recursion via `seen`)
+                )
+            }
+
         names = set()
-        for node in ast.walk(tree):
-            if isinstance(node, ast.Name) and isinstance(node.ctx, ast.Load):
-                if node.id not in bound:
-                    names.add(node.id)
-            elif isinstance(node, ast.Global):
-                # a `global X` in the closure means X is runtime-mutated
-                # state (e.g. registry._ACTIVE_DEPTH's depth counter) —
-                # its repr is execution-dependent, so capturing it would
-                # flap hashes; dropped after the walk completes
-                mutable.update(node.names)
-            elif isinstance(node, ast.Attribute):
-                # dotted module access: resolve `mod.helper` and deeper
-                # chains (`pkg.mod.helper`) when every hop up to the last
-                # is a module and the final object is package-local
-                chain = [node.attr]
-                cur = node.value
-                while isinstance(cur, ast.Attribute):
-                    chain.append(cur.attr)
-                    cur = cur.value
-                if isinstance(cur, ast.Name) and cur.id not in bound:
-                    base = space.get(cur.id)
-                    for attr in chain[:0:-1]:  # intermediate hops
-                        if isinstance(base, types.ModuleType) and hasattr(
-                            base, attr
+
+        def analyze(root, inherited: frozenset) -> None:
+            # pass 1 — this scope's own bindings, atop the enclosing ones
+            bound = set(inherited) | own_params(root)
+            for node in iter_scope(root):
+                if isinstance(node, ast.Name) and isinstance(
+                    node.ctx, (ast.Store, ast.Del)
+                ):
+                    bound.add(node.id)
+                elif isinstance(
+                    node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+                ):
+                    bound.add(node.name)
+                elif isinstance(node, (ast.Import, ast.ImportFrom)):
+                    for alias in node.names:
+                        bound.add(alias.asname or alias.name.split(".")[0])
+                elif isinstance(node, ast.ExceptHandler) and node.name:
+                    bound.add(node.name)
+            # pass 2 — loads in THIS scope, resolved against it
+            for node in iter_scope(root):
+                if isinstance(node, ast.Name) and isinstance(node.ctx, ast.Load):
+                    if node.id not in bound:
+                        names.add(node.id)
+                elif isinstance(node, ast.Global):
+                    # a `global X` in the closure means X is runtime-mutated
+                    # state (e.g. registry._ACTIVE_DEPTH's depth counter) —
+                    # its repr is execution-dependent, so capturing it would
+                    # flap hashes; dropped after the walk completes
+                    mutable.update(node.names)
+                elif isinstance(node, ast.Attribute):
+                    # dotted module access: resolve `mod.helper` and deeper
+                    # chains (`pkg.mod.helper`) when every hop up to the last
+                    # is a module and the final object is package-local
+                    chain = [node.attr]
+                    cur = node.value
+                    while isinstance(cur, ast.Attribute):
+                        chain.append(cur.attr)
+                        cur = cur.value
+                    if isinstance(cur, ast.Name) and cur.id not in bound:
+                        base = space.get(cur.id)
+                        for attr in chain[:0:-1]:  # intermediate hops
+                            if isinstance(base, types.ModuleType) and hasattr(
+                                base, attr
+                            ):
+                                base = getattr(base, attr)
+                            else:
+                                base = None
+                                break
+                        if (
+                            isinstance(base, types.ModuleType)
+                            and base.__name__.startswith(pkg)
+                            and hasattr(base, chain[0])
                         ):
-                            base = getattr(base, attr)
-                        else:
-                            base = None
-                            break
-                    if (
-                        isinstance(base, types.ModuleType)
-                        and base.__name__.startswith(pkg)
-                        and hasattr(base, chain[0])
-                    ):
-                        resolve(getattr(base, chain[0]), chain[0])
+                            resolve(getattr(base, chain[0]), chain[0])
+            # pass 3 — nested scopes see this scope's bindings
+            for node in iter_scope(root):
+                if isinstance(node, scope_t):
+                    analyze(node, frozenset(bound))
+
+        analyze(tree, frozenset())
         # sorted: set iteration order varies across processes (string
         # hash randomization), and visit order decides const-name
         # collisions — unsorted would flap hashes between regens

@@ -362,7 +362,7 @@ def probe_cc(n1: int) -> int:
     out = {
         "recorded": datetime.date.today().isoformat(),
         "command": "python tools/scale100_probe.py --cc",
-            "def_hashes": _def_hashes(("q_graph_cc",)),
+        "def_hashes": _def_hashes(("q_graph_cc",)),
         "graph": "path (diameter = n-1)",
         "n_1x": n1,
         "n_100x": n100,
