@@ -1138,7 +1138,15 @@ TOTAL_RATIO = 1.4
 #     corroborated r12 (warmed_probe 1.48 s on a co-measured 1.17x
 #     box = 1.27 normalized);
 #   q_dedup_ngram_jaccard — r12 warmed_probe min-of-three-sessions
-#     1.143 s (box 1.17x; raw min recorded, not box-derived).
+#     1.143 s (box 1.17x; raw min recorded, not box-derived);
+#   q_graph_cc — r12 profile (bench_cc_profile.json): per-round walls
+#     show the 2-for-2 primary band breach was contention-scaled fixed
+#     per-round stage overhead (tail rounds process ~1.5k edges in ~1 s
+#     each), uniform across passes; anchor 3.9 s = top of the
+#     idle-normalized range (5.28-5.66 s at control box ~1.45; r11
+#     run B control 3.28 at box 1.10). Replaces the retired 2.3-4.6 s
+#     prose band — and gives cc a hard-gate base at all (it joined
+#     HEADLINE at r7, so BENCH_r01 never had it).
 WARMED_ANCHORS = {
     "q_udf_scalar": 0.302,
     "q_text_ngram": 0.746,
@@ -1146,6 +1154,7 @@ WARMED_ANCHORS = {
     "s_ingest_e2e": 0.83,
     "q_dedup_minhash": 1.27,
     "q_dedup_ngram_jaccard": 1.14,
+    "q_graph_cc": 3.9,
 }
 WARMED_RATIO = 1.3
 # A key only flags when its warmed ratio ALSO exceeds the session's
@@ -1225,7 +1234,8 @@ def warmed_advisory(best: dict[str, float], box=None) -> dict:
     return {
         "anchor_set": "isolated-warmed (BASELINE.md; r9 udf/ngram, "
                       "r11 sessionize, r10 ingest band top, "
-                      "r5/r12 minhash, r12 ngram_jaccard)",
+                      "r5/r12 minhash, r12 ngram_jaccard, "
+                      "r12 graph_cc profile)",
         "anchors": dict(WARMED_ANCHORS),
         "ratio_limit": WARMED_RATIO,
         "ratios": ratios,
