@@ -1263,12 +1263,18 @@ def check_regressions(timings: dict[str, float], sf: str) -> list:
         documented (WARMED_ANCHORS — the honest post-r01 baseline),
         else its BENCH_r01 in-bench number;
       * a key (and TOTAL) flags on its BOX-NORMALIZED ratio — raw ratio
-        divided by the session box factor — exceeding QUERY_RATIO /
-        TOTAL_RATIO; raw ratios still print per key for context.
+        divided by max(box factor, 1.0) — exceeding QUERY_RATIO /
+        TOTAL_RATIO; raw ratios still print per key for context. The
+        clamp matters: the box factor models host CONTENTION, so it may
+        only excuse slowness, never amplify it — on a faster-than-r01
+        box an unclamped divisor would flag ratios the advisory's 1.3x
+        limit doesn't even reach, recreating the two-verdicts bug from
+        the other side.
 
-    Because QUERY_RATIO (2.0) > WARMED_RATIO (1.3) and both gates divide
-    by the same box factor over the same anchors, a hard per-key flag
-    implies an advisory flag — severity is monotone by construction.
+    Because QUERY_RATIO (2.0) > WARMED_RATIO (1.3), both gates read the
+    same anchors, and the clamped divisor is >= 1, a hard per-key flag
+    implies an advisory flag — severity is monotone by construction
+    (pinned as a hypothesis property).
     Returns the flagged list (empty = clean) so tests can pin behavior.
     """
     if not os.path.exists(ANCHOR):
@@ -1284,7 +1290,7 @@ def check_regressions(timings: dict[str, float], sf: str) -> list:
     # every key together — BASELINE.md r11 natural experiment: same
     # code, box 1.79x vs 1.10x, per-key ratios 1.6-1.8x vs 0.7-1.1x).
     box = session_box_factor(timings, sf)
-    eff_box = box if box else 1.0
+    eff_box = box if box and box > 1.0 else 1.0
     regressions = []
     tot_now = tot_base = 0.0
     for name, sec in timings.items():

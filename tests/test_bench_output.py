@@ -271,6 +271,44 @@ def test_hard_flag_implies_advisory_flag(tmp_path, monkeypatch, capsys):
     assert "ADVISORY-EXCEEDED" in capsys.readouterr().err
 
 
+def test_hard_flag_implies_advisory_flag_property(tmp_path, monkeypatch, capsys):
+    # The monotone-severity claim as a PROPERTY over random sessions:
+    # for any timings, any warmed-anchored key the hard gate flags must
+    # also be advisory-flagged when the advisory reads the same box.
+    # (QUERY_RATIO > WARMED_RATIO and both divide by the same box over
+    # the same anchor — this pins that the implementations stay aligned.)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    warmed_keys = sorted(bench.WARMED_ANCHORS)
+    anchors = {f"k{i}": 1.0 for i in range(8)}
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        filler=st.floats(min_value=0.5, max_value=3.0),
+        mults=st.lists(
+            st.floats(min_value=0.5, max_value=4.0),
+            min_size=len(warmed_keys), max_size=len(warmed_keys),
+        ),
+    )
+    def prop(filler, mults):
+        _anchor_file(tmp_path, monkeypatch, anchors)
+        timings = {f"k{i}": filler for i in range(8)}
+        for k, m in zip(warmed_keys, mults):
+            timings[k] = bench.WARMED_ANCHORS[k] * m
+        flagged = dict(bench.check_regressions(timings, "0.1"))
+        capsys.readouterr()
+        box = bench.session_box_factor(timings, "0.1")
+        bench.warmed_advisory(timings, box=box)
+        err = capsys.readouterr().err
+        for k in warmed_keys:
+            if k in flagged:
+                line = [ln for ln in err.splitlines() if f" {k} " in ln]
+                assert line and "ADVISORY-EXCEEDED" in line[0], (k, flagged, err)
+
+    prop()
+
+
 def test_box_factor_advisory_records_blind_spot(capsys):
     # r11 ADVICE: a uniform code slowdown inflates the box median itself
     # and every per-key excess reads ~1.0x — the gate must say so loudly
