@@ -549,3 +549,105 @@ def test_cc_from_edges_matches_union_find(spark, raw_edges):
         for r in cc_from_edges(E, key="prop_cc", max_rounds=40).collect()
     }
     assert got == expected
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # user_id
+            st.integers(min_value=0, max_value=5_400_000_000),  # ts µs (0..3 gaps)
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_sessionize_matches_pure_python(spark, rows):
+    """The shared session model (lag + cumsum over (ts, event_id)) vs a
+    pure-Python splitter on adversarial streams: duplicate timestamps
+    (tie-broken by event_id), gaps exactly == the threshold (same
+    session — the split is strictly-greater), multi-user interleaving.
+    Guards the r11 µs-pre-projection and r12 collision-guard edits of
+    THE single source five keys derive from."""
+    from kafka_hadoop_consumer_spark.queries.timeseries import (
+        SESSION_GAP_US,
+        sessionize,
+    )
+
+    data = [(i, uid, ts) for i, (uid, ts) in enumerate(rows)]
+    expected = {}
+    by_user: dict[int, list] = {}
+    for eid, uid, ts in data:
+        by_user.setdefault(uid, []).append((ts, eid))
+    for uid, evs in by_user.items():
+        sid, prev = 0, None
+        for ts, eid in sorted(evs):
+            if prev is None or ts - prev > SESSION_GAP_US:
+                sid += 1
+            expected[eid] = sid
+            prev = ts
+    e = spark.createDataFrame(
+        data, "event_id long, user_id long, ts_us long"
+    ).select("event_id", "user_id", F.timestamp_micros("ts_us").alias("ts"))
+    got = {
+        r.event_id: r.session_id for r in sessionize(e).collect()
+    }
+    assert got == expected
+
+
+@SLOW
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),  # (by, lts)
+        min_size=1, max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),  # (by, rts)
+        min_size=0, max_size=12,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 0, 7, 30]),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_asof_join_matches_pure_python(spark, left, right, direction, tolerance, how):
+    """asof_join vs a pure-Python reference over random integer series:
+    duplicate right timestamps (tie-broken by the unique right id —
+    DESC for backward, ASC for forward, mirroring the window order),
+    zero tolerance, empty right side, unmatched-left handling."""
+    from kafka_hadoop_consumer_spark.operators.temporal import asof_join
+
+    lrows = [(i, by, ts) for i, (by, ts) in enumerate(left)]
+    rrows = [(i, by, ts) for i, (by, ts) in enumerate(right)]
+
+    expected = {}
+    for lid, lby, lts in lrows:
+        cands = []
+        for rid, rby, rts in rrows:
+            if rby != lby:
+                continue
+            if direction == "backward":
+                if rts > lts or (tolerance is not None and rts < lts - tolerance):
+                    continue
+            else:
+                if rts < lts or (tolerance is not None and rts > lts + tolerance):
+                    continue
+            cands.append((rts, rid))
+        if cands:
+            if direction == "backward":
+                best = max(cands)            # max ts, then max rid (DESC tie)
+            else:
+                best = min(cands)            # min ts, then min rid (ASC tie)
+            expected[lid] = best[1]
+        elif how == "left":
+            expected[lid] = None
+        # inner: unmatched left rows are absent
+
+    ldf = spark.createDataFrame(lrows, "lid long, by long, lts long")
+    rdf = spark.createDataFrame(rrows, "rid long, by long, rts long")
+    out = asof_join(
+        ldf, rdf, by="by", left_ts="lts", right_ts="rts",
+        left_key="lid", direction=direction, tolerance=tolerance,
+        how=how, tie_break="rid",
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got == expected
