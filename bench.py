@@ -1173,6 +1173,58 @@ EXCESS_RATIO = 1.15
 # evidence (an isolated tools/warmed_probe.py run on a recovered box)
 # before the session is classified as contention.
 BOX_ADVISORY_BOUND = 1.5
+# r12 ADVICE closed the remaining gap: the advisory above was
+# print-only, so in SPARK_GRAFT_BENCH_STRICT a uniform slowdown still
+# exited 0. Now an elevated box factor WITHOUT recorded idle-box
+# evidence joins the returned flag list itself — at BOX_ADVISORY_BOUND
+# in default mode (driver runs; rc stays 0, the flag is data for the
+# verdict) and at the tighter BOX_STRICT_BOUND in strict mode (the
+# local refactor loop runs before/after in the SAME boot, so any box
+# jump past ~1.25x is the change, not the host, until proven
+# otherwise). Evidence = $SPARK_GRAFT_BOX_EVIDENCE pointing at a
+# tools/warmed_probe.py JSON whose co-measured controls read clean
+# (control_box <= 1.2) against the SAME git HEAD — controls healthy on
+# an idle box at this exact code means the slowness is the host.
+BOX_STRICT_BOUND = 1.25
+BOX_EVIDENCE_CONTROL_MAX = 1.2
+# Absolute per-key raw ceiling (r12 verdict item 3): box-INDEPENDENT,
+# so no amount of box-factor inflation can hide a key this far past
+# its warmed/r01 anchor. 2.5x sits above the worst honest contention
+# reading ever recorded against a warmed anchor (1.9x) and below the
+# r11-style real regressions it exists to catch.
+RAW_CEILING = 2.5
+
+
+def idle_box_evidence() -> bool:
+    """True when $SPARK_GRAFT_BOX_EVIDENCE names a tools/warmed_probe.py
+    JSON record that certifies the current code on an idle box: its
+    co-measured control_box must read <= BOX_EVIDENCE_CONTROL_MAX and
+    its git_head must equal the current HEAD (controls healthy on an
+    idle box at this exact code ==> a slow session is the host, not a
+    code regression). Any missing/stale/contended record is NOT
+    evidence."""
+    path = os.environ.get("SPARK_GRAFT_BOX_EVIDENCE")
+    if not path or not os.path.exists(path):
+        return False
+    try:
+        with open(path) as f:
+            rec = json.loads(f.read().strip().splitlines()[-1])
+        control = rec.get("control_box")
+        head = rec.get("git_head")
+        if control is None or head is None:
+            return False
+        if control > BOX_EVIDENCE_CONTROL_MAX:
+            return False
+        import subprocess
+
+        cur = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        return head == cur
+    except Exception:
+        return False
 
 
 def session_box_factor(best: dict[str, float], sf: str):
@@ -1302,28 +1354,60 @@ def check_regressions(timings: dict[str, float], sf: str) -> list:
         tot_now, tot_base = tot_now + sec, tot_base + base
         src = "warmed" if name in WARMED_ANCHORS else "r01"
         flag = " REGRESSION" if norm > QUERY_RATIO else ""
+        if ratio > RAW_CEILING:
+            flag += " RAW-CEILING"
         print(f"# vs {src} anchor: {name} {sec:.3f}s / {base:.3f}s = "
               f"{ratio:.2f}x raw, {norm:.2f}x box-normalized{flag}",
               file=sys.stderr)
         if norm > QUERY_RATIO:
             regressions.append((name, round(norm, 2)))
+        # Box-independent backstop: past this raw ratio no box factor
+        # may excuse the key (r12 verdict item 3 — normalization must
+        # never be able to hide an arbitrarily large single-key
+        # regression behind a contended-looking session).
+        if ratio > RAW_CEILING:
+            regressions.append((f"RAW:{name}", round(ratio, 2)))
     if tot_base and (tot_now / tot_base) / eff_box > TOTAL_RATIO:
         regressions.append(("TOTAL", round((tot_now / tot_base) / eff_box, 2)))
+    # Uniform-slowdown tripwire (r12 ADVICE, medium): an elevated box
+    # factor is exactly what a code change that slows MOST keys looks
+    # like — it inflates the median every normalized ratio divides by.
+    # Without idle-box evidence for THIS code it is a flag, not an
+    # excuse: at the advisory bound always (returned as data; default
+    # mode still exits 0), and at the tighter strict bound when
+    # SPARK_GRAFT_BENCH_STRICT gates a same-boot refactor loop.
+    strict = bool(os.environ.get("SPARK_GRAFT_BENCH_STRICT"))
+    box_bound = BOX_STRICT_BOUND if strict else BOX_ADVISORY_BOUND
+    if box is not None and box > box_bound and not idle_box_evidence():
+        regressions.append(("BOX_FACTOR", box))
+        print(f"# BOX_FACTOR flag: session box factor {box:.2f}x exceeds "
+              f"{box_bound}x with no idle-box evidence "
+              "($SPARK_GRAFT_BOX_EVIDENCE) — a uniform code slowdown "
+              "reads exactly like this; run tools/warmed_probe.py on a "
+              "recovered box to classify it as contention.",
+              file=sys.stderr)
     if box is not None:
         print(f"# session box factor {box:.2f}x (median vs r01; hard flags "
               "above are ratio/box — same normalization as the advisory)",
               file=sys.stderr)
-    if regressions:
-        print(f"BENCH REGRESSION (box-normalized > {QUERY_RATIO}x/query or "
-              f"{TOTAL_RATIO}x total) vs warmed/r01 anchors "
-              f"(session box factor {box}): {regressions}",
+    # Two distinct verdicts in the summary line: code-regression flags
+    # (per-key / RAW ceiling / TOTAL) vs the session-level BOX_FACTOR
+    # evidence demand — conflating them recreated the r11 two-verdicts
+    # confusion from a new side.
+    code_flags = [r for r in regressions if r[0] != "BOX_FACTOR"]
+    if code_flags:
+        print(f"BENCH REGRESSION (box-normalized > {QUERY_RATIO}x/query, "
+              f"raw > {RAW_CEILING}x/query, or {TOTAL_RATIO}x total) vs "
+              f"warmed/r01 anchors (session box factor {box}): "
+              f"{code_flags}",
               file=sys.stderr)
+    if regressions:
         # Exit non-zero only in opt-in strict mode (local refactor loop).
         # The default stays rc=0: boot-to-boot VM variance alone moves the
         # total ~1.5x (measured 2026-08-13, same code both sides), and the
         # driver records bench rc verbatim — a noise-tripped rc=1 would
         # read as a broken bench, which is worse than the warning.
-        if os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+        if strict:
             sys.exit(1)
     return regressions
 

@@ -213,7 +213,10 @@ def test_hard_gate_convention_box_normalized(tmp_path, monkeypatch, capsys):
     timings["k8"] = 2.5
     flagged = bench.check_regressions(timings, "0.1")
     err = capsys.readouterr().err
-    assert flagged == [], flagged
+    # no PER-KEY flag (2.5x raw on a 1.6x box normalizes to 1.56x) —
+    # but the 1.6x box itself now returns a BOX_FACTOR data flag (r12
+    # ADVICE): contention is a claim that needs idle-box evidence.
+    assert flagged == [("BOX_FACTOR", 1.6)], flagged
     assert "box-normalized" in err
     # same 2.5x raw reading on an idle box IS the code -> flags at 2.5x
     timings = {f"k{i}": 1.0 for i in range(8)}
@@ -223,11 +226,14 @@ def test_hard_gate_convention_box_normalized(tmp_path, monkeypatch, capsys):
 
 
 def test_hard_gate_total_is_box_normalized(tmp_path, monkeypatch):
-    # a uniformly 1.6x session (pure contention) must not flag TOTAL:
-    # raw total ratio 1.6 > 1.4, but normalized 1.6/1.6 = 1.0
+    # a uniformly 1.6x session (pure contention) must not flag TOTAL
+    # (raw total ratio 1.6 > 1.4, but normalized 1.6/1.6 = 1.0) — the
+    # only flag left is the session-level BOX_FACTOR demand for
+    # idle-box evidence (r12 ADVICE)
     anchors = {f"k{i}": 1.0 for i in range(9)}
     _anchor_file(tmp_path, monkeypatch, anchors)
-    assert bench.check_regressions(dict.fromkeys(anchors, 1.6), "0.1") == []
+    flagged = bench.check_regressions(dict.fromkeys(anchors, 1.6), "0.1")
+    assert flagged == [("BOX_FACTOR", 1.6)], flagged
     # a uniformly 1.5x-normalized-excess session does flag TOTAL: every
     # key 1.5x on a box whose median is... itself 1.5 -> normalized 1.0.
     # TOTAL only fires when the total outruns the median (skewed mass):
@@ -250,9 +256,78 @@ def test_hard_gate_reads_warmed_anchors_replaying_r11(tmp_path, monkeypatch, cap
     timings["q_dedup_minhash"] = 1.634
     flagged = bench.check_regressions(timings, "0.1")
     err = capsys.readouterr().err
-    assert flagged == [], flagged
+    # per-key verdict stays clean (the r11 fix); the 1.59x box itself
+    # returns the session-level BOX_FACTOR data flag (r12 ADVICE)
+    assert flagged == [("BOX_FACTOR", 1.59)], flagged
     assert "REGRESSION" not in err
     assert "q_dedup_minhash 1.634s / 1.270s" in err  # warmed base used
+
+
+def test_raw_ceiling_flags_regardless_of_box(tmp_path, monkeypatch):
+    # r12 verdict item 3: past RAW_CEILING no box factor may excuse a
+    # key — box-normalization must never hide an arbitrarily large
+    # single-key regression behind a contended-looking session.
+    anchors = {f"k{i}": 1.0 for i in range(9)}
+    _anchor_file(tmp_path, monkeypatch, anchors)
+    timings = {f"k{i}": 1.6 for i in range(8)}  # box median 1.6
+    timings["k8"] = 2.6                          # 2.6x raw, 1.63x normalized
+    flagged = bench.check_regressions(timings, "0.1")
+    assert ("RAW:k8", 2.6) in flagged, flagged
+    # normalized 1.63x stays under QUERY_RATIO — only the raw ceiling
+    # (and the 1.6x-box evidence demand) fire
+    assert ("k8", 2.6) not in flagged
+
+
+def test_uniform_slowdown_fails_strict_mode(tmp_path, monkeypatch, capsys):
+    # r12 ADVICE (medium): a uniform code slowdown inflates the box
+    # median itself, so every normalized ratio reads ~1.0x; previously
+    # SPARK_GRAFT_BENCH_STRICT exited 0 on exactly that shape. Now a
+    # synthetic uniform 1.4x slowdown flags BOX_FACTOR in strict mode
+    # (same-boot refactor loop — any box jump past BOX_STRICT_BOUND
+    # without idle-box evidence blocks).
+    import pytest
+
+    anchors = {f"k{i}": 1.0 for i in range(9)}
+    _anchor_file(tmp_path, monkeypatch, anchors)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_STRICT", "1")
+    monkeypatch.delenv("SPARK_GRAFT_BOX_EVIDENCE", raising=False)
+    with pytest.raises(SystemExit):
+        bench.check_regressions(dict.fromkeys(anchors, 1.4), "0.1")
+    assert "BOX_FACTOR flag" in capsys.readouterr().err
+    # default (non-strict) mode: 1.4x sits under the 1.5x advisory
+    # bound — recorded box variance, no flag, rc stays 0
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_STRICT")
+    assert bench.check_regressions(dict.fromkeys(anchors, 1.4), "0.1") == []
+
+
+def test_idle_box_evidence_suppresses_box_flag(tmp_path, monkeypatch):
+    # A warmed_probe record with clean co-measured controls at the
+    # CURRENT git HEAD certifies "this code on an idle box is fine" —
+    # the box flag downgrades back to host contention.
+    import json as _json
+    import os
+    import subprocess
+
+    anchors = {f"k{i}": 1.0 for i in range(9)}
+    _anchor_file(tmp_path, monkeypatch, anchors)
+    head = subprocess.run(
+        ["git", "-C", os.path.dirname(bench.__file__), "rev-parse", "HEAD"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    ev = tmp_path / "probe.json"
+    ev.write_text(_json.dumps({"control_box": 1.1, "git_head": head}) + "\n")
+    monkeypatch.setenv("SPARK_GRAFT_BOX_EVIDENCE", str(ev))
+    flagged = bench.check_regressions(dict.fromkeys(anchors, 1.6), "0.1")
+    assert flagged == [], flagged
+    # a contended probe (controls slow too) is NOT evidence
+    ev.write_text(_json.dumps({"control_box": 1.5, "git_head": head}) + "\n")
+    assert bench.check_regressions(
+        dict.fromkeys(anchors, 1.6), "0.1") == [("BOX_FACTOR", 1.6)]
+    # nor is one stamped against different code
+    ev.write_text(_json.dumps(
+        {"control_box": 1.1, "git_head": "0" * 40}) + "\n")
+    assert bench.check_regressions(
+        dict.fromkeys(anchors, 1.6), "0.1") == [("BOX_FACTOR", 1.6)]
 
 
 def test_hard_flag_implies_advisory_flag(tmp_path, monkeypatch, capsys):

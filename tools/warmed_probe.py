@@ -61,6 +61,12 @@ def main() -> None:
     for name, anchor in bench.WARMED_ANCHORS.items():
         if name == "s_ingest_e2e":
             continue  # streaming path; only timed under --ingest
+        if name in args.targets:
+            # r12 ADVICE: an already-anchored key being RE-anchored must
+            # not feed its own timing into the control median — a code
+            # regression in the target would inflate control_box and
+            # partially mask the regression being measured.
+            continue
         sec = bench.time_query(spark, name, sf_dir)
         controls[name] = {"sec": sec, "vs_anchor": round(sec / anchor, 2)}
         ratios.append(sec / anchor)
@@ -71,9 +77,23 @@ def main() -> None:
         targets["s_ingest_e2e"] = round(sec, 3)
         targets["s_ingest_rows_per_sec"] = round(rows / sec)
 
+    import subprocess
+
+    try:
+        git_head = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        git_head = None
+
     print(json.dumps({
         "protocol": "r9-isolated-warmed (tools/warmed_probe.py)",
         "sf_dir": sf_dir,
+        # git_head stamps which code the controls certified — required
+        # for this record to count as bench.idle_box_evidence().
+        "git_head": git_head,
         "controls": controls,
         "control_box": round(statistics.median(ratios), 2) if ratios else None,
         "targets": targets,
