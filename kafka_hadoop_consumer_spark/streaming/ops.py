@@ -294,6 +294,13 @@ def stateful_user_counters(df: DataFrame, ttl_minutes: int | None = None) -> Dat
     without it, an unbounded-cardinality key column grows the state
     store and checkpoint forever. ``None`` (bounded replay harnesses,
     tests) keeps counters exact over the whole run.
+
+    Operational caveat (measured on PySpark 4.1.2): with a processing-
+    time timeout configured, ``trigger(availableNow=True)`` does NOT
+    terminate after draining input — the engine keeps scheduling
+    micro-batches (~1/sec) so pending timeouts can fire. Drive TTL mode
+    with the default trigger plus ``processAllAvailable()``/``stop()``
+    in bounded harnesses; reserve availableNow for ``ttl_minutes=None``.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -685,6 +685,79 @@ def test_stream_asof_enrich_foreachbatch(spark, events_dir, tmp_path):
     assert want.exceptAll(got).count() == 0
 
 
+def test_stateful_path_selection_and_ttl_counters(spark, events_dir):
+    """r12 verdict item 6: record WHICH stateful API this Spark build
+    actually runs (transformWithStateInPandas vs applyInPandasWithState
+    — ops.transform_with_state_available picks silently), then exercise
+    the TTL counter variant (_make_ttl_counter_fn) on that active path.
+
+    A generous TTL means no key times out inside the bounded replay, so
+    the ProcessingTimeTimeout machinery (state.setTimeoutDuration per
+    batch, hasTimedOut guard) runs on every micro-batch while the final
+    counters must still equal the batch ground truth."""
+    from kafka_hadoop_consumer_spark.streaming.ops import (
+        transform_with_state_available,
+    )
+
+    tws = transform_with_state_available()
+    active = (
+        "transformWithStateInPandas" if tws else "applyInPandasWithState"
+    )
+    # On this build (PySpark 4.1.2, no usable google.protobuf) the
+    # engine must select applyInPandasWithState; if the probe ever
+    # flips, this assertion names the path that took over.
+    assert active == "applyInPandasWithState", (
+        f"active stateful-streaming path changed to {active}; "
+        "revisit stateful_user_counters fast-path wiring"
+    )
+
+    stream = ops.stateful_user_counters(
+        _stream_events(spark, events_dir), ttl_minutes=60
+    )
+    # NOT _run_to_memory: with a processing-time timeout configured,
+    # neither availableNow nor processAllAvailable ever returns — the
+    # engine keeps scheduling micro-batches (~1/sec, measured) so
+    # pending timeouts can fire, and the perpetual batches keep the
+    # stream "busy". TTL mode is the always-on deployment shape; a
+    # bounded harness polls the sink until the counters converge to
+    # ground truth, then stops the query.
+    import time
+
+    import pandas as pd
+
+    expected = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .toPandas().set_index("user_id")["n"].sort_index()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_state_ttl")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        final = None
+        while time.time() < deadline:
+            got = spark.sql("SELECT * FROM t_state_ttl").toPandas()
+            if len(got):
+                final = (
+                    got.groupby("user_id")["n_events"].max().sort_index()
+                )
+                if len(final) == len(expected) and (
+                    final.to_numpy() == expected.to_numpy()
+                ).all():
+                    break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert final is not None
+    pd.testing.assert_series_equal(
+        final, expected, check_names=False, check_dtype=False,
+    )
+
+
 def test_stateful_counters_on_rocksdb_state_store(spark, events_dir):
     """VERDICT r2 stretch: pin the at-scale state backend. The HDFS-backed
     default state store holds every key in executor heap; RocksDB spills
