@@ -997,6 +997,48 @@ PR_TELEPORT = 0.15  # 1 - PR_DAMPING, spelled exactly (no float re-derivation)
 PR_ITERS = 3
 
 
+def pagerank_from_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """The PageRank iteration core on a DIRECTED (src, dst) edge list
+    with no dangling nodes (every node appears as a src) — shared by
+    q_graph_pagerank and tools/scale100_probe.py --pagerank so the 100×
+    receipt measures the exact plan the registry key runs.
+
+    Scale shape (the q_graph_pagerank contract): edges hash-partitioned
+    by src ONCE and persisted; each unrolled iteration is one join (rank
+    lands on the edges' partitioning) plus one groupBy-dst shuffle of
+    |V| partial sums — linear in |E| per iteration. The O(|V|) degree
+    table carries NO broadcast hint (AQE decides); only the 1-row |V|
+    count is hint-broadcast. One Catalyst plan, no driver collect
+    between iterations. Returns (id, deg, r) unrounded."""
+    edges = persist_tracked(edges.repartition("src"))
+    deg = persist_tracked(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    nv = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    r = (
+        deg.select(F.col("src").alias("id"), "deg")
+        .crossJoin(F.broadcast(nv))
+        .select("id", "deg", (F.lit(1.0) / F.col("n")).alias("r"))
+    )
+    for _ in range(iters):
+        contrib = edges.join(
+            r.withColumnRenamed("id", "src_id"),
+            F.col("src") == F.col("src_id"),
+        ).select("dst", (F.col("r") / F.col("deg")).alias("m"))
+        r = (
+            contrib.groupBy("dst")
+            .agg(F.sum("m").alias("s"))
+            .join(deg, F.col("dst") == F.col("src"))
+            .crossJoin(F.broadcast(nv))
+            .select(
+                F.col("dst").alias("id"),
+                "deg",
+                (PR_TELEPORT / F.col("n") + PR_DAMPING * F.col("s")).alias("r"),
+            )
+        )
+    return r
+
+
 @query(
     "q_graph_pagerank",
     oracle=f"""
@@ -1056,32 +1098,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") > JACCARD_THRESHOLD)
         .select("doc1", "doc2")
     )
-    edges = persist_tracked(
-        pairs.selectExpr("doc1 AS src", "doc2 AS dst")
-        .unionByName(pairs.selectExpr("doc2 AS src", "doc1 AS dst"))
-        .repartition("src")
+    edges = pairs.selectExpr("doc1 AS src", "doc2 AS dst").unionByName(
+        pairs.selectExpr("doc2 AS src", "doc1 AS dst")
     )
-    deg = persist_tracked(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
-    nv = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    r = deg.select(
-        F.col("src").alias("id"), "deg"
-    ).crossJoin(F.broadcast(nv)).select("id", "deg", (F.lit(1.0) / F.col("n")).alias("r"))
-    for _ in range(PR_ITERS):
-        contrib = edges.join(
-            r.withColumnRenamed("id", "src_id"),
-            F.col("src") == F.col("src_id"),
-        ).select("dst", (F.col("r") / F.col("deg")).alias("m"))
-        r = (
-            contrib.groupBy("dst")
-            .agg(F.sum("m").alias("s"))
-            .join(deg, F.col("dst") == F.col("src"))
-            .crossJoin(F.broadcast(nv))
-            .select(
-                F.col("dst").alias("id"),
-                "deg",
-                (PR_TELEPORT / F.col("n") + PR_DAMPING * F.col("s")).alias("r"),
-            )
-        )
+    r = pagerank_from_edges(edges, iters=PR_ITERS)
     return r.select(
         F.col("id").alias("doc_id"), "deg", F.round("r", 8).alias("pagerank")
     )

@@ -376,6 +376,87 @@ def probe_cc(n1: int) -> int:
     return 0
 
 
+def probe_pagerank(n1: int) -> int:
+    """100× PageRank receipt → bench_100x.json["pagerank_100x"]
+    (r12 verdict item 5: the heaviest bench extra with no scale
+    receipt).
+
+    Measures pagerank_from_edges — the exact iteration core
+    q_graph_pagerank runs (dedup.py) — on a synthetic ring+skip graph
+    (each node → node+1 and node+7, both directions: degree 4, |E| =
+    4n, no dangling nodes, diameter-independent so the wall isolates
+    the per-iteration join+groupBy cost). Two decades (n1 and 100·n1)
+    × two unroll depths (1 and 3 iterations): per-iteration cost =
+    (wall₃ − wall₁)/2 cancels the shared setup (persist of edges/deg,
+    rank init), and the claim under test is per_iter_100x/per_iter_1x
+    tracking the 100× edge ratio (linear in |E|), not n² behavior."""
+    from pyspark.sql import functions as F
+
+    import bench
+    from kafka_hadoop_consumer_spark.queries.dedup import pagerank_from_edges
+    from kafka_hadoop_consumer_spark.queries.registry import release_tracked
+
+    spark = bench.get_spark(app_name="scale100_pagerank")
+
+    def ring_edges(n: int):
+        nodes = spark.range(n)
+        fwd = nodes.select(
+            F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+        ).unionByName(
+            nodes.select(
+                F.col("id").alias("src"), ((F.col("id") + 7) % n).alias("dst")
+            )
+        )
+        return fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def run(n: int, iters: int) -> float:
+        t0 = time.perf_counter()
+        out = pagerank_from_edges(ring_edges(n), iters=iters)
+        # materialize + sanity: rank mass sums to ~1 (power iteration
+        # on a connected regular graph preserves total mass)
+        mass = out.agg(F.sum("r")).first()[0]
+        wall = round(time.perf_counter() - t0, 3)
+        release_tracked()
+        assert abs(mass - 1.0) < 1e-6, mass
+        return wall
+
+    n100 = n1 * 100
+    run(n1, 1)  # untimed warm-up: JVM JIT + shuffle service + Arrow init
+    walls = {
+        "wall_1x_iters1": run(n1, 1),
+        "wall_1x_iters3": run(n1, 3),
+        "wall_100x_iters1": run(n100, 1),
+        "wall_100x_iters3": run(n100, 3),
+    }
+    per_1x = round((walls["wall_1x_iters3"] - walls["wall_1x_iters1"]) / 2, 3)
+    per_100x = round(
+        (walls["wall_100x_iters3"] - walls["wall_100x_iters1"]) / 2, 3
+    )
+    out = {
+        "recorded": datetime.date.today().isoformat(),
+        "command": "python tools/scale100_probe.py --pagerank",
+        "def_hashes": _def_hashes(("q_graph_pagerank",)),
+        "graph": "ring+skip7 (degree 4, |E| = 4n directed, no dangling)",
+        "n_1x": n1,
+        "n_100x": n100,
+        "edges_1x": 4 * n1,
+        "edges_100x": 4 * n100,
+        **walls,
+        "per_iteration_sec_1x": per_1x,
+        "per_iteration_sec_100x": per_100x,
+        "per_iteration_ratio_100x_vs_1x": (
+            round(per_100x / per_1x, 2) if per_1x > 0 else None
+        ),
+        "edge_ratio": 100,
+    }
+    path = _merge_into_sidecar({"pagerank_100x": out})
+    print(json.dumps(out, indent=2))
+    print(f"merged into {path}", file=sys.stderr)
+    return 0
+
+
 def main() -> int:
     import argparse
 
@@ -399,6 +480,8 @@ def main() -> int:
                     help="run the connected-components PATH-graph probe")
     ap.add_argument("--hybrid", action="store_true",
                     help="run the hybrid-search (BM25+dense) probe")
+    ap.add_argument("--pagerank", action="store_true",
+                    help="run the PageRank ring-graph iteration probe")
     args = ap.parse_args()
     n1 = args.n1
     if args.minhash:
@@ -409,6 +492,8 @@ def main() -> int:
         return probe_cc(n1)
     if args.hybrid:
         return probe_hybrid(n1)
+    if args.pagerank:
+        return probe_pagerank(n1)
     n100 = n1 * 100
     BITS_1X = bench.SCALE_DEDUP_BITS_1X          # 5
     BITS_10X = bench.SCALE_DEDUP_BITS_10X        # 8
