@@ -377,6 +377,79 @@ def test_nested_scope_binding_does_not_mask_outer_load(tmp_path):
     assert closure.get("const:GAIN") == "2", closure
 
 
+def test_class_body_does_not_enclose_methods(tmp_path):
+    # r12 ADVICE: Python class bodies do not enclose their methods — a
+    # method's genuine module-global load whose name collides with a
+    # class attribute must still be captured (the old pass inherited
+    # ClassDef bindings downward and wrongly excluded it).
+    import importlib
+    import sys
+    import textwrap
+
+    pkg = tmp_path / "kafka_hadoop_consumer_spark_fake7"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "m.py").write_text(textwrap.dedent("""\
+        LIMIT = 9
+
+        def q_fake(spark, sf_dir):
+            class Cfg:
+                LIMIT = 1            # class attr shadows the global NAME
+
+                def probe(self):
+                    return LIMIT     # but methods resolve to the GLOBAL
+
+            return Cfg().probe()
+        """))
+    sys.path.insert(0, str(tmp_path))
+    try:
+        mod = importlib.import_module("kafka_hadoop_consumer_spark_fake7.m")
+    finally:
+        sys.path.remove(str(tmp_path))
+    closure = ledger.helper_closure(
+        mod.q_fake, pkg="kafka_hadoop_consumer_spark_fake7"
+    )
+    assert closure.get("const:LIMIT") == "9", closure
+
+
+def test_decorators_and_defaults_resolve_in_enclosing_scope(tmp_path):
+    # r12 ADVICE: decorator and default-arg expressions evaluate in the
+    # ENCLOSING scope. A parameter of the decorated function must not
+    # shadow a same-named global referenced from its own default or
+    # decorator (the old pass analyzed them inside the inner scope).
+    import importlib
+    import sys
+    import textwrap
+
+    pkg = tmp_path / "kafka_hadoop_consumer_spark_fake8"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "m.py").write_text(textwrap.dedent("""\
+        SCALE = 7
+        TAG = 3
+
+        def q_fake(spark, sf_dir):
+            def deco(fn):
+                return fn
+
+            @deco if TAG else None       # decorator load: enclosing scope
+            def inner(TAG, SCALE=SCALE):  # default load: enclosing scope
+                return TAG + SCALE        # params shadow both inside
+
+            return inner(1)
+        """))
+    sys.path.insert(0, str(tmp_path))
+    try:
+        mod = importlib.import_module("kafka_hadoop_consumer_spark_fake8.m")
+    finally:
+        sys.path.remove(str(tmp_path))
+    closure = ledger.helper_closure(
+        mod.q_fake, pkg="kafka_hadoop_consumer_spark_fake8"
+    )
+    assert closure.get("const:SCALE") == "7", closure
+    assert closure.get("const:TAG") == "3", closure
+
+
 def test_inner_only_shadow_still_excluded(tmp_path):
     # the converse guard: a module constant referenced ONLY by a nested
     # scope's shadowed name (never as a real load) stays out of the hash

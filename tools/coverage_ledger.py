@@ -162,14 +162,61 @@ def helper_closure(fn, pkg: str = _PKG) -> dict[str, str]:
             ast.ClassDef,
         )
 
+        def enclosing_exprs(node):
+            """Sub-expressions of a scope node that EVALUATE in its
+            ENCLOSING scope (r12 ADVICE): decorators, parameter
+            defaults, annotations, class bases/keywords, and the
+            outermost comprehension iterable. Analyzing them inside the
+            inner scope let params shadow their genuine outer loads."""
+            ext = []
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)
+            ):
+                a = node.args
+                ext += [d for d in a.defaults if d is not None]
+                ext += [d for d in a.kw_defaults if d is not None]
+                if not isinstance(node, ast.Lambda):
+                    ext += node.decorator_list
+                    ext += [
+                        arg.annotation
+                        for arg in (
+                            *a.posonlyargs, *a.args, *a.kwonlyargs,
+                            *([a.vararg] if a.vararg else []),
+                            *([a.kwarg] if a.kwarg else []),
+                        )
+                        if arg.annotation
+                    ]
+                    if node.returns:
+                        ext.append(node.returns)
+            elif isinstance(
+                node,
+                (ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp),
+            ):
+                ext.append(node.generators[0].iter)
+            elif isinstance(node, ast.ClassDef):
+                ext += node.decorator_list
+                ext += node.bases
+                ext += [k.value for k in node.keywords]
+            return ext
+
         def iter_scope(root):
             """Nodes of root's immediate scope — stops AT nested scope
-            nodes (their children belong to the nested scope's pass)."""
+            nodes (their children belong to the nested scope's pass),
+            EXCEPT their enclosing-scope expressions (decorators,
+            defaults, annotations, first comprehension iterable), which
+            evaluate here and are yielded as this scope's nodes; root's
+            own such expressions belong to ITS enclosing scope and are
+            skipped."""
+            skip = {id(x) for x in enclosing_exprs(root)}
             stack = list(ast.iter_child_nodes(root))
             while stack:
                 node = stack.pop()
+                if id(node) in skip:
+                    continue
                 yield node
-                if not isinstance(node, scope_t):
+                if isinstance(node, scope_t):
+                    stack.extend(enclosing_exprs(node))
+                else:
                     stack.extend(ast.iter_child_nodes(node))
 
         def own_params(root) -> set:
@@ -242,10 +289,20 @@ def helper_closure(fn, pkg: str = _PKG) -> dict[str, str]:
                             and hasattr(base, chain[0])
                         ):
                             resolve(getattr(base, chain[0]), chain[0])
-            # pass 3 — nested scopes see this scope's bindings
+            # pass 3 — nested scopes see this scope's bindings, EXCEPT
+            # under a ClassDef: Python class bodies do not enclose
+            # their methods (r12 ADVICE), so a method's genuine
+            # module-global load whose name collides with a class
+            # attribute must still be captured — methods inherit what
+            # the class body inherited, not the class body's bindings.
+            child_inherited = (
+                inherited
+                if isinstance(root, ast.ClassDef)
+                else frozenset(bound)
+            )
             for node in iter_scope(root):
                 if isinstance(node, scope_t):
-                    analyze(node, frozenset(bound))
+                    analyze(node, child_inherited)
 
         analyze(tree, frozenset())
         # sorted: set iteration order varies across processes (string
