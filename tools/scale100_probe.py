@@ -457,6 +457,102 @@ def probe_pagerank(n1: int) -> int:
     return 0
 
 
+def probe_bootstrap(n1: int) -> int:
+    """100× Poisson-bootstrap receipt → bench_100x.json["bootstrap_100x"]
+    (r12 plan audit: q_stats_bootstrap was the heaviest bench extra
+    whose scale posture was argued from the plan, not measured).
+
+    Runs q_stats_bootstrap itself (the registry callable, not a twin)
+    over synthetic events tables at n1 and 100·n1 rows. The design
+    claim under test: all BOOT_B resamples ride ONE scan as in-projection
+    weights (explode of a literal sequence — no join, no per-resample
+    shuffle), collapsing map-side into exactly |event_types| × BOOT_B
+    resample means, so (a) the post-aggregate state is CONSTANT in n —
+    recorded at both scales — and (b) wall grows ~linearly in rows, far
+    under the B×n² a materialized-resample design would pay."""
+    from pyspark.sql import functions as F
+
+    import bench
+    from kafka_hadoop_consumer_spark.queries.quality import (
+        BOOT_B,
+        q_stats_bootstrap,
+    )
+    from kafka_hadoop_consumer_spark.queries.registry import release_tracked
+
+    spark = bench.get_spark(app_name="scale100_bootstrap")
+
+    def synth_events(n: int, out_dir: str) -> None:
+        # same shape as testdata events.parquet; event_type cardinality 3
+        # matches sf0.1 (browse/click/purchase) so the constant-state
+        # claim is checked at the real |types|
+        spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+            (F.col("id") % 997).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("browse"), F.lit("click"), F.lit("purchase")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("event_type"),
+            (F.sin(F.col("id").cast("double")) * 50 + 50).alias("value"),
+            F.lit("{}").alias("props"),
+        ).coalesce(8).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "events.parquet")
+        )
+
+    def run(sf_dir: str) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        rows = q_stats_bootstrap(spark, sf_dir).count()
+        wall = round(time.perf_counter() - t0, 3)
+        release_tracked()
+        return wall, rows
+
+    n100 = n1 * 100
+    d1 = tempfile.mkdtemp(prefix="bench_scale_1x_boot_")
+    d100 = tempfile.mkdtemp(prefix="bench_scale_100x_boot_")
+    try:
+        synth_events(n1, d1)
+        synth_events(n100, d100)
+
+        # constant-state invariant: resample means entering the final
+        # per-type collect — must be |types| × BOOT_B at BOTH scales
+        def mean_rows(sf_dir: str) -> int:
+            e = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            return (
+                e.select("event_type").distinct().count() * BOOT_B
+            )
+
+        run(d1)  # untimed warm-up: JVM JIT + shuffle + codegen caches
+        wall_1x, rows_1x = run(d1)
+        wall_100x, rows_100x = run(d100)
+
+        out = {
+            "recorded": datetime.date.today().isoformat(),
+            "command": "python tools/scale100_probe.py --bootstrap",
+            "def_hashes": _def_hashes(("q_stats_bootstrap",)),
+            "boot_b": BOOT_B,
+            "n_1x": n1,
+            "n_100x": n100,
+            "exploded_rows_1x": n1 * BOOT_B,
+            "exploded_rows_100x": n100 * BOOT_B,
+            "resample_means_state_1x": mean_rows(d1),
+            "resample_means_state_100x": mean_rows(d100),
+            "result_rows_1x": rows_1x,
+            "result_rows_100x": rows_100x,
+            "wall_sec_1x": wall_1x,
+            "wall_sec_100x_single_run": wall_100x,
+            "wall_ratio_100x_vs_1x": (
+                round(wall_100x / wall_1x, 2) if wall_1x > 0 else None
+            ),
+        }
+        path = _merge_into_sidecar({"bootstrap_100x": out})
+        print(json.dumps(out, indent=2))
+        print(f"merged into {path}", file=sys.stderr)
+        return 0
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d100, ignore_errors=True)
+
+
 def main() -> int:
     import argparse
 
@@ -482,8 +578,12 @@ def main() -> int:
                     help="run the hybrid-search (BM25+dense) probe")
     ap.add_argument("--pagerank", action="store_true",
                     help="run the PageRank ring-graph iteration probe")
+    ap.add_argument("--bootstrap", action="store_true",
+                    help="run the Poisson-bootstrap events probe")
     args = ap.parse_args()
     n1 = args.n1
+    if args.bootstrap:
+        return probe_bootstrap(n1)
     if args.minhash:
         return probe_minhash(n1)
     if args.substring:
