@@ -54,7 +54,7 @@ LEDGER: dict[tuple[str, str, str], str] = {}
 # deleting a textually identical twin is a count mismatch, not invisible
 # (r8 advice: the un-counted ledger collapsed 143 sites onto 138 keys)
 MULTI: dict[tuple[str, str, str], int] = {
-    ("queries/dedup.py", "q_graph_pagerank", "nv"): 2,
+    ("queries/dedup.py", "pagerank_from_edges", "nv"): 2,
     ("queries/e2e.py", "q_e2e_q7", "n"): 2,
     ("queries/e2e_tpch.py", "q_e2e_q8", "n"): 2,
     ("queries/quality.py", "q_ml_logreg", "beta"): 2,
@@ -93,7 +93,7 @@ for f, a, c in [
     ("q_dedup_contamination", "hot", "zipf-head"),
     ("minhash_near_dup_pairs", "cand_docs", "candidates"),
     ("minhash_near_dup_pairs", "candidates", "candidates"),
-    ("q_graph_pagerank", "nv", "one-row"),
+    ("pagerank_from_edges", "nv", "one-row"),
 ]:
     _add("queries/dedup.py", f, a, c)
 # --- e2e (TPC-H-ish) -----------------------------------------------------
