@@ -1139,14 +1139,27 @@ TOTAL_RATIO = 1.4
 #     box = 1.27 normalized);
 #   q_dedup_ngram_jaccard — r12 warmed_probe min-of-three-sessions
 #     1.143 s (box 1.17x; raw min recorded, not box-derived);
-#   q_graph_cc — r12 profile (bench_cc_profile.json): per-round walls
-#     show the 2-for-2 primary band breach was contention-scaled fixed
-#     per-round stage overhead (tail rounds process ~1.5k edges in ~1 s
-#     each), uniform across passes; anchor 3.9 s = top of the
-#     idle-normalized range (5.28-5.66 s at control box ~1.45; r11
-#     run B control 3.28 at box 1.10). Replaces the retired 2.3-4.6 s
-#     prose band — and gives cc a hard-gate base at all (it joined
-#     HEADLINE at r7, so BENCH_r01 never had it).
+#   q_graph_cc — anchor 3.9 s, re-grounded r13 on MEASURED in-bench
+#     raw minima (r12 committed bench: 3.920 s raw at session box
+#     1.35x, 1.01x vs anchor), retiring the r12 box-division estimate
+#     the ADVICE flagged. warmed_probe raw-min for cc is 4.631 s
+#     (three r13 sessions, boxes 1.29-2.14) — the probe's 4-query
+#     warm-up systematically under-warms a 19-round iterative job, so
+#     its readings sit ABOVE mid-bench context and would loosen the
+#     gate; in-bench minima are the comparable protocol for this key.
+#   q_join_multiway / q_join_range / q_win_topk_group — r13
+#     warmed_probe raw min of three sessions (boxes 1.40/1.29/2.14;
+#     multiway 0.836/0.933/1.001, range 0.444/0.446, topk
+#     0.522/0.523 — the last two contention-INsensitive, byte-stable
+#     across a 1.7x box swing). Raw min on contended boxes upper-
+#     bounds the idle value, so these anchors are conservative-loose,
+#     never false-alarm-tight. q_agg_groupby was probed identically
+#     (0.484 stable at boxes 1.29 AND 2.14, below its 0.53 r01
+#     anchor — the r12 1.78x raw read was first-position JIT/codegen
+#     cold-start, not code) but carries NO warmed anchor: its
+#     in-bench first-position reading runs ~1.9x its deep-warm probe
+#     value, so a probe-derived anchor would false-flag every honest
+#     session; the r01 hard-gate anchor already covers it.
 WARMED_ANCHORS = {
     "q_udf_scalar": 0.302,
     "q_text_ngram": 0.746,
@@ -1155,6 +1168,9 @@ WARMED_ANCHORS = {
     "q_dedup_minhash": 1.27,
     "q_dedup_ngram_jaccard": 1.14,
     "q_graph_cc": 3.9,
+    "q_join_multiway": 0.836,
+    "q_join_range": 0.444,
+    "q_win_topk_group": 0.522,
 }
 WARMED_RATIO = 1.3
 # A key only flags when its warmed ratio ALSO exceeds the session's
@@ -1287,7 +1303,8 @@ def warmed_advisory(best: dict[str, float], box=None) -> dict:
         "anchor_set": "isolated-warmed (BASELINE.md; r9 udf/ngram, "
                       "r11 sessionize, r10 ingest band top, "
                       "r5/r12 minhash, r12 ngram_jaccard, "
-                      "r12 graph_cc profile)",
+                      "r12+r13 graph_cc in-bench min, "
+                      "r13 multiway/range/topk raw-min-of-3)",
         "anchors": dict(WARMED_ANCHORS),
         "ratio_limit": WARMED_RATIO,
         "ratios": ratios,
