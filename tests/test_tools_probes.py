@@ -57,3 +57,32 @@ def test_cc_anchor_matches_committed_profile():
         f"WARMED_ANCHORS['q_graph_cc']={anchor} but bench_cc_profile.json's "
         "action records a different value — re-profile before re-anchoring"
     )
+
+
+def test_scale100_probe_wiring_and_receipt_keys():
+    """bench_100x.json receipts are def-hash-stamped against registry
+    keys; a key rename (or a probe function deletion) would make the
+    receipts unre-earnable without failing anywhere. Pin both: every
+    stamped key still exists in the registry, and every probe entry
+    point the receipts' recorded commands name is still defined."""
+    import json
+
+    sp = _load("scale100_probe")
+    for fn in ("probe_minhash", "probe_substring", "probe_cc",
+               "probe_hybrid", "probe_pagerank", "probe_bootstrap"):
+        assert callable(getattr(sp, fn)), f"scale100_probe.{fn} missing"
+
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_100x.json")
+    with open(path) as f:
+        receipts = json.load(f)
+    stamped = set()
+    for section, rec in receipts.items():
+        if isinstance(rec, dict):
+            stamped |= set(rec.get("def_hashes", {}))
+    # top-level ANN receipt keeps def_hashes at the root
+    stamped |= set(receipts.get("def_hashes", {}))
+    assert stamped, "no def-hash-stamped keys found in bench_100x.json"
+    missing = stamped - set(QUERIES)
+    assert not missing, (
+        f"bench_100x.json stamps keys absent from the registry: {missing}"
+    )
