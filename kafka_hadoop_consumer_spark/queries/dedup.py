@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
+from kafka_hadoop_consumer_spark.queries.registry import (
+    fan_out,
+    persist_tracked,
+    query,
+)
 from kafka_hadoop_consumer_spark.queries.textutil import ngram_expr
 
 N_SHINGLE = 4           # w-shingle width (FIXTURES.md planted pairs use 4)
@@ -102,14 +106,27 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
 
     Tokenization lands in a column first so the shingle expression splits
     each text once, not twice (measured 3× faster at sf0.1).
-    """
+
+    r13 optimization (guide §2.4 "remove shuffles outright"): the
+    distinct is keyed (id, shingle) and every shingle of a doc lives in
+    that doc's own row, so a global ``.distinct()`` — a full shuffle of
+    the widest stream in the dedup family — is equivalent to a row-local
+    ``array_distinct`` on the ngram array before the explode. Zero
+    exchanges here now; downstream consumers (MinHash signatures,
+    posting lists) see the identical distinct pair set. The doc frame is
+    also fan_out-repartitioned by id first (single-row-group fixture
+    scan → one task otherwise; no-op at cluster scale), which lets the
+    per-doc aggregations downstream (minhash_signatures' groupBy(id),
+    the verify-stage docsets) reuse this one exchange."""
     return (
-        df.withColumn("_toks", F.split(F.col(text_col), " "))
+        fan_out(df, id_col)
+        .withColumn("_toks", F.split(F.col(text_col), " "))
         .select(
             F.col(id_col),
-            F.explode(F.expr(ngram_expr("_toks", N_SHINGLE))).alias("sh"),
+            F.explode(
+                F.array_distinct(F.expr(ngram_expr("_toks", N_SHINGLE)))
+            ).alias("sh"),
         )
-        .distinct()
     )
 
 
@@ -416,8 +433,12 @@ def minhash_near_dup_pairs(d: DataFrame) -> DataFrame:
     # cache: shingles feed signatures + verification (released at the
     # next registered-query call — see registry.persist_tracked)
     sh = persist_tracked(shingles(d))
-    sig = minhash_signatures(sh)
-    banded = minhash_banded(sig)
+    # r13: persist the banded bucket table too — the candidate self-join
+    # references it on BOTH sides, and each side otherwise re-runs the
+    # md5 base hash + 32-way min aggregation from the cached shingles
+    # (Spark dedupes identical subplans only at exchange boundaries;
+    # same fix the bench's scale_minhash_candidate_pairs already carries)
+    banded = persist_tracked(minhash_banded(minhash_signatures(sh)))
     left = banded.select(
         F.col("doc_id").alias("doc1"), "band_idx", "band_hash"
     )
@@ -1004,39 +1025,55 @@ def pagerank_from_edges(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     receipt measures the exact plan the registry key runs.
 
     Scale shape (the q_graph_pagerank contract): edges hash-partitioned
-    by src ONCE and persisted; each unrolled iteration is one join (rank
-    lands on the edges' partitioning) plus one groupBy-dst shuffle of
-    |V| partial sums — linear in |E| per iteration. The O(|V|) degree
+    by src ONCE, degree-annotated ONCE, and persisted; each unrolled
+    iteration is one join (rank lands on the edges' partitioning) plus
+    one groupBy-dst shuffle of |V| partial sums — linear in |E| per
+    iteration. r13 (guide §2.4): the out-degree rides ON the persisted
+    edge table instead of being re-joined onto the rank vector every
+    iteration — that join shuffled (or AQE-broadcast-built) an O(|V|)
+    table once per iteration for a value that never changes; now deg
+    attaches to the returned frame once at the end. The O(|V|) degree
     table carries NO broadcast hint (AQE decides); only the 1-row |V|
     count is hint-broadcast. One Catalyst plan, no driver collect
     between iterations. Returns (id, deg, r) unrounded."""
-    edges = persist_tracked(edges.repartition("src"))
+    # One exchange builds the whole iteration-side table: repartition by
+    # src, and the degree window rides that same partitioning BEFORE the
+    # persist (an InMemoryRelation compiled under AQE reports unknown
+    # partitioning, so anything computed after the cache would pay a
+    # fresh exchange — measured on this Spark: cached repartitioned
+    # frames re-shuffle for a same-key groupBy/window).
+    ed = persist_tracked(
+        edges.repartition("src").withColumn(
+            "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    )
+    # O(|V|) (src, deg) table for the |V| count and the final output
+    # columns only — no longer touched inside the iterations. max() of a
+    # per-partition-constant column == the column's value.
     deg = persist_tracked(
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        ed.groupBy("src").agg(F.max("deg").alias("deg"))
     )
     nv = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     r = (
-        deg.select(F.col("src").alias("id"), "deg")
+        deg.select(F.col("src").alias("id"))
         .crossJoin(F.broadcast(nv))
-        .select("id", "deg", (F.lit(1.0) / F.col("n")).alias("r"))
+        .select("id", (F.lit(1.0) / F.col("n")).alias("r"))
     )
     for _ in range(iters):
-        contrib = edges.join(
+        contrib = ed.join(
             r.withColumnRenamed("id", "src_id"),
             F.col("src") == F.col("src_id"),
         ).select("dst", (F.col("r") / F.col("deg")).alias("m"))
         r = (
             contrib.groupBy("dst")
             .agg(F.sum("m").alias("s"))
-            .join(deg, F.col("dst") == F.col("src"))
             .crossJoin(F.broadcast(nv))
             .select(
                 F.col("dst").alias("id"),
-                "deg",
                 (PR_TELEPORT / F.col("n") + PR_DAMPING * F.col("s")).alias("r"),
             )
         )
-    return r
+    return r.join(deg, r["id"] == deg["src"]).select("id", "deg", "r")
 
 
 @query(

@@ -35,14 +35,19 @@ def copurchase_edges(e: DataFrame) -> DataFrame:
     than a bucket self-join and moving |buckets| rows instead of 2×
     probe streams); the cap bounds per-bucket fan-out at C(cap, 2)."""
     hr = F.expr(f"unix_micros(cast(ts AS timestamp)) DIV {HOUR_US}")
-    pu = (
-        e.where(F.col("event_type") == "purchase")
-        .select(hr.alias("hr"), "user_id")
-        .distinct()
+    pu = e.where(F.col("event_type") == "purchase").select(
+        hr.alias("hr"), "user_id"
     )
+    # r13 (guide §2.4): the former ``pu.distinct()`` was a full shuffle
+    # of the (hr, user) stream immediately followed by a second full
+    # shuffle for the groupBy(hr) posting build. collect_set dedupes
+    # (hr, user) inside ONE map-side-combinable aggregation keyed hr —
+    # sort_array(collect_set) ≡ sort_array(collect_list(distinct)) —
+    # so one exchange does both jobs. Per-bucket set size is bounded by
+    # the same TRI_BUCKET_CAP filter that already bounds the posting.
     posts = (
         pu.groupBy("hr")
-        .agg(F.sort_array(F.collect_list("user_id")).alias("us"))
+        .agg(F.sort_array(F.collect_set("user_id")).alias("us"))
         .where((F.size("us") >= 2) & (F.size("us") <= TRI_BUCKET_CAP))
     )
     return (
@@ -373,30 +378,35 @@ def cc_from_edges(
     scale-path CC; rounds-to-fixpoint recorded in CC_LAST_ROUNDS[key]."""
 
     def star_round(E: DataFrame) -> DataFrame:
+        # r13 (guide §2.4): each star's min used to be a groupBy(u)
+        # aggregate joined back onto the same stream — shuffling the
+        # symmetric edge stream twice per star at scale (agg + join
+        # probe), plus an AQE broadcast-build stage per round locally.
+        # A min-over-Window.partitionBy(u) attaches m = min(N(u)) to
+        # every row of u's neighborhood in ONE exchange of the stream
+        # and no join at all; per-round query stages drop from ~7 to
+        # ~5 (the dominant cost of the tiny late rounds is stage
+        # launches, bench_cc_profile.json) and the at-scale shuffle
+        # byte count halves per star. Same (u, m) values row for row.
         sym = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
         # large-star: neighbors above u attach to m = min(N(u) + {u})
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+        w_u = Window.partitionBy("u")
         large = (
-            sym.where(F.col("v") > F.col("u"))
-            .join(mins, "u")
+            sym.withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
+            .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
         # small-star: orient edges downward, re-hang node + smaller
-        # neighbors off m = min of the downward neighborhood
+        # neighbors off m = min of the downward neighborhood; emitting
+        # BOTH (v, m) and (u, m) from the same pass (the duplicate
+        # (u, m) copies per downward edge collapse in the distinct)
         dn = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        mins2 = dn.groupBy("u").agg(F.min("v").alias("m"))
-        # one pass emits BOTH (v, m) and (u, m) — a unionAll of two
-        # dn.join(mins2) branches would re-execute the whole large-star
-        # subplan twice per round (Spark does not dedupe identical
-        # subplans outside AQE exchange reuse)
         small = (
-            dn.join(mins2, "u")
+            dn.withColumn("m", F.min("v").over(Window.partitionBy("u")))
             .select(
                 F.explode(
                     F.array(

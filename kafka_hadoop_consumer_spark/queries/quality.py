@@ -10,7 +10,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
+from kafka_hadoop_consumer_spark.queries.registry import (
+    fan_out,
+    persist_tracked,
+    query,
+)
 
 
 def hash_split_arm(id_col: str):
@@ -728,7 +732,12 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines select the same element even when two means differ by an
     ulp."""
     e = load_table(spark, sf_dir, "events")
-    draws = e.select(
+    # fan_out (guide §2.5): the B× row amplification + per-(row, b) md5
+    # all happen in the scan projection, and the single-row-group
+    # fixture file plans ONE scan task — measured 1.62 s → 0.72 s at
+    # sf0.1 once the 24× md5 work spreads over the session's cores.
+    # No-op on a real multi-split scan.
+    draws = fan_out(e).select(
         "event_type",
         "value",
         F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),

@@ -78,6 +78,38 @@ def _on_query_start(name: str) -> None:
         _TRACKED.clear()
 
 
+def fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Scale-adaptive scan fan-out (optimization guide §2.5 "input
+    skew": one huge unsplittable file → repartition immediately after
+    the read). The parquet fixtures are single-row-group files, so a
+    scan plans ONE task regardless of split config, and every per-row
+    heavy projection behind it (tokenize / shingle / md5 / explode)
+    serializes on one core of local[N]. When the input's planned
+    parallelism is starved relative to the session (under half of
+    ``defaultParallelism``), redistribute to ``defaultParallelism``
+    partitions — hash-partitioned on ``cols`` when given, so a
+    downstream groupBy/window whose keys are a superset of ``cols``
+    reuses this exchange instead of adding its own (guide §2.4 "two
+    operations keyed the same way share one exchange"); round-robin
+    otherwise. Explicit partition count: a bare ``repartition(cols)``
+    would let AQE coalesce the tiny shuffle straight back to one
+    partition, defeating the CPU fan-out.
+
+    Scale posture: the trigger is DERIVED (input partitions vs session
+    parallelism), not a local constant — a 100 TB scan plans orders of
+    magnitude more splits than cores, so this is a no-op there and the
+    at-scale plans are unchanged."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 > target:
+        return df
+    if cols:
+        from pyspark.sql import functions as F
+
+        return df.repartition(target, *[F.col(c) for c in cols])
+    return df.repartition(target)
+
+
 # Range-partition fan-out for distributed global prefix computations.
 # On a real cluster set to ~2x total cores; the prefix arithmetic is
 # boundary-agnostic (the ordering key is a total order), so the value

@@ -2518,11 +2518,29 @@ def hybrid_search(
         .groupBy("q_id", "pos0")
         .agg(F.sum("val").alias("cq"))
     )
-    dots = (
-        eq.select("vec_id", F.posexplode("v").alias("pos0", "ev"))
-        .join(F.broadcast(cent), "pos0")
-        .groupBy("q_id", F.col("vec_id").alias("doc_id"))
-        .agg(F.sum(F.col("ev") * F.col("cq")).alias("dot"))
+    # r13 (guide §2.3/§4.1): MIPS against the per-query centroid used to
+    # posexplode every corpus embedding ×64 rows, join the component
+    # stream to the centroid on position, and shuffle (q, doc) partial
+    # sums back together — a 64× row amplification plus an exchange, for
+    # a dot product. Pivot the tiny centroid into one array row per
+    # query (|queries| rows, k-capped), broadcast it, and compute each
+    # dot as a single JVM zip_with/aggregate over the two arrays: the
+    # corpus streams through ONCE, zero exchanges, and the exact-BIGINT
+    # sum is the same value in any order.
+    centv = cent.groupBy("q_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "cq"))),
+            lambda s: s["cq"],
+        ).alias("cv")
+    )
+    dots = eq.crossJoin(F.broadcast(centv)).select(
+        "q_id",
+        F.col("vec_id").alias("doc_id"),
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
     )
     w_dense = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), "doc_id")
     denser = dots.withColumn("rd", F.row_number().over(w_dense)).where(

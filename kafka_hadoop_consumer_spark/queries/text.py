@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
+from kafka_hadoop_consumer_spark.queries.registry import (
+    fan_out,
+    persist_tracked,
+    query,
+)
 from kafka_hadoop_consumer_spark.queries.textutil import ngram_expr
 
 # Tokens are space-separated in the fixture corpus (FIXTURES.md: word-salad
@@ -264,8 +268,16 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     token.
     """
     d = load_table(spark, sf_dir, "documents")
+    # r13 (guide §2.4): hash the DOCUMENT rows by doc_id once (tiny —
+    # whole docs, pre-explode; also un-starves the single-row-group
+    # fixture scan), and every downstream keyed operator reuses that one
+    # exchange: groupBy(doc_id, tok) clusters by a superset of doc_id,
+    # and the final per-doc top-k window repartitions by doc_id — so the
+    # exploded token stream and the scored stream never shuffle at all
+    # (was: tf exchange + window exchange over the full token stream).
     tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        fan_out(d, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -350,15 +362,29 @@ def bm25_scores(d: DataFrame, terms, qt: DataFrame | None = None) -> DataFrame:
     stats are tiny → broadcast; the heavy side shuffles once into the
     final hash agg. The ln() idf is libm → rounded on both engines
     (SURVEY.md §7 R2)."""
-    docs = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    # r13 (guide §2.3/§2.4): dl rides THROUGH the tf aggregation (it is
+    # constant per doc), so the per-doc length table no longer joins
+    # back onto the scored stream — that join re-scanned and shuffled
+    # the whole corpus' (doc_id, dl) at scale for rows the IN-filter
+    # had already pruned to the query-term docs. One corpus tokenize
+    # feeds tf; the 1-row stats agg keeps its own column-pruned scan.
+    # fan_out: single-row-group fixture scans plan one task (no-op on
+    # real multi-split inputs); hashing by doc_id lets the tf groupBy
+    # and the (q_id, doc_id)-keyed final agg reuse the same exchange.
+    base = fan_out(d, "doc_id").withColumn("_toks", F.split("text", " "))
     tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        base.select(
+            "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+        )
         .where(F.col("term").isin(*list(terms)))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
     idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     denom = F.col("tf") + BM25_K1 * (
         1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
@@ -369,7 +395,6 @@ def bm25_scores(d: DataFrame, terms, qt: DataFrame | None = None) -> DataFrame:
         scored, keys = tf.join(F.broadcast(qt), "term"), ["q_id", "doc_id"]
     return (
         scored.join(F.broadcast(df_), "term")
-        .join(docs, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy(*keys)
         .agg(F.round(F.sum(term_score), 4).alias("bm25"))

@@ -183,7 +183,7 @@ for f, a in [
     ("q_sample_negative", "q"), ("q_sample_negative", "q.select('q_id')"),
     ("q_sample_coreset", "sel"),
     ("q_ml_knn", "q"), ("q_sim_range_search", "q"),
-    ("hybrid_search", "cent"), ("hybrid_search", "hits"),
+    ("hybrid_search", "centv"), ("hybrid_search", "hits"),
 ]:
     _add("queries/similarity.py", f, a, "k-capped")
 _add("queries/similarity.py", "q_embed_outliers", "stats", "enum-keyed")
