@@ -1372,7 +1372,9 @@ def kept_positions(d: DataFrame) -> DataFrame:
     with the within-doc occurrence rank — exposed so the bench can count
     exactly how many positions the OCC_CAP budget drops."""
     ps = persist_tracked(
-        d.select("doc_id", F.split("text", " ").alias("t")).select(
+        fan_out(d, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .select(
             "doc_id", F.posexplode(F.expr(ngram_expr("t", SUB_N))).alias("pos", "sh")
         )
     )

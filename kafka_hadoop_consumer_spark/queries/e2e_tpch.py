@@ -284,6 +284,11 @@ def q_e2e_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST (most selective edge); supplier⋈nation broadcasts; the only
     shuffle is lineitem⋈orders on orderkey, then the (nation, year)
     hash-agg with map-side partials."""
+    # NOTE (r13): deliberately NOT fan_out-repartitioned. The 2dp-rounded
+    # money sums (magnitude ~1e9) hash-match the oracle only because both
+    # engines accumulate in file order with a single partial per group;
+    # a repartition reassociates the FP sum beyond the 0.005 rounding
+    # margin (measured: strict hash mismatch at sf0.01).
     li = load_table(spark, sf_dir, "lineitem")
     p = (
         load_table(spark, sf_dir, "part")

@@ -91,6 +91,9 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
+    # NOTE (r13): deliberately NOT fan_out-repartitioned — same 2dp money
+    # sum as q_e2e_q9: reassociating the FP partials flips the rounded
+    # hash vs the oracle (q9 measured strict-red with a repartition).
     li = load_table(spark, sf_dir, "lineitem")
     dim = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)

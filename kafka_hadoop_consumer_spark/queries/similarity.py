@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 from kafka_hadoop_consumer_spark.catalog import load_table
-from kafka_hadoop_consumer_spark.queries.registry import persist_tracked, query
+from kafka_hadoop_consumer_spark.queries.registry import (
+    fan_out,
+    persist_tracked,
+    query,
+)
 
 TOP_K = 10
 N_QUERY = 5          # vec_id < 5 are the query vectors
@@ -487,9 +491,12 @@ def _ivf_assign(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Spark side of _IVF_ASSIGN_CTES: computed 6dp-rounded centroids per
     coarse cell (label-seeded) and nearest-centroid assignment. Returns
     (cent(cell, cv, cnrm), assigned(vec_id, v, nrm, cell))."""
-    ed = e.select("vec_id", "label", _vec_double().alias("v")).withColumn(
-        "nrm", _norm(F.col("v"))
-    )
+    # fan_out (guide §2.5): the fixture embeddings file is one row group
+    # → one scan task, serializing every per-vector dot/norm below on a
+    # single core; no-op on real multi-split inputs
+    ed = fan_out(e, "vec_id").select(
+        "vec_id", "label", _vec_double().alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
     # element-wise centroid per cell: posexplode → mean per (cell, pos)
     # → re-assemble ordered arrays
     cent = (
@@ -506,14 +513,36 @@ def _ivf_assign(e: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select(F.col("label").alias("cell"), "cv")
         .withColumn("cnrm", _norm(F.col("cv")))
     )
-    # assign every vector to its nearest centroid (broadcast centroids)
-    sim_to_cent = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cell"))
+    # assign every vector to its nearest centroid. r13 (guide §2.3/§4.1):
+    # this was a broadcast cross join (|vecs| × |cells| rows, each
+    # carrying the full vector) ranked by a Window.partitionBy(vec_id) —
+    # i.e. a k× row explosion AND a shuffle of vectors×k bytes, for an
+    # argmax. All centroids now ride in ONE broadcast row (sorted by
+    # cell id) and each vector picks its cell with a linear JVM
+    # aggregate over that array: zero row amplification, zero exchange.
+    # Tie-break identical to the old rank: strict > over cells iterated
+    # in ascending id keeps the LOWEST cell among equal similarities,
+    # exactly orderBy(c_sim desc, cell).
+    cents = cent.agg(
+        F.sort_array(F.collect_list(F.struct("cell", "cv", "cnrm"))).alias("cs")
+    )
+
+    # one similarity per cell (transform), then a flat array_max whose
+    # struct comparator implements (sim desc, cell asc): highest sim
+    # wins, and among equal sims the largest NEGATED cell id == the
+    # lowest cell id — the exact old rank order.
+    sims = F.transform(
+        "cs",
+        lambda c: F.struct(
+            (_dot(F.col("v"), c["cv"]) / (F.col("nrm") * c["cnrm"])).alias(
+                "sim"
+            ),
+            (-c["cell"]).alias("negcell"),
+        ),
+    )
     assigned = (
-        ed.join(F.broadcast(cent))
-        .select("vec_id", "v", "nrm", "cell", sim_to_cent.alias("c_sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
+        ed.crossJoin(F.broadcast(cents))
+        .withColumn("cell", -F.array_max(sims)["negcell"])
         .select("vec_id", "v", "nrm", "cell")
     )
     return cent, assigned

@@ -109,7 +109,8 @@ def q_text_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expr reuses one split; inlining split(text) twice doubles the cost
     # (measured 3x slower at sf0.1)
     grams = (
-        d.withColumn("toks", F.split("text", " "))
+        fan_out(d)  # single-row-group scan: shingle + partial agg were one task
+        .withColumn("toks", F.split("text", " "))
         .select(
             F.explode(F.expr(ngram_expr("toks", 4))).alias("ngram")
         )
@@ -741,8 +742,15 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recount of the winners; fixture trigram cardinality (~16k distinct
     vs 4095 counters) genuinely exercises eviction."""
     d = load_table(spark, sf_dir, "documents")
+    # fan_out: the gram explosion and BOTH consumers of the cached gram
+    # stream (the MG mapInPandas summaries and the recount's map-side
+    # partial agg) otherwise run as one task over the single-row-group
+    # fixture scan. More partitions = more MG summaries, which the
+    # mergeable-summaries bound is built for; the exact recount makes
+    # the final rows identical either way.
     grams = persist_tracked(
-        d.select(F.split("text", " ").alias("toks"))
+        fan_out(d)
+        .select(F.split("text", " ").alias("toks"))
         .select(F.explode(F.expr(ngram_expr("toks", 3))).alias("gram"))
     )
     candidates = grams.mapInPandas(_mg_summarize, "gram string").distinct()
@@ -1161,7 +1169,10 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     32k-merge vocabulary with unbounded long tail would cap the codebook
     at the hot vocabulary and fall back to inline encoding for misses,
     but the dataflow is identical."""
-    d = load_table(spark, sf_dir, "documents")
+    # fan_out: both the vocab tokenize (map side of the distinct) and
+    # the final per-doc encode/md5 pass below otherwise run as a single
+    # task over the one-row-group fixture scan
+    d = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
         .distinct()

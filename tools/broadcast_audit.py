@@ -176,7 +176,7 @@ for f, a in [
     # sites (r9 dedup); lsh_topk's q_ids join is gone (probes now hash
     # qv directly)
     ("broadcast_cosine_topk", "q"), ("lsh_topk", "probes"),
-    ("lsh_topk", "qn"), ("_ivf_assign", "cent"), ("q_sim_ivf_topk", "cent"),
+    ("lsh_topk", "qn"), ("_ivf_assign", "cents"), ("q_sim_ivf_topk", "cent"),
     ("q_sim_ivf_topk", "probes"),
     ("q_e2e_semsearch", "hits"), ("q_embed_outliers", "cent"),
     ("q_sim_pq_topk", "qn"),
