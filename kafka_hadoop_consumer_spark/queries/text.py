@@ -742,15 +742,15 @@ def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recount of the winners; fixture trigram cardinality (~16k distinct
     vs 4095 counters) genuinely exercises eviction."""
     d = load_table(spark, sf_dir, "documents")
-    # fan_out: the gram explosion and BOTH consumers of the cached gram
-    # stream (the MG mapInPandas summaries and the recount's map-side
-    # partial agg) otherwise run as one task over the single-row-group
-    # fixture scan. More partitions = more MG summaries, which the
-    # mergeable-summaries bound is built for; the exact recount makes
-    # the final rows identical either way.
+    # NOTE (r13): deliberately NOT fan_out-repartitioned. Measured A/B:
+    # spreading the gram stream over defaultParallelism partitions made
+    # the key ~15-20% SLOWER isolated — the gram explode is cheap JVM
+    # codegen, while the Misra-Gries mapInPandas pays one Python-worker
+    # summary per partition, so partitions multiply the Python-boundary
+    # cost without relieving any bottleneck (guide §4: control how often
+    # data crosses the boundary).
     grams = persist_tracked(
-        fan_out(d)
-        .select(F.split("text", " ").alias("toks"))
+        d.select(F.split("text", " ").alias("toks"))
         .select(F.explode(F.expr(ngram_expr("toks", 3))).alias("gram"))
     )
     candidates = grams.mapInPandas(_mg_summarize, "gram string").distinct()
