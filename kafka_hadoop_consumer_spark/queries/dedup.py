@@ -107,6 +107,13 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     Tokenization lands in a column first so the shingle expression splits
     each text once, not twice (measured 3× faster at sf0.1).
 
+    PRECONDITION (r13 advice): each id must occupy exactly ONE input row
+    — true for every current caller (documents fixtures and the
+    streaming micro-batch frames key rows by doc id). A duplicated id
+    row would emit duplicate (id, shingle) pairs, silently inflating
+    intersection counts downstream; dedupe by id first if a new caller
+    cannot guarantee this.
+
     r13 optimization (guide §2.4 "remove shuffles outright"): the
     distinct is keyed (id, shingle) and every shingle of a doc lives in
     that doc's own row, so a global ``.distinct()`` — a full shuffle of
@@ -1587,14 +1594,25 @@ def q_e2e_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk"),
     )
-    chunks = persist_tracked(chunks)
-    cdf = chunks.groupBy("chunk").agg(F.count_distinct("doc_id").alias("nd"))
+    # r14 (guide §2.4): the duplicated-chunk flag used to be a chunk-df
+    # aggregate (count_distinct per chunk) joined BACK onto the persisted
+    # chunk stream — an agg exchange + a join re-shuffle + a persist. The
+    # span gate only needs the BOOLEAN nd > 1, and "≥ 2 distinct doc_ids
+    # share this chunk" ≡ min(doc_id) ≠ max(doc_id) over the chunk's
+    # window — two streaming window aggregates riding ONE exchange on
+    # chunk, no set/count materialization, no join-back, no persist.
+    # The per-doc numerator/denominator are the same integers, so the
+    # emitted ratio double is bit-identical.
+    w_ch = Window.partitionBy("chunk")
     ratio = (
-        chunks.join(cdf, "chunk")
+        chunks.withColumn(
+            "dup",
+            F.min("doc_id").over(w_ch) != F.max("doc_id").over(w_ch),
+        )
         .groupBy("doc_id")
         .agg(
             (
-                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("double")
+                F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("double")
                 / F.count(F.lit(1))
             ).alias("r")
         )

@@ -186,8 +186,38 @@ def triangles_from_edges(
         .where(wedge_lt)
         .select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("d2").alias("c"))
     )
-    closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    return wedges.join(closing, ["b", "c"]), deg, wedges
+    # r14 (guide §2.3/§3 "explode before a join multiplies the shuffle"):
+    # triangles used to materialize the wedge stream (Σ out-deg² rows —
+    # 22.6M at sf0.1, O(E^1.5) at scale) and equi-join it against the
+    # edge set. Closure by ADJACENCY INTERSECTION does the same
+    # enumeration without ever materializing or shuffling a wedge row:
+    # every oriented edge (u→v) picks up both endpoints' out-neighbor
+    # lists and the common out-neighbors w = N⁺(u) ∩ N⁺(v) close the
+    # triangles (u→v, u→w, v→w). Each triangle has exactly one node with
+    # two out-edges inside it (the orientation is acyclic), so each is
+    # emitted exactly once — the same (a, b, c) = (src, dst, w) triples
+    # the wedge join produced, in the same multiplicity (o is distinct).
+    # Shuffled volume drops from O(Σ out-deg²) wedge rows to O(E) rows
+    # carrying adjacency arrays (Σ |array| = E per join side); the
+    # element-wise intersection work (≈ 2·Σ out-deg² comparisons) runs
+    # inside codegen'd array_intersect with no row machinery. The
+    # `wedges` frame is still returned join-formulated for bench.py's
+    # scaling probe (wedge COUNT is the receipt quantity); it is not
+    # part of the triangle plan.
+    outadj = o.groupBy("src").agg(F.collect_set("dst").alias("ns"))
+    tri = (
+        o.join(outadj.select("src", F.col("ns").alias("nu")), "src")
+        .join(
+            outadj.select(F.col("src").alias("dst"), F.col("ns").alias("nv")),
+            "dst",
+        )
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.explode(F.array_intersect("nu", "nv")).alias("c"),
+        )
+    )
+    return tri, deg, wedges
 
 
 LP_TOP = 25      # candidate links emitted (by score)
@@ -389,14 +419,22 @@ def cc_from_edges(
         # launches, bench_cc_profile.json) and the at-scale shuffle
         # byte count halves per star. Same (u, m) values row for row.
         sym = E.unionAll(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        # large-star: neighbors above u attach to m = min(N(u) + {u})
+        # large-star: neighbors above u attach to m = min(N(u) + {u}).
+        # r14 (guide §2.4): the intermediate ``.distinct()`` here was a
+        # full exchange of the large-star output per round, yet the
+        # small-star below ends in its own distinct — the round's OUTPUT
+        # set is identical without it. Duplicate (u, m) rows only ride
+        # into small-star's min window (min is duplicate-insensitive)
+        # and its explode, whose copies the terminal distinct collapses.
+        # Exchanges per star round drop 4 → 3, and the removed exchange
+        # carried O(E) rows — strictly more than the distinct output the
+        # next window would have shuffled instead.
         w_u = Window.partitionBy("u")
         large = (
             sym.withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: orient edges downward, re-hang node + smaller
         # neighbors off m = min of the downward neighborhood; emitting
@@ -483,10 +521,13 @@ def cc_from_edges(
     CC_LAST_EDGE_COUNTS[key] = edge_counts
     CC_LAST_ROUND_WALLS[key] = {"rounds": round_walls, "confirm": confirm_wall}
     # fixpoint: E = {(node, component_min) | node != component_min};
-    # add the self-rooted representatives back in
-    roots = E.select(F.col("v").alias("user_id")).distinct().join(
-        E.select(F.col("u").alias("user_id")), "user_id", "left_anti"
-    )
+    # add the self-rooted representatives back in. r14 (guide §2.4): the
+    # confirmed fixpoint is a STAR FOREST — a chain (a→b, b→c) cannot
+    # survive star_round unchanged (large-star would re-hang a on c), so
+    # {u} (labeled nodes) and {v} (labels) are disjoint and the former
+    # ``{v} anti-join {u}`` equals plain distinct(v): the anti join and
+    # its probe-side exchange are dropped.
+    roots = E.select(F.col("v").alias("user_id")).distinct()
     labels = E.select(
         F.col("u").alias("user_id"), F.col("v").alias("component_id")
     ).unionAll(roots.select("user_id", F.col("user_id").alias("component_id")))

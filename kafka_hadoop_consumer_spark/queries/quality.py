@@ -736,8 +736,12 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all happen in the scan projection, and the single-row-group
     # fixture file plans ONE scan task — measured 1.62 s → 0.72 s at
     # sf0.1 once the 24× md5 work spreads over the session's cores.
-    # No-op on a real multi-split scan.
-    draws = fan_out(e).select(
+    # No-op on a real multi-split scan. Keyed on event_id (r13 advice):
+    # hash partitioning makes row→partition assignment content-derived
+    # and deterministic run-to-run, so the (already ≥1e4×-margin) FP
+    # association of the downstream resample means cannot drift with
+    # partition layout the way round-robin assignment could.
+    draws = fan_out(e, "event_id").select(
         "event_type",
         "value",
         F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"),

@@ -542,6 +542,10 @@ def _ivf_assign(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     assigned = (
         ed.crossJoin(F.broadcast(cents))
+        # r14 guard (r13 advice): an EMPTY centroid table must yield an
+        # empty assignment (the pre-r13 inner join's behavior), not
+        # every vector with cell = null from array_max over [].
+        .where(F.size("cs") > 0)
         .withColumn("cell", -F.array_max(sims)["negcell"])
         .select("vec_id", "v", "nrm", "cell")
     )
@@ -1481,16 +1485,20 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    train = np.stack(
+    # r14 (guide §2.4/§5): ONE bounded driver collect replaces the former
+    # two (train rows, then query rows — N_QUERY < PQ_TRAIN_CAP, so the
+    # query sample is a prefix of the train sample); the global orderBy
+    # exchanges are dropped too — the ≤ PQ_TRAIN_CAP collected rows sort
+    # driver-side, which is where bounded-sample work belongs.
+    srows = (
         ed.where(F.col("vec_id") < PQ_TRAIN_CAP)
-        .orderBy("vec_id")
-        .toPandas()["wn"]
-        .to_numpy()
+        .select("vec_id", "wn")
+        .toPandas()
+        .sort_values("vec_id", kind="mergesort")
     )
+    train = np.stack(srows["wn"].to_numpy())
     books = _pq_train_codebooks(train)            # (M, K, sub_d)
-    qrows = (
-        ed.where(F.col("vec_id") < N_QUERY).orderBy("vec_id").toPandas()
-    )
+    qrows = srows[srows["vec_id"] < N_QUERY]
     Q = np.stack(qrows["wn"].to_numpy())
     q_ids = qrows["vec_id"].to_numpy()
     sub_d = books.shape[2]
@@ -1502,6 +1510,16 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ], axis=1)                                     # (n_q, M, K)
 
     def _adc(batches):
+        # r14 (guide §2.3 "aggregate before you shuffle"): the pass used
+        # to emit |corpus|×|queries| (vec_id, q_id, adist) rows into the
+        # shortlist window's exchange. A running per-TASK top-
+        # PQ_SHORTLIST per query — kept under the exact global order
+        # (adist asc, vec_id asc), so the global top-S over the union of
+        # per-task top-S is unchanged — bounds the emitted rows at
+        # tasks × |queries| × PQ_SHORTLIST. The self-match (vec_id ==
+        # q_id) is excluded here, where the candidate set is pruned.
+        tops = {int(q): (np.empty(0), np.empty(0, dtype="int64"))
+                for q in q_ids}
         for pdf in batches:
             X = np.stack(pdf["wn"].to_numpy())
             codes = np.stack([
@@ -1509,16 +1527,30 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - books[m][None, :, :]) ** 2).sum(-1).argmin(1)
                 for m in range(PQ_M)
             ], axis=1)                             # (rows, M)
-            out = {"vec_id": np.repeat(pdf["vec_id"].to_numpy(), len(q_ids)),
-                   "q_id": np.tile(q_ids, len(X)),
-                   "adist": np.concatenate([
-                       dtab[:, np.arange(PQ_M), c].sum(axis=1) for c in codes
-                   ])}
-            yield pd.DataFrame(out)
+            A = np.stack([
+                dtab[:, np.arange(PQ_M), c].sum(axis=1) for c in codes
+            ])                                     # (rows, n_q)
+            vids = pdf["vec_id"].to_numpy()
+            for j, q in enumerate(q_ids):
+                mask = vids != q
+                a = np.concatenate([tops[int(q)][0], A[mask, j]])
+                v = np.concatenate([tops[int(q)][1], vids[mask]])
+                if len(a) > PQ_SHORTLIST:
+                    idx = np.lexsort((v, a))[:PQ_SHORTLIST]
+                    a, v = a[idx], v[idx]
+                tops[int(q)] = (a, v)
+        if any(len(a) for a, _ in tops.values()):
+            yield pd.DataFrame({
+                "vec_id": np.concatenate([tops[int(q)][1] for q in q_ids]),
+                "q_id": np.repeat(
+                    q_ids, [len(tops[int(q)][1]) for q in q_ids]
+                ),
+                "adist": np.concatenate([tops[int(q)][0] for q in q_ids]),
+            })
 
     scored = ed.select("vec_id", "wn").mapInPandas(
         _adc, "vec_id long, q_id long, adist double"
-    ).where(F.col("vec_id") != F.col("q_id"))
+    )
     w_short = Window.partitionBy("q_id").orderBy(
         F.col("adist").asc(), F.col("vec_id")
     )
@@ -1537,7 +1569,9 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_raw").desc(), F.col("vec_id")
     )
     return (
-        ed.select("vec_id", "v", "nrm").join(shortlist, "vec_id")
+        # broadcast the ≤ PQ_SHORTLIST×|queries|-row shortlist so the
+        # cached corpus side never shuffles for the re-rank join (§3.1)
+        ed.select("vec_id", "v", "nrm").join(F.broadcast(shortlist), "vec_id")
         .join(F.broadcast(qn), "q_id")
         .select("q_id", "vec_id", cos.alias("cos_raw"),
                 (F.col("adist") / F.lit(PQ_SCALE * PQ_SCALE)).alias(
@@ -2533,20 +2567,12 @@ def hybrid_search(
             F.col("rl") <= HYB_POOL
         )
     )
-    eq = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * HYB_Q, 0).cast("long"),
-        ).alias("v"),
-    )
-    cent = (
-        lexr.where(F.col("rl") <= HYB_PRF)
-        .join(eq, F.col("vec_id") == F.col("doc_id"))
-        .select("q_id", F.posexplode("v").alias("pos0", "val"))
-        .groupBy("q_id", "pos0")
-        .agg(F.sum("val").alias("cq"))
-    )
+    def _quant(col):
+        return F.transform(
+            col, lambda x: F.round(x.cast("double") * HYB_Q, 0).cast("long")
+        )
+
+    eq = emb.select("vec_id", _quant("embedding").alias("v"))
     # r13 (guide §2.3/§4.1): MIPS against the per-query centroid used to
     # posexplode every corpus embedding ×64 rows, join the component
     # stream to the centroid on position, and shuffle (q, doc) partial
@@ -2556,11 +2582,30 @@ def hybrid_search(
     # dot as a single JVM zip_with/aggregate over the two arrays: the
     # corpus streams through ONCE, zero exchanges, and the exact-BIGINT
     # sum is the same value in any order.
-    centv = cent.groupBy("q_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos0", "cq"))),
-            lambda s: s["cq"],
-        ).alias("cv")
+    #
+    # r14 (guide §2.4/§2.3): the centroid itself used to posexplode the
+    # PRF embeddings and pay TWO exchanges (groupBy (q, pos), then the
+    # groupBy(q) pivot); it is now ONE aggregation — element-wise BIGINT
+    # array sum via zip_with inside collect_list/aggregate (order-free,
+    # exact). The PRF side also joins the RAW embeddings and quantizes
+    # AFTER the join, so the per-element round/cast runs on the
+    # |queries|×HYB_PRF joined rows instead of the whole corpus (the
+    # corpus-wide quantization happens exactly once, in the dots scan).
+    centv = (
+        lexr.where(F.col("rl") <= HYB_PRF)
+        .join(
+            emb.select("vec_id", "embedding"),
+            F.col("vec_id") == F.col("doc_id"),
+        )
+        .select("q_id", _quant("embedding").alias("pv"))
+        .groupBy("q_id")
+        .agg(
+            F.aggregate(
+                F.collect_list("pv"),
+                F.array_repeat(F.lit(0).cast("long"), EMB_DIM),
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias("cv")
+        )
     )
     dots = eq.crossJoin(F.broadcast(centv)).select(
         "q_id",
@@ -2575,25 +2620,25 @@ def hybrid_search(
     denser = dots.withColumn("rd", F.row_number().over(w_dense)).where(
         F.col("rd") <= HYB_POOL
     )
+    # r14 (guide §2.4): RRF fusion was a FULL OUTER join of the two rank
+    # lists (two sort exchanges + SMJ + coalesce arithmetic); a union +
+    # groupBy(q, doc) sum is one hash aggregation over the same ≤
+    # 2·HYB_POOL rows per query. Bit-identical scores: a doc on both
+    # lists sums its two reciprocals (FP addition of two terms is
+    # commutative, so partial-merge order cannot matter), a doc on one
+    # list keeps its single reciprocal exactly (the old `x + 0.0` is
+    # exact for the strictly positive reciprocals).
     fused = (
-        lexr.select("q_id", "doc_id", "rl")
-        .withColumnRenamed("q_id", "lq")
-        .withColumnRenamed("doc_id", "ld")
-        .join(
+        lexr.select(
+            "q_id", "doc_id", (F.lit(1.0) / (60 + F.col("rl"))).alias("score")
+        )
+        .unionAll(
             denser.select(
-                F.col("q_id").alias("dq"), F.col("doc_id").alias("dd"), "rd"
-            ),
-            (F.col("lq") == F.col("dq")) & (F.col("ld") == F.col("dd")),
-            "full",
+                "q_id", "doc_id", (F.lit(1.0) / (60 + F.col("rd"))).alias("score")
+            )
         )
-        .select(
-            F.coalesce("lq", "dq").alias("q_id"),
-            F.coalesce("ld", "dd").alias("doc_id"),
-            (
-                F.coalesce(F.lit(1.0) / (60 + F.col("rl")), F.lit(0.0))
-                + F.coalesce(F.lit(1.0) / (60 + F.col("rd")), F.lit(0.0))
-            ).alias("score"),
-        )
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("score").alias("score"))
     )
     w_f = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "doc_id")
     hits = fused.withColumn("fused_rank", F.row_number().over(w_f)).where(

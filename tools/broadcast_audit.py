@@ -180,6 +180,9 @@ for f, a in [
     ("q_sim_ivf_topk", "probes"),
     ("q_e2e_semsearch", "hits"), ("q_embed_outliers", "cent"),
     ("q_sim_pq_topk", "qn"),
+    # r14: ADC shortlist re-rank join — ≤ PQ_SHORTLIST×N_QUERY rows by
+    # the shortlist window's construction
+    ("q_sim_pq_topk", "shortlist"),
     ("q_sample_negative", "q"), ("q_sample_negative", "q.select('q_id')"),
     ("q_sample_coreset", "sel"),
     ("q_ml_knn", "q"), ("q_sim_range_search", "q"),
