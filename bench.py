@@ -329,6 +329,35 @@ def _synth_documents(spark, n: int, out_dir: str) -> None:
     )
 
 
+# The 1x/10x probe corpora are DETERMINISTIC (fixed RandomState seeds),
+# so re-synthesizing them every bench run is pure untimed driver overhead
+# (4 parquet writes). They are cached per (generator version, n) under
+# /tmp and rebuilt only when absent. This caches probe INPUT, never any
+# query output or intermediate — results are computed from the parquet
+# every run, exactly as before. Bump the version when a generator's
+# logic or seeds change.
+_PROBE_CACHE_VER = 1
+_PROBE_CACHE_ROOT = os.path.join(
+    tempfile.gettempdir(), f"spark_graft_probe_cache_v{_PROBE_CACHE_VER}"
+)
+
+
+def _probe_corpus_dir(spark, n: int) -> str:
+    """Return a directory holding the deterministic n-row synthetic
+    embeddings+documents corpora, synthesizing on first use."""
+    d = os.path.join(_PROBE_CACHE_ROOT, f"n{n}")
+    marker = os.path.join(d, "_COMPLETE")
+    if os.path.exists(marker):
+        return d
+    shutil.rmtree(d, ignore_errors=True)  # drop any partial build
+    os.makedirs(d, exist_ok=True)
+    _synth_embeddings(spark, n, d)
+    _synth_documents(spark, n, d)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
 def _time_scaling(spark) -> dict:
     from pyspark.sql import functions as F
 
@@ -364,12 +393,11 @@ def _time_scaling(spark) -> dict:
         return round(statistics.median(runs), 3)
 
     out = {}
-    d1, d10 = (tempfile.mkdtemp(prefix=f"bench_scale_{s}_") for s in ("1x", "10x"))
+    # cached deterministic corpora (see _probe_corpus_dir) — the probes
+    # read the same parquet bytes whether freshly built or cached
+    d1 = _probe_corpus_dir(spark, SCALE_N1)
+    d10 = _probe_corpus_dir(spark, SCALE_N1 * SCALE_FACTOR)
     try:
-        _synth_embeddings(spark, SCALE_N1, d1)
-        _synth_embeddings(spark, SCALE_N1 * SCALE_FACTOR, d10)
-        _synth_documents(spark, SCALE_N1, d1)
-        _synth_documents(spark, SCALE_N1 * SCALE_FACTOR, d10)
 
         def runs(d):
             return verbatim_runs(
@@ -751,8 +779,9 @@ def _time_scaling(spark) -> dict:
             "ratio_rounds": round(ml_rb / ml_ra, 2) if ml_ra else None,
         }
     finally:
-        shutil.rmtree(d1, ignore_errors=True)
-        shutil.rmtree(d10, ignore_errors=True)
+        # the corpora are a persistent deterministic cache now (probe
+        # INPUT only) — deliberately NOT deleted; see _probe_corpus_dir
+        pass
     return out
 
 
@@ -965,6 +994,21 @@ def main() -> None:
             "spark.ui.retainedStages": "5000",
         },
     )
+
+    # UNTIMED process warm-up (r13 verdict item 3): the first timed key
+    # used to absorb the JVM's first-position JIT/codegen cost — the
+    # driver's first pass charged q_agg_groupby 2.49 s where its warmed
+    # cost is ~0.3-0.6 s (BASELINE.md documents the ~1.9× first-position
+    # factor), polluting the round-over-round comparison. One throwaway
+    # execution of a representative mix (codegen hash agg, broadcast
+    # join, Arrow pandas UDF, window) warms those paths before ANY timed
+    # run. Additions-only: the timed set, per-key protocol (warm-up +
+    # median of 3, noop sink) and the final JSON line are unchanged.
+    for _w in ("q_agg_groupby", "q_join_multiway", "q_udf_scalar",
+               "q_win_topk_group"):
+        spark.sparkContext.setJobDescription(f"bench warmup {_w} (untimed)")
+        materialize(QUERIES[_w](spark, sf_dir))
+    spark.sparkContext.setJobDescription(None)
 
     timings = {name: time_query(spark, name, sf_dir) for name in HEADLINE}
 
