@@ -1209,9 +1209,15 @@ WARMED_ANCHORS = {
     "q_text_ngram": 0.746,
     "q_win_sessionize": 0.55,
     "s_ingest_e2e": 0.83,
-    "q_dedup_minhash": 1.27,
+    # r14 re-anchors (verdict item 8): min of THREE isolated
+    # tools/warmed_probe.py sessions at the r14 code on a box reading
+    # 1.02-1.23 vs its own controls — evidence committed at
+    # plans/r14/warmed_probe_r14_{1,2,3}.json (minhash 0.666/0.763/0.937,
+    # cc 2.479/2.904/3.040). The old 1.27/3.9 predated this round's
+    # shuffle cuts and had gone conservative-loose.
+    "q_dedup_minhash": 0.67,
     "q_dedup_ngram_jaccard": 1.14,
-    "q_graph_cc": 3.9,
+    "q_graph_cc": 2.48,
     "q_join_multiway": 0.836,
     "q_join_range": 0.444,
     "q_win_topk_group": 0.522,
@@ -1346,9 +1352,10 @@ def warmed_advisory(best: dict[str, float], box=None) -> dict:
     return {
         "anchor_set": "isolated-warmed (BASELINE.md; r9 udf/ngram, "
                       "r11 sessionize, r10 ingest band top, "
-                      "r5/r12 minhash, r12 ngram_jaccard, "
-                      "r12+r13 graph_cc in-bench min, "
-                      "r13 multiway/range/topk raw-min-of-3)",
+                      "r12 ngram_jaccard, "
+                      "r13 multiway/range/topk raw-min-of-3, "
+                      "r14 minhash/graph_cc probe-min-of-3 — "
+                      "plans/r14/warmed_probe_r14_*.json)",
         "anchors": dict(WARMED_ANCHORS),
         "ratio_limit": WARMED_RATIO,
         "ratios": ratios,

@@ -523,9 +523,15 @@ def _ivf_assign(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     # Tie-break identical to the old rank: strict > over cells iterated
     # in ascending id keeps the LOWEST cell among equal similarities,
     # exactly orderBy(c_sim desc, cell).
+    # r14 guard (r13 advice): an EMPTY centroid table must yield an
+    # empty assignment (the pre-r13 inner join's behavior), not every
+    # vector with cell = null from array_max over []. The filter sits
+    # on the ONE-row aggregate side — evaluated once, not per corpus
+    # row (a per-row guard after the crossJoin measured ~10-20% slower
+    # on ivf/semdedup by breaking the join→project codegen fusion).
     cents = cent.agg(
         F.sort_array(F.collect_list(F.struct("cell", "cv", "cnrm"))).alias("cs")
-    )
+    ).where(F.size("cs") > 0)
 
     # one similarity per cell (transform), then a flat array_max whose
     # struct comparator implements (sim desc, cell asc): highest sim
@@ -542,10 +548,6 @@ def _ivf_assign(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     assigned = (
         ed.crossJoin(F.broadcast(cents))
-        # r14 guard (r13 advice): an EMPTY centroid table must yield an
-        # empty assignment (the pre-r13 inner join's behavior), not
-        # every vector with cell = null from array_max over [].
-        .where(F.size("cs") > 0)
         .withColumn("cell", -F.array_max(sims)["negcell"])
         .select("vec_id", "v", "nrm", "cell")
     )
@@ -2567,12 +2569,15 @@ def hybrid_search(
             F.col("rl") <= HYB_POOL
         )
     )
-    def _quant(col):
-        return F.transform(
-            col, lambda x: F.round(x.cast("double") * HYB_Q, 0).cast("long")
-        )
-
-    eq = emb.select("vec_id", _quant("embedding").alias("v"))
+    # The quantize / centroid-sum / dot HOFs are PRE-RENDERED SQL strings
+    # (one JVM parse each) — the lambda-Column forms cost ~0.2 s of py4j
+    # round-trips per invocation (the minhash_signatures rationale;
+    # identical expressions, verified strict-green).
+    quant = (
+        f"transform({{c}}, x -> cast(round(cast(x AS double) * {HYB_Q}, 0)"
+        " AS long))"
+    )
+    eq = emb.selectExpr("vec_id", quant.format(c="embedding") + " AS v")
     # r13 (guide §2.3/§4.1): MIPS against the per-query centroid used to
     # posexplode every corpus embedding ×64 rows, join the component
     # stream to the centroid on position, and shuffle (q, doc) partial
@@ -2597,24 +2602,21 @@ def hybrid_search(
             emb.select("vec_id", "embedding"),
             F.col("vec_id") == F.col("doc_id"),
         )
-        .select("q_id", _quant("embedding").alias("pv"))
+        .select("q_id", F.expr(quant.format(c="embedding") + " AS pv"))
         .groupBy("q_id")
         .agg(
-            F.aggregate(
-                F.collect_list("pv"),
-                F.array_repeat(F.lit(0).cast("long"), EMB_DIM),
-                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-            ).alias("cv")
+            F.expr(
+                "aggregate(collect_list(pv),"
+                f" array_repeat(cast(0 AS long), {EMB_DIM}),"
+                " (acc, v) -> zip_with(acc, v, (a, b) -> a + b)) AS cv"
+            )
         )
     )
-    dots = eq.crossJoin(F.broadcast(centv)).select(
+    dots = eq.crossJoin(F.broadcast(centv)).selectExpr(
         "q_id",
-        F.col("vec_id").alias("doc_id"),
-        F.aggregate(
-            F.zip_with("v", "cv", lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("dot"),
+        "vec_id AS doc_id",
+        "aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0 AS long),"
+        " (acc, x) -> acc + x) AS dot",
     )
     w_dense = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), "doc_id")
     denser = dots.withColumn("rd", F.row_number().over(w_dense)).where(
